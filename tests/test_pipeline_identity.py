@@ -1,0 +1,89 @@
+"""Distributed == oracle, byte-for-byte, at any partitioning.
+
+The north-star invariant: every url's extracted text (and sha256) from
+the Ray pipeline equals the single-process oracle's, regardless of
+block layout, batch size, or task/actor strategy.
+"""
+
+import hashlib
+
+import pytest
+
+from vlm_ocr_doc_reader_ray.corpus.generator import (
+    CORRUPT_PAYLOAD,
+    build_html,
+    build_spdf,
+    golden,
+    is_corrupt_doc,
+    is_pdf_doc,
+    url_of,
+)
+
+
+@pytest.fixture(scope="module")
+def oracle_hashes(small_documents):
+    out = {}
+    for doc_id, text, lang, source in small_documents:
+        g = golden(doc_id, text, lang, source)
+        out[url_of(doc_id, lang, source)] = hashlib.sha256(
+            g.extracted_text.encode()
+        ).hexdigest()
+    return out
+
+
+def _run(sf_dir, **kw):
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import extract, read_corpus
+
+    ds = extract(read_corpus(sf_dir), emit_spans=False, emit_registry=False, **kw)
+    return {
+        r["url"]: r["text_sha256"]
+        for r in ds.select_columns(["url", "text_sha256"]).take_all()
+    }
+
+
+def test_pipeline_matches_oracle(ray_session, sf_small, oracle_hashes):
+    got = _run(sf_small)
+    assert got == oracle_hashes
+
+
+def test_identity_invariant_under_partitioning(ray_session, sf_small, oracle_hashes):
+    """Different block counts / batch sizes / actor pools → same bytes."""
+    from vlm_ocr_doc_reader_ray.config import EngineConfig
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import extract, synth_corpus
+
+    for num_blocks, batch_size, concurrency in [(1, 17, None), (7, 64, None), (3, 500, 2)]:
+        corpus = synth_corpus(sf_small, override_num_blocks=num_blocks)
+        cfg = EngineConfig(extract_batch_size=batch_size)
+        ds = extract(
+            corpus, cfg=cfg, emit_spans=False, emit_registry=False, concurrency=concurrency
+        )
+        got = {
+            r["url"]: r["text_sha256"]
+            for r in ds.select_columns(["url", "text_sha256"]).take_all()
+        }
+        assert got == oracle_hashes, (num_blocks, batch_size, concurrency)
+
+
+def test_registry_explode_counts(ray_session, sf_small, small_documents):
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import (
+        extract,
+        read_corpus,
+        registry_table,
+    )
+
+    reg = registry_table(extract(read_corpus(sf_small), emit_spans=False))
+    n_ok_docs = sum(1 for d, *_ in small_documents if not is_corrupt_doc(d))
+    assert reg.count() == 5 * n_ok_docs
+    kinds = dict(reg.groupby("kind").count().to_pandas().values)
+    assert kinds == {k: n_ok_docs for k in ("email", "phone", "date", "id", "url")}
+
+
+def test_entry_smoke(ray_session):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__ray_entry__")
+    ds = mod.entry()
+    assert ds.count() == 500
+    assert "extracted_text" in ds.schema().names

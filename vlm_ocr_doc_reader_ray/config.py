@@ -1,0 +1,72 @@
+"""Typed engine configuration.
+
+Replaces the reference's env-var knobs (``VLM_SCAN_BATCH_SIZE``,
+``OCR_CHUNK_SIZE``, ``OCR_MAX_WORKERS``, ``OCR_VERIFY_AXES`` —
+reference ``core/reader.py:118-126,217-235,410-425``,
+``core/processor.py:22-31``) with one explicit config object whose
+fields map onto Ray Data stage knobs (``batch_size``, ``concurrency``,
+``num_cpus``) instead of thread-pool sizes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def _env_int(name: str, default: int) -> int:
+    raw = os.environ.get(name, "")
+    try:
+        v = int(raw)
+        return v if v > 0 else default
+    except ValueError:
+        return default
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Knobs for the extraction pipeline.
+
+    Sizing notes for scale (single-node defaults in parens):
+
+    - ``extract_batch_size``: rows per Arrow batch entering the
+      extraction actor pool. HTML payloads are typically 2-50 KB, so
+      256 rows ≈ 0.5-12 MB per batch — small enough that
+      batch × concurrency stays far below worker heap even with
+      multi-MB outliers.
+    - ``extract_concurrency``: actor-pool size. Sized to leave CPUs
+      for the read and write stages (pool of n on a 32-CPU node still
+      pipelines because stages stream).
+    - ``verify_axes``: the reference's default verification axes
+      ``[1,3,5]`` (``core/reader.py:410-425``): N independent passes
+      whose samples are combined by majority vote.
+    """
+
+    # extraction stage
+    extract_batch_size: int = 256
+    extract_concurrency: int | None = None  # None → stateless tasks (elastic)
+    extract_num_cpus: float = 1.0
+
+    # registry / resolve / verify
+    resolve_chunk_size: int = field(default_factory=lambda: _env_int("OCR_CHUNK_SIZE", 5))
+    verify_axes: tuple[int, ...] = (1, 3, 5)
+
+    # block classification thresholds (the deterministic "scan" rules)
+    max_link_density: float = 0.33
+    min_content_words: int = 10
+    min_smoothed_words: int = 3
+
+    # PDF layout rules
+    pdf_min_font: float = 9.0
+    pdf_top_margin: float = 50.0
+    pdf_bottom_margin: float = 742.0
+    pdf_v_gap: float = 18.0   # min x-gap for a vertical cut
+    pdf_h_gap: float = 12.0   # min y-gap for a horizontal cut
+    pdf_h1_font: float = 16.0
+    pdf_h2_font: float = 13.0
+
+    # output layout
+    output_partitions: int = 16
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,192 @@
+"""Entity registry: scan → resolve (level 1) → verify (level 2).
+
+The reference's central record is ``OCRRegistryEntry``
+(``core/state.py:45-67``): one precision-critical atomic entity (URL,
+ID, date, …) with a page anchor, a pointwise-extraction prompt, a
+resolution level 0/1/2, and vote metadata. Its deterministic stand-ins
+here:
+
+- **scan**: regex recognizers over the extracted text discover
+  entities and synthesize the upsert key with the reference's id rule
+  ``scan_{page}_{sha256(prompt)[:8]}`` (``operations/scan.py:159-166``)
+  — kept verbatim because it is the dedup/upsert key;
+- **resolve** (level 1): anchored re-extraction — re-run the entity's
+  recognizer inside a context window around its span
+  (deterministic analogue of the pointwise OCR call,
+  ``core/ocr_client.py:202-371``), keeping the reference's
+  ok/no_data/error status contract (``core/ocr_client.py:103-134``);
+- **verify** (level 2): N axes re-resolve with different window radii;
+  samples combine by normalized majority vote
+  (``core/voting.py:44-89``) → ``confidence="k/N"``, ``verified`` iff
+  unanimous. ADR-002 semantics: verify targets ALL entities, not only
+  pending ones (``core/reader.py:465-469``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, replace
+from typing import List, Optional, Sequence
+
+from vlm_ocr_doc_reader_ray.extract.blocks import ExtractResult
+from vlm_ocr_doc_reader_ray.extract.voting import Sample, majority_vote
+
+# Recognizer bank: (kind, compiled regex). Order fixes tie-breaks when
+# two kinds match at the same offset.
+RECOGNIZERS: List[tuple[str, re.Pattern]] = [
+    ("email", re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")),
+    ("url", re.compile(r"https?://[^\s\"'<>]+")),
+    ("phone", re.compile(r"\+\d{1,2}-\d{3}-\d{4}\b")),
+    ("date", re.compile(r"\b\d{4}-\d{2}-\d{2}\b")),
+    ("id", re.compile(r"\b[A-Z]{2,6}-\d{4,12}\b")),
+]
+_TRAILING_PUNCT = ".,;:!?)"
+_CONTEXT_RADIUS = 30
+
+
+@dataclass(frozen=True)
+class RegistryEntry:
+    """One entity row (columnar twin of the reference's OCRRegistryEntry)."""
+
+    entity_id: str
+    page_num: int
+    kind: str
+    prompt: str
+    resolution: int  # 0=scan, 1=resolved, 2=verified
+    value: Optional[str]
+    context: Optional[str]
+    verified: bool
+    confidence: Optional[str]
+    span_start: int
+    span_end: int
+    status: str = "ok"  # resolve status: ok | no_data | error
+
+
+def _clean_match(kind: str, raw: str) -> str:
+    """Strip trailing sentence punctuation from open-ended matches."""
+    if kind in ("url", "email"):
+        return raw.rstrip(_TRAILING_PUNCT)
+    return raw
+
+
+def scan_entities(result: ExtractResult) -> List[RegistryEntry]:
+    """Discover entities in extracted text (resolution level 0)."""
+    text = result.text
+    found: List[tuple[int, int, str, str]] = []  # (start, kind_rank, kind, value)
+    for rank, (kind, rx) in enumerate(RECOGNIZERS):
+        for m in rx.finditer(text):
+            value = _clean_match(kind, m.group(0))
+            if value:
+                found.append((m.start(), rank, kind, value))
+    found.sort()
+
+    entries: List[RegistryEntry] = []
+    for start, _rank, kind, value in found:
+        end = start + len(value)
+        page = result.page_of_offset(start)
+        prompt = f"Extract the {kind} at offset {start}"
+        digest = hashlib.sha256(prompt.encode("utf-8")).hexdigest()[:8]
+        entries.append(
+            RegistryEntry(
+                entity_id=f"scan_{page}_{digest}",
+                page_num=page,
+                kind=kind,
+                prompt=prompt,
+                resolution=0,
+                value=value,
+                context=text[max(0, start - _CONTEXT_RADIUS): end + _CONTEXT_RADIUS],
+                verified=False,
+                confidence=None,
+                span_start=start,
+                span_end=end,
+            )
+        )
+    return entries
+
+
+def _window_extract(entry: RegistryEntry, text: str, radius: int) -> Sample:
+    """Re-run the entry's recognizer inside a window around its span.
+
+    The deterministic analogue of one pointwise OCR call: `ok` when the
+    recognizer still fires in the window, `no_data` when it does not,
+    `error` when the entry is malformed (page/span outside the text) —
+    the reference's three-way status contract.
+    """
+    if entry.span_start < 0 or entry.span_start >= len(text):
+        return Sample(None, None, "error")
+    rx = dict(RECOGNIZERS).get(entry.kind)
+    if rx is None:
+        return Sample(None, None, "error")
+    lo = max(0, entry.span_start - radius)
+    hi = min(len(text), entry.span_end + radius)
+    m = rx.search(text, lo, hi)
+    if m is None:
+        return Sample(None, None, "no_data")
+    value = _clean_match(entry.kind, m.group(0))
+    ctx = text[max(0, m.start() - _CONTEXT_RADIUS): m.end() + _CONTEXT_RADIUS]
+    return Sample(value, ctx, "ok")
+
+
+def resolve_entry(entry: RegistryEntry, text: str, radius: int = 40) -> RegistryEntry:
+    """Level 1: pointwise anchored re-extraction (reference resolve pass)."""
+    s = _window_extract(entry, text, radius)
+    return replace(
+        entry,
+        resolution=max(entry.resolution, 1),
+        value=s.value if s.status == "ok" else entry.value,
+        context=s.context if s.status == "ok" else entry.context,
+        status=s.status,
+    )
+
+
+def verify_entry(
+    entry: RegistryEntry, text: str, axes: Sequence[int] = (1, 3, 5)
+) -> RegistryEntry:
+    """Level 2: N independent passes (axis k → window radius 40*k) + vote."""
+    samples = [_window_extract(entry, text, 40 * axis) for axis in axes]
+    vote = majority_vote(samples)
+    if vote.confidence.startswith("0/"):
+        # all-error: keep previous state (reference core/reader.py:501-507)
+        return entry
+    return replace(
+        entry,
+        resolution=2,
+        value=vote.value,
+        context=vote.context,
+        verified=vote.verified,
+        confidence=vote.confidence,
+        status="ok" if vote.value else "no_data",
+    )
+
+
+def build_registry(
+    result: ExtractResult, axes: Sequence[int] = (1, 3, 5)
+) -> List[RegistryEntry]:
+    """Full scan → resolve → verify chain for one document (pipelined).
+
+    Because entities are derived from the document row being processed,
+    resolve/verify co-partition with the document for free — no shuffle
+    (SURVEY §2.4 J1: pipelined co-partitioning beats a hash join).
+    The shuffle-based grouped-vote variant lives in
+    ``stages/registry_stage.py`` for registry tables re-read from a
+    checkpoint.
+    """
+    entries = scan_entities(result)
+    out = []
+    for e in entries:
+        e = resolve_entry(e, result.text)
+        e = verify_entry(e, result.text, axes)
+        out.append(e)
+    return out
+
+
+def process_document(payload: bytes, axes: Sequence[int] = (1, 3, 5)):
+    """(ExtractResult, registry rows) for one raw payload — the complete
+    deterministic analogue of the reference's scan+resolve+verify
+    lifecycle on a single document."""
+    from vlm_ocr_doc_reader_ray.extract.document import extract_document
+
+    result = extract_document(payload)
+    entries = build_registry(result, axes) if result.parse_status == "ok" else []
+    return result, entries

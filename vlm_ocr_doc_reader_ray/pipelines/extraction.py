@@ -1,0 +1,177 @@
+"""Flagship pipeline: corpus Parquet → extraction → outputs.
+
+Ray lifecycle equivalent of the reference's scan/resolve/verify CLI
+commands (``cli.py:166-239``) as ONE streaming job:
+
+    read_parquet(corpus)                      # column-pruned read
+      → map_batches(DocumentExtractor, ...)   # scan+resolve+verify, actor pool
+      → [explode stages / sinks]
+
+Nothing materializes the corpus: the synthesis, extraction and sink
+stages stream block-by-block with backpressure. At 100 TB the only
+change is the input path (and per-stage ``concurrency`` sized to the
+cluster) — there is no driver-side loop anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import ray.data as rd
+
+from vlm_ocr_doc_reader_ray.config import DEFAULT_CONFIG, EngineConfig
+from vlm_ocr_doc_reader_ray.corpus.generator import CorpusSpec, synth_batch
+from vlm_ocr_doc_reader_ray.stages.extract_stage import (
+    DocumentExtractor,
+    explode_headers,
+    explode_registry,
+)
+
+CORPUS_CACHE_ROOT = "/tmp/vlm_ocr_ray_corpus"
+
+
+def _synth_arrow(batch: pa.Table, spec: CorpusSpec) -> pa.Table:
+    out = synth_batch(
+        {
+            "doc_id": batch.column("doc_id").to_pylist(),
+            "text": batch.column("text").to_pylist(),
+            "lang": batch.column("lang").to_pylist(),
+            "source": batch.column("source").to_pylist(),
+        },
+        spec,
+    )
+    return pa.table(
+        {
+            "url": pa.array(out["url"], type=pa.string()),
+            "warc_ts": pa.array(out["warc_ts"], type=pa.timestamp("us")),
+            "html": pa.array(out["html"], type=pa.large_binary()),
+            "text": pa.array(out["text"], type=pa.large_string()),
+            "lang": pa.array(out["lang"], type=pa.string()),
+        }
+    )
+
+
+def synth_corpus(sf_dir: str, reps: int = 1, override_num_blocks: Optional[int] = None) -> rd.Dataset:
+    """documents.parquet → streaming corpus Dataset (url, warc_ts, html, text, lang)."""
+    spec = CorpusSpec(reps=reps)
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=override_num_blocks,
+    )
+    return docs.map_batches(
+        lambda b: _synth_arrow(b, spec), batch_format="pyarrow", batch_size=512
+    )
+
+
+def corpus_parquet(sf_dir: str, reps: int = 1, cache_root: str = CORPUS_CACHE_ROOT) -> str:
+    """Materialize (once) the corpus to Parquet; returns the directory.
+
+    Written atomically (temp dir + rename) so concurrent/failed runs
+    can't observe a half-written corpus — the same contract as the
+    pipeline's checkpointed sinks.
+    """
+    tag = f"{Path(sf_dir).name}_r{reps}"
+    out_dir = os.path.join(cache_root, tag)
+    if os.path.isdir(out_dir):
+        return out_dir
+    tmp_dir = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    synth_corpus(sf_dir, reps).write_parquet(tmp_dir)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        # another process won the race; theirs is equivalent (deterministic)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
+
+
+def read_corpus(sf_dir: str, reps: int = 1, materialized: bool = False) -> rd.Dataset:
+    if materialized:
+        path = corpus_parquet(sf_dir, reps)
+        return rd.read_parquet(path)
+    return synth_corpus(sf_dir, reps)
+
+
+def extract(
+    corpus: rd.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    axes: Sequence[int] = (1, 3, 5),
+    emit_spans: bool = True,
+    emit_registry: bool = True,
+    concurrency: Optional[int] = None,
+) -> rd.Dataset:
+    """corpus → extracted Dataset (see stages/extract_stage.py schema).
+
+    ``concurrency=None`` → stateless tasks (fully elastic; right for
+    this CPU-light per-row kernel). Pass an int to pin an actor pool,
+    e.g. when a future extractor loads heavy models.
+    """
+    fn_kwargs = dict(cfg=cfg, axes=tuple(axes), emit_spans=emit_spans, emit_registry=emit_registry)
+    if concurrency is None:
+        extractor = DocumentExtractor(**fn_kwargs)
+        return corpus.map_batches(
+            extractor,
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+        )
+    return corpus.map_batches(
+        DocumentExtractor,
+        fn_constructor_kwargs=fn_kwargs,
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=concurrency,
+        num_cpus=cfg.extract_num_cpus,
+    )
+
+
+def registry_table(extracted: rd.Dataset) -> rd.Dataset:
+    """Exploded registry: one row per entity (SURVEY table `registry`)."""
+    return extracted.select_columns(["url", "registry"]).map_batches(
+        explode_registry, batch_format="pyarrow"
+    )
+
+
+def headers_table(extracted: rd.Dataset) -> rd.Dataset:
+    return extracted.select_columns(["url", "headers"]).map_batches(
+        explode_headers, batch_format="pyarrow"
+    )
+
+
+def page_states_table(extracted: rd.Dataset) -> rd.Dataset:
+    """Per-page resolution status (reference ``page_states`` dict,
+    ``core/state.py:142``): every page of a parsed doc reaches
+    'verified'; failed parses surface as page 1 / 'none'."""
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        urls, pages, statuses = [], [], []
+        for url, pc_, st in zip(
+            batch.column("url").to_pylist(),
+            batch.column("page_count").to_pylist(),
+            batch.column("parse_status").to_pylist(),
+        ):
+            if st != "ok":
+                urls.append(url)
+                pages.append(1)
+                statuses.append("none")
+                continue
+            for p in range(1, pc_ + 1):
+                urls.append(url)
+                pages.append(p)
+                statuses.append("verified")
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "page_num": pa.array(pages, type=pa.int64()),
+                "status": pa.array(statuses, type=pa.string()),
+            }
+        )
+
+    return extracted.select_columns(["url", "page_count", "parse_status"]).map_batches(
+        _expand, batch_format="pyarrow"
+    )
