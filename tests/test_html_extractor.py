@@ -86,3 +86,40 @@ def test_segmentation_order_is_document_order():
     blocks = segment_html(f"<p>first {LONG}</p><p>second {LONG}</p>")
     assert [b.index for b in blocks] == [0, 1]
     assert blocks[0].text.startswith("first")
+
+
+def test_fast_frontend_matches_stdlib_on_corpus(small_documents):
+    """Differential: regex tokenizer == stdlib HTMLParser, block for block."""
+    from vlm_ocr_doc_reader_ray.corpus.generator import build_html, is_corrupt_doc, is_pdf_doc
+
+    checked = 0
+    for doc_id, text, lang, source in small_documents:
+        if is_corrupt_doc(doc_id) or is_pdf_doc(doc_id):
+            continue
+        html = build_html(doc_id, text, lang, source).decode()
+        a = segment_html(html, "fast")
+        b = segment_html(html, "stdlib")
+        assert [
+            (x.text, x.tag, x.anchor_chars, x.chrome, x.heading_level) for x in a
+        ] == [(x.text, x.tag, x.anchor_chars, x.chrome, x.heading_level) for x in b]
+        checked += 1
+    assert checked > 300
+
+
+def test_fast_frontend_matches_stdlib_on_nasty_html():
+    cases = [
+        "<p>a < b and c > d " + LONG + "</p>",
+        "<script>var s = '<p>not a tag</p>';</script><p>" + LONG + "</p>",
+        "<!-- <p>commented out</p> --><p>" + LONG + "</p>",
+        "<P>UPPER CASE TAGS " + LONG + "</P>",
+        "<p>" + LONG + "<br/>after break</p>",
+        "<p>&lt;escaped&gt; &amp; fine " + LONG + "</p>",
+        "<div data-x='q>u'>attr with gt " + LONG + "</div>",
+        "<p>" + LONG,  # unclosed at EOF
+    ]
+    for html in cases:
+        a = segment_html(html, "fast")
+        b = segment_html(html, "stdlib")
+        assert [(x.text, x.tag, x.anchor_chars) for x in a] == [
+            (x.text, x.tag, x.anchor_chars) for x in b
+        ], html[:60]

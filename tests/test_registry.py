@@ -1,0 +1,90 @@
+"""Registry semantics: recognizers, resolve/verify chain, fast-path parity."""
+
+from vlm_ocr_doc_reader_ray.corpus.generator import (
+    CORRUPT_PAYLOAD,
+    build_html,
+    build_spdf,
+    is_corrupt_doc,
+    is_pdf_doc,
+)
+from vlm_ocr_doc_reader_ray.extract import extract_document
+from vlm_ocr_doc_reader_ray.extract.blocks import ExtractResult
+from vlm_ocr_doc_reader_ray.extract.registry import (
+    RegistryEntry,
+    build_registry,
+    resolve_entry,
+    scan_entities,
+    verify_entry,
+)
+
+
+def _result(text: str) -> ExtractResult:
+    r = ExtractResult()
+    r.text = text
+    r.spans = [(0, len(text), "p", 0)]
+    r._page_of_span[(0, len(text))] = 1
+    return r
+
+
+def test_recognizer_kinds_and_trailing_punct():
+    r = _result(
+        "Write to a.b@c.example.org today. See https://x.example.net/a/b. "
+        "Call +1-555-0100. Due 2023-12-31. Code ABC-123456."
+    )
+    got = {e.kind: e.value for e in scan_entities(r)}
+    assert got == {
+        "email": "a.b@c.example.org",
+        "url": "https://x.example.net/a/b",
+        "phone": "+1-555-0100",
+        "date": "2023-12-31",
+        "id": "ABC-123456",
+    }
+
+
+def test_fast_path_equals_explicit_chain(small_documents):
+    """build_registry (fused) == scan→resolve_entry→verify_entry (explicit)."""
+    for doc_id, text, lang, source in small_documents[:120]:
+        if is_corrupt_doc(doc_id):
+            payload = CORRUPT_PAYLOAD
+        elif is_pdf_doc(doc_id):
+            payload = build_spdf(doc_id, text, lang, source)
+        else:
+            payload = build_html(doc_id, text, lang, source)
+        res = extract_document(payload)
+        if res.parse_status != "ok":
+            continue
+        fast = build_registry(res)
+        slow = [
+            verify_entry(resolve_entry(e, res.text), res.text)
+            for e in scan_entities(res)
+        ]
+        assert fast == slow, doc_id
+
+
+def test_out_of_range_span_is_error():
+    r = _result("short text")
+    bad = RegistryEntry(
+        entity_id="scan_1_deadbeef", page_num=1, kind="email",
+        prompt="p", resolution=0, value="x", context=None,
+        verified=False, confidence=None, span_start=9999, span_end=10005,
+    )
+    resolved = resolve_entry(bad, r.text)
+    assert resolved.status == "error"
+    assert resolved.value == "x"  # original kept on failure
+    verified = verify_entry(resolved, r.text)
+    assert verified.resolution == 1  # all-error vote keeps previous state
+    assert verified.verified is False
+
+
+def test_no_data_when_window_misses():
+    text = "nothing interesting here at all in this sentence"
+    entry = RegistryEntry(
+        entity_id="scan_1_aaaaaaaa", page_num=1, kind="email",
+        prompt="p", resolution=0, value=None, context=None,
+        verified=False, confidence=None, span_start=5, span_end=10,
+    )
+    v = verify_entry(entry, text)
+    assert v.status == "no_data"
+    assert v.value == ""
+    assert v.confidence == "3/3"  # three unanimous no_data votes
+    assert v.verified is True

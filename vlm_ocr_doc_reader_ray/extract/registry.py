@@ -41,6 +41,7 @@ RECOGNIZERS: List[tuple[str, re.Pattern]] = [
     ("date", re.compile(r"\b\d{4}-\d{2}-\d{2}\b")),
     ("id", re.compile(r"\b[A-Z]{2,6}-\d{4,12}\b")),
 ]
+_RECOGNIZER_MAP = dict(RECOGNIZERS)
 _TRAILING_PUNCT = ".,;:!?)"
 _CONTEXT_RADIUS = 30
 
@@ -115,7 +116,7 @@ def _window_extract(entry: RegistryEntry, text: str, radius: int) -> Sample:
     """
     if entry.span_start < 0 or entry.span_start >= len(text):
         return Sample(None, None, "error")
-    rx = dict(RECOGNIZERS).get(entry.kind)
+    rx = _RECOGNIZER_MAP.get(entry.kind)
     if rx is None:
         return Sample(None, None, "error")
     lo = max(0, entry.span_start - radius)
@@ -172,12 +173,35 @@ def build_registry(
     ``stages/registry_stage.py`` for registry tables re-read from a
     checkpoint.
     """
-    entries = scan_entities(result)
+    text = result.text
     out = []
-    for e in entries:
-        e = resolve_entry(e, result.text)
-        e = verify_entry(e, result.text, axes)
-        out.append(e)
+    for e in scan_entities(result):
+        # Fused resolve+verify: _window_extract's 'error' status depends
+        # only on span validity / kind (not radius), so the axis samples
+        # subsume the resolve pass; tests/test_registry.py pins this
+        # fast path equal to the explicit resolve_entry→verify_entry
+        # chain on the whole corpus.
+        samples = [_window_extract(e, text, 40 * axis) for axis in axes]
+        vote = majority_vote(samples)
+        if vote.confidence.startswith("0/"):
+            out.append(replace(e, resolution=1, status="error"))
+            continue
+        out.append(
+            RegistryEntry(
+                entity_id=e.entity_id,
+                page_num=e.page_num,
+                kind=e.kind,
+                prompt=e.prompt,
+                resolution=2,
+                value=vote.value,
+                context=vote.context,
+                verified=vote.verified,
+                confidence=vote.confidence,
+                span_start=e.span_start,
+                span_end=e.span_end,
+                status="ok" if vote.value else "no_data",
+            )
+        )
     return out
 
 

