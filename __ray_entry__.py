@@ -32,7 +32,13 @@ def _register_by_value() -> None:
     """
     import vlm_ocr_doc_reader_ray  # noqa: F401
     import vlm_ocr_doc_reader_ray.pipelines.extraction  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.aggregates  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.dedup  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.host_stats  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.multimodal  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.relational  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.similarity  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.text_analysis  # noqa: F401
 
     try:
         from ray import cloudpickle
@@ -99,13 +105,243 @@ def _q_host_stats(sf_dir: str):
     return host_stats(_extracted(sf_dir))
 
 
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_text_analysis(sf_dir: str):
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import analyze
+
+    return analyze(_docs(sf_dir)).select_columns(
+        [
+            "doc_id", "lang_pred", "n_words", "n_chars_measured",
+            "stopword_ratio", "n_punct", "ws_tokens", "bpe_tokens", "fingerprint",
+        ]
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    from vlm_ocr_doc_reader_ray.stages.dedup import dedup_exact
+
+    return dedup_exact(_docs(sf_dir))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    """Near-dup pairs over the corpus at reps=2 (each doc + its word
+    rotation → high-Jaccard planted pairs). Rows-only check (LSH is
+    probabilistic recall; no SQL mirror)."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.dedup import minhash_near_dups
+
+    corpus = read_corpus(sf_dir, reps=2).select_columns(["url", "text"])
+    import pyarrow as pa
+
+    def add_int_id(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = [
+            int.from_bytes(hashlib.blake2b(u.encode(), digest_size=7).digest(), "big")
+            for u in batch.column("url").to_pylist()
+        ]
+        return batch.append_column("doc_key", pa.array(ids, type=pa.int64()))
+
+    tagged = corpus.map_batches(add_int_id, batch_format="pyarrow")
+    return minhash_near_dups(tagged, id_col="doc_key", threshold=0.8)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from vlm_ocr_doc_reader_ray.stages.dedup import simhash_candidates
+
+    return simhash_candidates(_docs(sf_dir), id_col="doc_id", max_hamming=3)
+
+
+def _q_similarity_topk(sf_dir: str):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import ann_brute_force, load_queries
+
+    mat, ids = load_queries(sf_dir, n_queries=10)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ann_brute_force(emb, mat, ids, k=5)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+def _q_similarity_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import ann_lsh_bucketed, load_queries
+
+    mat, ids = load_queries(sf_dir, n_queries=10)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_lsh_bucketed(emb, mat, ids, k=5)
+
+
+def _q_media_decode(sf_dir: str):
+    from vlm_ocr_doc_reader_ray.stages.multimodal import attach_media, decode_media
+
+    return decode_media(attach_media(_docs(sf_dir)))
+
+
+def _q_pricing_summary(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+    from vlm_ocr_doc_reader_ray.stages.relational import cents
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch.column("l_shipdate"), pa.scalar(__import__("datetime").datetime(1998, 9, 1)))
+        )
+        revenue = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(1.0, batch.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty_cents": cents(batch.column("l_quantity")),
+                "sum_price_cents": cents(batch.column("l_extendedprice")),
+                "revenue_cents": cents(revenue),
+            }
+        )
+
+    prepped = li.map_batches(prep, batch_format="pyarrow")
+    return grouped_sums(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty_cents", "sum_price_cents", "revenue_cents"],
+        count_alias="n_items",
+    )
+
+
+def _q_mktsegment_revenue(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+    from vlm_ocr_doc_reader_ray.stages.relational import broadcast_join, cents
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mktsegment": batch.column("c_mktsegment"),
+                "revenue_cents": cents(batch.column("o_totalprice")),
+            }
+        )
+
+    prepped = joined.map_batches(prep, batch_format="pyarrow")
+    return grouped_sums(prepped, "mktsegment", ["revenue_cents"], count_alias="n_orders")
+
+
+def _q_join_order_priority(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+    from vlm_ocr_doc_reader_ray.stages.relational import cents, partitioned_hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = partitioned_hash_join(li, orders, "l_orderkey", "o_orderkey", num_buckets=16)
+
+    import pandas as pd
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        revenue = batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy())
+        return pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "revenue_cents": np.floor(revenue * 100.0 + 0.5).astype("int64"),
+            }
+        )
+
+    prepped = joined.map_batches(prep, batch_format="pandas")
+    return grouped_sums(prepped, "o_orderpriority", ["revenue_cents"], count_alias="n_items")
+
+
+def _q_top_orders(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import cents, top_k
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "totalprice_cents": cents(batch.column("o_totalprice")),
+            }
+        )
+
+    return top_k(orders.map_batches(prep, batch_format="pyarrow"), "totalprice_cents", 10, "o_orderkey")
+
+
+def _q_events_window(sf_dir: str):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import tumbling_window_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return tumbling_window_agg(events, "user_id", "ts", "value", window_s=3600)
+
+
+def _q_event_type_counts(sf_dir: str):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import value_counts
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return value_counts(events, "event_type")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # extraction family (synthetic web corpus derived from documents)
         "extract_text": _q_extract_text,
         "extract_headers": _q_extract_headers,
         "registry_entities": _q_registry,
         "page_states": _q_page_states,
         "host_doc_stats": _q_host_stats,
+        # training-data ops
+        "text_analysis": _q_text_analysis,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_pairs": _q_dedup_minhash,
+        "dedup_simhash_pairs": _q_dedup_simhash,
+        "similarity_topk": _q_similarity_topk,
+        "similarity_lsh": _q_similarity_lsh,
+        "media_decode": _q_media_decode,
+        # relational layer
+        "pricing_summary": _q_pricing_summary,
+        "mktsegment_revenue": _q_mktsegment_revenue,
+        "join_order_priority": _q_join_order_priority,
+        "top_orders": _q_top_orders,
+        "events_window": _q_events_window,
+        "event_type_counts": _q_event_type_counts,
     }
 
 
@@ -118,4 +354,17 @@ def oracle_sql() -> dict[str, str]:
         "registry_entities": sm.REGISTRY_SQL,
         "page_states": sm.PAGE_STATES_SQL,
         "host_doc_stats": sm.HOST_STATS_SQL,
+        "text_analysis": sm.TEXT_ANALYSIS_SQL,
+        "dedup_exact": sm.DEDUP_EXACT_SQL,
+        # dedup_minhash_pairs / dedup_simhash_pairs / similarity_lsh:
+        # probabilistic-recall ops, deliberately no SQL oracle (driver
+        # records a rows-only check; determinism pinned in pytest)
+        "similarity_topk": sm.SIMILARITY_TOPK_SQL,
+        "media_decode": sm.MEDIA_DECODE_SQL,
+        "pricing_summary": sm.PRICING_SUMMARY_SQL,
+        "mktsegment_revenue": sm.MKTSEGMENT_REVENUE_SQL,
+        "join_order_priority": sm.JOIN_PRIORITY_SQL,
+        "top_orders": sm.TOP_ORDERS_SQL,
+        "events_window": sm.EVENTS_WINDOW_SQL,
+        "event_type_counts": sm.EVENT_TYPE_COUNTS_SQL,
     }

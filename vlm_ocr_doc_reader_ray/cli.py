@@ -1,0 +1,150 @@
+"""CLI driver: the reference's command surface, corpus-scale.
+
+Reference commands (``cli.py:166-239``) operate on one PDF:
+``scan`` / ``resolve`` / ``verify`` / ``full``. Here the unit of work
+is a Parquet corpus; the commands and arg grammars carry over:
+
+    python -m vlm_ocr_doc_reader_ray.cli extract  <corpus_dir_or_file> -o OUT
+    python -m vlm_ocr_doc_reader_ray.cli registry <corpus_dir_or_file> -o OUT --axes 1,3,5
+    python -m vlm_ocr_doc_reader_ray.cli run      <corpus files...>    -o OUT   # checkpointed
+
+Arg grammars reproduced from the reference:
+- ``--pages "1,2,5-7"`` → sorted unique ints (``cli.py:47-86``,
+  including the 1-2-3 error case), used to filter ``page_states``/
+  registry rows by page;
+- ``--axes "1,3,5"`` → positive ints (``cli.py:89-108``).
+
+This module owns a Ray session (scripts do; library code does not).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List
+
+
+def parse_pages_arg(raw: str | None) -> List[int] | None:
+    """'1,2,5-7' → [1,2,5,6,7]; None/'' → None (all pages).
+
+    Errors: empty items, non-ints, ranges with more than one dash,
+    reversed ranges, values < 1 — matching the reference grammar."""
+    if raw is None or raw.strip() == "":
+        return None
+    pages: set[int] = set()
+    for item in raw.split(","):
+        item = item.strip()
+        if not item:
+            raise ValueError("empty page item")
+        if "-" in item:
+            parts = item.split("-")
+            if len(parts) != 2:
+                raise ValueError(f"bad page range: {item!r}")
+            lo, hi = (int(p) for p in parts)
+            if lo < 1 or hi < lo:
+                raise ValueError(f"bad page range: {item!r}")
+            pages.update(range(lo, hi + 1))
+        else:
+            v = int(item)
+            if v < 1:
+                raise ValueError(f"bad page: {item!r}")
+            pages.add(v)
+    return sorted(pages)
+
+
+def parse_axes_arg(raw: str | None) -> List[int]:
+    """'1,3,5' → [1,3,5]; positive ints required."""
+    if raw is None or raw.strip() == "":
+        return [1, 3, 5]
+    axes = []
+    for item in raw.split(","):
+        v = int(item.strip())
+        if v < 1:
+            raise ValueError(f"axis must be positive: {item!r}")
+        axes.append(v)
+    if not axes:
+        raise ValueError("no axes given")
+    return axes
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    return ray
+
+
+def main(argv: List[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="vlm-ocr-doc-reader-ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_ex = sub.add_parser("extract", help="corpus → extracted parquet")
+    p_ex.add_argument("corpus")
+    p_ex.add_argument("-o", "--output", required=True)
+
+    p_reg = sub.add_parser("registry", help="corpus → exploded entity registry parquet")
+    p_reg.add_argument("corpus")
+    p_reg.add_argument("-o", "--output", required=True)
+    p_reg.add_argument("--axes", default="1,3,5")
+    p_reg.add_argument("--pages", default=None)
+
+    p_run = sub.add_parser("run", help="checkpointed corpus run with resume")
+    p_run.add_argument("inputs", nargs="+")
+    p_run.add_argument("-o", "--output", required=True)
+    p_run.add_argument("--no-resume", action="store_true")
+
+    args = ap.parse_args(argv)
+    ray = _init_ray(args.num_cpus)
+    try:
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.pipelines.extraction import extract, registry_table
+
+        if args.cmd == "extract":
+            ds = extract(rd.read_parquet(args.corpus), emit_spans=True, emit_registry=True)
+            ds.write_parquet(args.output)
+            print(f"wrote extracted rows to {args.output}")
+        elif args.cmd == "registry":
+            axes = parse_axes_arg(args.axes)
+            pages = parse_pages_arg(args.pages)
+            reg = registry_table(
+                extract(rd.read_parquet(args.corpus), axes=axes, emit_spans=False)
+            )
+            if pages is not None:
+                import pyarrow.compute as pc
+
+                reg = reg.map_batches(
+                    lambda t: t.filter(pc.is_in(t.column("page_num"), pa_page_set(pages))),
+                    batch_format="pyarrow",
+                )
+            reg.write_parquet(args.output)
+            print(f"wrote registry rows to {args.output}")
+        elif args.cmd == "run":
+            from vlm_ocr_doc_reader_ray.pipelines.checkpoint import run_checkpointed
+
+            r = run_checkpointed(args.inputs, args.output, resume=not args.no_resume)
+            print(
+                f"ran partitions {r['ran']}, skipped {r['skipped']}, "
+                f"rows {r['rows_written']}"
+            )
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def pa_page_set(pages: List[int]):
+    import pyarrow as pa
+
+    return pa.array(pages, type=pa.int64())
+
+
+if __name__ == "__main__":
+    sys.exit(main())

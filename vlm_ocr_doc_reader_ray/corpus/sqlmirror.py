@@ -111,6 +111,152 @@ SELECT url,
 FROM golden
 """
 
+# --------------------------------------------------------------------------
+# training-data ops over the raw `documents` / `embeddings` / TPC-H tables
+# --------------------------------------------------------------------------
+
+# must stay in lockstep with stages/text_analysis.py (markers, stopwords,
+# regexes, fingerprint definition)
+_MARK = {
+    "de": "['der','die','und','nicht','das']",
+    "en": "['the','and','of','a','to']",
+    "es": "['el','los','y','que','de']",
+    "fr": "['le','la','et','les','des']",
+    "zh": "['de5','shi4','le5','zai4','he2']",
+}
+_STOP_SQL = (
+    "['the','a','an','and','or','of','to','in','on','for','with','at','by',"
+    "'from','is','are','was','were','be','been']"
+)
+
+TEXT_ANALYSIS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), scored AS (
+  SELECT *,
+    len(list_filter(words, w -> list_contains({_MARK['de']}, w))) AS s_de,
+    len(list_filter(words, w -> list_contains({_MARK['en']}, w))) AS s_en,
+    len(list_filter(words, w -> list_contains({_MARK['es']}, w))) AS s_es,
+    len(list_filter(words, w -> list_contains({_MARK['fr']}, w))) AS s_fr,
+    len(list_filter(words, w -> list_contains({_MARK['zh']}, w))) AS s_zh,
+    greatest(
+      len(list_filter(words, w -> list_contains({_MARK['de']}, w))),
+      len(list_filter(words, w -> list_contains({_MARK['en']}, w))),
+      len(list_filter(words, w -> list_contains({_MARK['es']}, w))),
+      len(list_filter(words, w -> list_contains({_MARK['fr']}, w))),
+      len(list_filter(words, w -> list_contains({_MARK['zh']}, w)))
+    ) AS s_max
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN s_max = 0 THEN 'und'
+       WHEN s_de = s_max THEN 'de'
+       WHEN s_en = s_max THEN 'en'
+       WHEN s_es = s_max THEN 'es'
+       WHEN s_fr = s_max THEN 'fr'
+       ELSE 'zh' END AS lang_pred,
+  nw AS n_words,
+  len(text) AS n_chars_measured,
+  CAST(len(list_filter(words, w -> list_contains({_STOP_SQL}, w))) AS DOUBLE) / nw
+      AS stopword_ratio,
+  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+  nw AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+      AS bpe_tokens,
+  list_min(list_transform(
+    CASE WHEN nw < 3 THEN [text]
+         ELSE list_transform(range(0, nw - 2),
+                             i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))
+    END,
+    g -> substr(sha256(g), 1, 16))) AS fingerprint
+FROM scored
+"""
+
+DEDUP_EXACT_SQL = r"""
+SELECT doc_id, text, lang, source, n_chars, sha256(text) AS text_hash
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+SIMILARITY_TOPK_SQL = r"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY list_cosine_similarity(qe, ee) DESC, vec_id
+       ) AS BIGINT) AS rank,
+       vec_id
+FROM q, e
+QUALIFY rank <= 5
+"""
+
+MEDIA_DECODE_SQL = r"""
+SELECT doc_id,
+       640 + (doc_id % 5) * 160 AS width,
+       360 + (doc_id % 7) * 120 AS height,
+       len(text) AS payload_bytes,
+       'ok' AS decode_status
+FROM documents
+"""
+
+PRICING_SUMMARY_SQL = r"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+MKTSEGMENT_REVENUE_SQL = r"""
+SELECT c_mktsegment AS mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+JOIN_PRIORITY_SQL = r"""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+TOP_ORDERS_SQL = r"""
+SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents
+FROM orders
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+EVENTS_WINDOW_SQL = r"""
+SELECT user_id,
+       make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000)
+           AS window_start,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+EVENT_TYPE_COUNTS_SQL = r"""
+SELECT event_type, count(*) AS n FROM events GROUP BY 1
+"""
+
 HOST_STATS_SQL = GOLDEN_CTE + r"""
 SELECT source || '.example.com' AS host,
        count(*) AS n_docs,

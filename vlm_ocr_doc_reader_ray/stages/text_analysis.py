@@ -1,0 +1,111 @@
+"""Text analysis: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All formulas are deliberately SQL-expressible (single IEEE divisions,
+regexp counts, sha256-based min-fingerprints) so the driver's DuckDB
+oracle can verify them bit-for-bit — see
+``corpus/sqlmirror.py::TEXT_ANALYSIS_SQL`` fragments.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import ray.data as rd
+
+# language marker words, matched against whitespace tokens. Order of
+# _LANGS is the deterministic tie-break (first max wins).
+_LANGS = ["de", "en", "es", "fr", "zh"]
+_MARKERS = {
+    "de": ("der", "die", "und", "nicht", "das"),
+    "en": ("the", "and", "of", "a", "to"),
+    "es": ("el", "los", "y", "que", "de"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # romanized placeholders
+}
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in on for with at by from is are was were be been".split()
+)
+_PUNCT_RX = re.compile(r"[^\w\s]")
+_BPE_RX = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+class TextAnalyzer:
+    """Actor-pool kernel: one pass per batch computing all features.
+
+    Stateful setup (compiled regexes, marker tables) happens once per
+    actor; ``__call__`` is a vectorized-at-batch-level pure function.
+    """
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.punct_rx = _PUNCT_RX
+        self.bpe_rx = _BPE_RX
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        langs, nw, nc, stopr, punct, ws_tokens, bpe_tokens, fps = (
+            [], [], [], [], [], [], [], []
+        )
+        for t in texts:
+            words = t.split()
+            n = len(words)
+            nw.append(n)
+            nc.append(len(t))
+            # language id: marker hit counts, tie -> first lang in _LANGS
+            best_lang, best_score = "und", 0
+            for lang in _LANGS:
+                score = sum(1 for w in words if w in _MARKERS[lang])
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            langs.append(best_lang)
+            stopr.append(
+                (sum(1 for w in words if w in _STOPWORDS) / n) if n else 0.0
+            )
+            punct.append(len(self.punct_rx.findall(t)))
+            ws_tokens.append(n)
+            bpe_tokens.append(len(self.bpe_rx.findall(t)))
+            fps.append(fingerprint(t))
+
+        return pa.table(
+            {
+                **{name: batch.column(name) for name in batch.column_names},
+                "lang_pred": pa.array(langs, type=pa.string()),
+                "n_words": pa.array(nw, type=pa.int64()),
+                "n_chars_measured": pa.array(nc, type=pa.int64()),
+                "stopword_ratio": pa.array(stopr, type=pa.float64()),
+                "n_punct": pa.array(punct, type=pa.int64()),
+                "ws_tokens": pa.array(ws_tokens, type=pa.int64()),
+                "bpe_tokens": pa.array(bpe_tokens, type=pa.int64()),
+                "fingerprint": pa.array(fps, type=pa.string()),
+            }
+        )
+
+
+def fingerprint(text: str, n: int = 3) -> str:
+    """Winnowing-style doc fingerprint: min over word-``n``-gram sha256
+    prefixes (16 hex chars). Stable across processes and mirrored by
+    ``min(substr(sha256(...),1,16))`` in SQL."""
+    words = text.split()
+    if not words:
+        return ""
+    if len(words) < n:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i: i + n]) for i in range(len(words) - n + 1)]
+    return min(hashlib.sha256(g.encode("utf-8")).hexdigest()[:16] for g in grams)
+
+
+def analyze(ds: rd.Dataset, text_col: str = "text", concurrency: int | None = None) -> rd.Dataset:
+    kwargs = dict(batch_format="pyarrow", batch_size=1024)
+    if concurrency is None:
+        return ds.map_batches(TextAnalyzer(text_col), **kwargs)
+    return ds.map_batches(
+        TextAnalyzer,
+        fn_constructor_kwargs=dict(text_col=text_col),
+        concurrency=concurrency,
+        **kwargs,
+    )
