@@ -105,6 +105,61 @@ def _q_host_stats(sf_dir: str):
     return host_stats(_extracted(sf_dir))
 
 
+def _q_span_stats(sf_dir: str):
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import extract, read_corpus, span_stats_table
+
+    return span_stats_table(
+        extract(read_corpus(sf_dir), emit_spans=True, emit_registry=False)
+    )
+
+
+def _q_verify_grouped(sf_dir: str):
+    """Checkpoint-path verify: registry re-joined to documents and
+    voted per entity via a real groupby shuffle (SURVEY G3/J1)."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import registry_table
+    from vlm_ocr_doc_reader_ray.stages.registry_stage import verify_grouped
+
+    ex = _extracted(sf_dir, emit_registry=True)
+    reg = registry_table(ex)
+    return verify_grouped(reg, ex).select_columns(
+        ["url", "kind", "value", "confidence", "verified", "resolution"]
+    )
+
+
+def _q_registry_upsert(sf_dir: str):
+    """D1 upsert: union a stale level-0 copy with the verified rows;
+    last-write-wins by resolution must keep only the verified ones."""
+    import pyarrow as pa
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import registry_table
+    from vlm_ocr_doc_reader_ray.stages.registry_stage import upsert_registry
+
+    reg = registry_table(_extracted(sf_dir, emit_registry=True))
+
+    def stale_copy(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return batch.set_column(
+            batch.column_names.index("resolution"),
+            "resolution",
+            pa.array([0] * n, type=pa.int64()),
+        ).set_column(
+            batch.column_names.index("value"),
+            "value",
+            pa.array(["(unresolved)"] * n, type=pa.string()),
+        )
+
+    stale = reg.map_batches(stale_copy, batch_format="pyarrow")
+    merged = upsert_registry(reg.union(stale))
+    return merged.select_columns(["url", "kind", "value", "resolution"])
+
+
+def _q_phone_digits(sf_dir: str):
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import registry_table
+    from vlm_ocr_doc_reader_ray.stages.registry_stage import phone_digits
+
+    return phone_digits(registry_table(_extracted(sf_dir, emit_registry=True)))
+
+
 def _docs(sf_dir: str):
     import ray.data as rd
 
@@ -327,6 +382,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registry_entities": _q_registry,
         "page_states": _q_page_states,
         "host_doc_stats": _q_host_stats,
+        "span_stats": _q_span_stats,
+        "verify_grouped": _q_verify_grouped,
+        "registry_upsert": _q_registry_upsert,
+        "phone_digits": _q_phone_digits,
         # training-data ops
         "text_analysis": _q_text_analysis,
         "dedup_exact": _q_dedup_exact,
@@ -354,6 +413,10 @@ def oracle_sql() -> dict[str, str]:
         "registry_entities": sm.REGISTRY_SQL,
         "page_states": sm.PAGE_STATES_SQL,
         "host_doc_stats": sm.HOST_STATS_SQL,
+        "span_stats": sm.SPAN_STATS_SQL,
+        "verify_grouped": sm.VERIFY_GROUPED_SQL,
+        "registry_upsert": sm.UPSERT_SQL,
+        "phone_digits": sm.PHONE_DIGITS_SQL,
         "text_analysis": sm.TEXT_ANALYSIS_SQL,
         "dedup_exact": sm.DEDUP_EXACT_SQL,
         # dedup_minhash_pairs / dedup_simhash_pairs / similarity_lsh:

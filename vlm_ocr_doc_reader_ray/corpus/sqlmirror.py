@@ -111,6 +111,39 @@ SELECT url,
 FROM golden
 """
 
+SPAN_STATS_SQL = GOLDEN_CTE + r"""
+SELECT url,
+       n_blocks_kept AS n_spans,
+       CASE WHEN is_corrupt THEN 0
+            ELSE len(extracted_text) - 2 * (n_blocks_kept - 1) END AS span_chars,
+       CASE WHEN is_corrupt THEN 0 ELSE len(extracted_text) END AS last_span_end
+FROM golden
+"""
+
+_VG_TAIL = r"""
+SELECT url, '{kind}' AS kind, ent_{kind} AS value,
+       '3/3' AS confidence, TRUE AS verified, CAST(2 AS BIGINT) AS resolution
+FROM golden WHERE NOT is_corrupt
+"""
+
+VERIFY_GROUPED_SQL = GOLDEN_CTE + " UNION ALL ".join(
+    _VG_TAIL.format(kind=k) for k in ("email", "phone", "date", "id", "url")
+)
+
+UPSERT_SQL = GOLDEN_CTE + " UNION ALL ".join(
+    r"""
+SELECT url, '{kind}' AS kind, ent_{kind} AS value, CAST(2 AS BIGINT) AS resolution
+FROM golden WHERE NOT is_corrupt
+""".format(kind=k)
+    for k in ("email", "phone", "date", "id", "url")
+)
+
+PHONE_DIGITS_SQL = GOLDEN_CTE + r"""
+SELECT url, ent_phone AS value,
+       regexp_replace(ent_phone, '[^0-9]', '', 'g') AS digits
+FROM golden WHERE NOT is_corrupt
+"""
+
 # --------------------------------------------------------------------------
 # training-data ops over the raw `documents` / `embeddings` / TPC-H tables
 # --------------------------------------------------------------------------
@@ -245,8 +278,7 @@ LIMIT 10
 
 EVENTS_WINDOW_SQL = r"""
 SELECT user_id,
-       make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000)
-           AS window_start,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start_s,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
        count(*) AS n_events
 FROM events

@@ -143,6 +143,34 @@ def headers_table(extracted: rd.Dataset) -> rd.Dataset:
     )
 
 
+def span_stats_table(extracted: rd.Dataset) -> rd.Dataset:
+    """Per-url span bookkeeping invariants (n/spans coverage/end).
+
+    Numerically verifies the prefix-sum offset computation: kept spans
+    must tile the text exactly, separated by the 2-char block joiner.
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        ns, chars, ends = [], [], []
+        for spans in batch.column("spans").to_pylist():
+            ns.append(len(spans))
+            chars.append(sum(s["end"] - s["start"] for s in spans))
+            ends.append(max((s["end"] for s in spans), default=0))
+        return pa.table(
+            {
+                "url": urls,
+                "n_spans": pa.array(ns, type=pa.int64()),
+                "span_chars": pa.array(chars, type=pa.int64()),
+                "last_span_end": pa.array(ends, type=pa.int64()),
+            }
+        )
+
+    return extracted.select_columns(["url", "spans"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
 def page_states_table(extracted: rd.Dataset) -> rd.Dataset:
     """Per-page resolution status (reference ``page_states`` dict,
     ``core/state.py:142``): every page of a parsed doc reaches

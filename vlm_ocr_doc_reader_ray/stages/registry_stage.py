@@ -60,6 +60,29 @@ def pending_entities(registry: rd.Dataset, below_resolution: int = 1) -> rd.Data
     )
 
 
+def phone_digits(registry: rd.Dataset) -> rd.Dataset:
+    """M9 (``utils/normalization.py:6-72``) vectorized over registry
+    phone values: OCR-digit normalization as a batch stage."""
+    import pyarrow.compute as pc
+
+    from vlm_ocr_doc_reader_ray.extract.voting import normalize_ocr_digits
+
+    def norm(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("kind"), "phone"))
+        values = batch.column("value").to_pylist()
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "value": batch.column("value"),
+                "digits": pa.array(
+                    [normalize_ocr_digits(v) for v in values], type=pa.string()
+                ),
+            }
+        )
+
+    return registry.map_batches(norm, batch_format="pyarrow")
+
+
 def verify_grouped(
     registry: rd.Dataset,
     extracted: rd.Dataset,

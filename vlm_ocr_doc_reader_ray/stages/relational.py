@@ -163,15 +163,17 @@ def tumbling_window_agg(
             pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), float(window_s))), pa.int64()),
             window_s,
         )
+        # epoch seconds, not a timestamp: sidesteps ns/us precision and
+        # timezone drift between engines when results are compared
         return pa.table(
             {
                 key_col: batch.column(key_col),
-                "window_start": pc.cast(pc.multiply(win, 1_000_000), pa.timestamp("us")),
+                "window_start_s": win,
                 "value_cents": cents(batch.column(value_col)),
             }
         )
 
     projected = events.map_batches(project, batch_format="pyarrow")
     return grouped_sums(
-        projected, [key_col, "window_start"], ["value_cents"], count_alias="n_events"
+        projected, [key_col, "window_start_s"], ["value_cents"], count_alias="n_events"
     )
