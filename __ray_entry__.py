@@ -105,6 +105,51 @@ def _q_host_stats(sf_dir: str):
     return host_stats(_extracted(sf_dir))
 
 
+def _q_host_median(sf_dir: str):
+    from vlm_ocr_doc_reader_ray.stages.host_stats import host_text_median
+
+    return host_text_median(_extracted(sf_dir))
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    """Plant a perturbed twin per vector (deterministic ~0.999-cosine
+    pair), then recover the pairs via sign-LSH buckets. Rows-only."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import embedding_near_dups
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def with_twins(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_pylist()
+        vecs = [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        out_ids, out_vecs = [], []
+        for i, v in zip(ids, vecs):
+            out_ids.append(i)
+            out_vecs.append(v.tolist())
+            d = hashlib.blake2b(f"twin:{i}".encode(), digest_size=8).digest()
+            seedv = int.from_bytes(d, "big")
+            delta = np.array(
+                [((seedv >> (k % 56)) & 0xFF) / 255.0 - 0.5 for k in range(len(v))]
+            )
+            scale = 0.01 * (np.linalg.norm(v) / max(np.linalg.norm(delta), 1e-9))
+            out_ids.append(i + 1_000_000)
+            out_vecs.append((v + scale * delta).tolist())
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, type=pa.int64()),
+                "embedding": pa.array(out_vecs, type=pa.list_(pa.float64())),
+            }
+        )
+
+    planted = emb.map_batches(with_twins, batch_format="pyarrow")
+    return embedding_near_dups(planted, threshold=0.95)
+
+
 def _q_span_stats(sf_dir: str):
     from vlm_ocr_doc_reader_ray.pipelines.extraction import extract, read_corpus, span_stats_table
 
@@ -382,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registry_entities": _q_registry,
         "page_states": _q_page_states,
         "host_doc_stats": _q_host_stats,
+        "host_text_median": _q_host_median,
+        "embedding_near_dups": _q_embedding_near_dups,
         "span_stats": _q_span_stats,
         "verify_grouped": _q_verify_grouped,
         "registry_upsert": _q_registry_upsert,
@@ -413,6 +460,9 @@ def oracle_sql() -> dict[str, str]:
         "registry_entities": sm.REGISTRY_SQL,
         "page_states": sm.PAGE_STATES_SQL,
         "host_doc_stats": sm.HOST_STATS_SQL,
+        "host_text_median": sm.HOST_MEDIAN_SQL,
+        # embedding_near_dups: planted-twin recovery via sign-LSH, recall<1
+        # by design — rows-only
         "span_stats": sm.SPAN_STATS_SQL,
         "verify_grouped": sm.VERIFY_GROUPED_SQL,
         "registry_upsert": sm.UPSERT_SQL,

@@ -40,7 +40,7 @@ def corpus_files(ray_session, sf_small):
 
 
 def _hashes(out_root: str) -> pd.DataFrame:
-    parts = sorted(glob.glob(f"{out_root}/part-*/"))
+    parts = sorted(glob.glob(f"{out_root}/part-*/extracted"))
     dfs = [
         pd.read_parquet(p, columns=["url", "text_sha256"]) for p in parts
     ]
@@ -115,3 +115,7 @@ def test_manifest_lineage_table(ray_session, corpus_files):
     }
     assert df["row_count"].sum() == 500
     assert (df["parse_failures"] > 0).any()  # corrupt docs are counted
+    # every partition ships all three derived tables
+    for p in df["output_path"]:
+        for sub in ("extracted", "registry", "page_states"):
+            assert os.path.isdir(os.path.join(p, sub)), (p, sub)

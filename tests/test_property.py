@@ -1,0 +1,102 @@
+"""Property-based invariants (hypothesis).
+
+- fast tokenizer ≡ stdlib HTMLParser on generated HTML
+- XY-cut reading order is invariant to input permutation
+- vote winner never depends on sample multiplicity encoding
+- paragraphs_of: words are conserved, order preserved, tail rule holds
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from vlm_ocr_doc_reader_ray.corpus.generator import paragraphs_of
+from vlm_ocr_doc_reader_ray.extract.html_extractor import segment_html
+from vlm_ocr_doc_reader_ray.extract.pdf_extractor import _LayoutBlock, xy_cut
+from vlm_ocr_doc_reader_ray.extract.voting import Sample, majority_vote
+
+_word = st.text(alphabet="abcdefghij", min_size=1, max_size=8)
+_words = st.lists(_word, min_size=1, max_size=120)
+
+_tag = st.sampled_from(["p", "div", "h1", "li", "span", "em", "a", "nav", "td"])
+
+
+@st.composite
+def _html(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 12))):
+        tag = draw(_tag)
+        body = " ".join(draw(st.lists(_word, min_size=0, max_size=20)))
+        closed = draw(st.booleans())
+        parts.append(f"<{tag}>{body}" + (f"</{tag}>" if closed else ""))
+    return "".join(parts)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_html())
+def test_fast_equals_stdlib_on_generated_html(html):
+    a = segment_html(html, "fast")
+    b = segment_html(html, "stdlib")
+    assert [(x.text, x.tag, x.anchor_chars, x.chrome, x.heading_level) for x in a] == [
+        (x.text, x.tag, x.anchor_chars, x.chrome, x.heading_level) for x in b
+    ]
+
+
+@st.composite
+def _layout(draw):
+    n = draw(st.integers(1, 10))
+    blocks = []
+    for i in range(n):
+        col = draw(st.integers(0, 1))
+        row = draw(st.integers(0, 2))
+        x0 = 50.0 + col * 272.0
+        y0 = 60.0 + row * 230.0
+        blocks.append(
+            {
+                "x0": x0, "y0": y0, "x1": x0 + 240.0, "y1": y0 + 200.0,
+                "text": f"block {i}", "font_size": 10.5,
+            }
+        )
+    return blocks
+
+
+@settings(max_examples=80, deadline=None)
+@given(_layout(), st.randoms(use_true_random=False))
+def test_xy_cut_permutation_invariant(blocks, rnd):
+    base = [b.text for b in xy_cut([_LayoutBlock(d) for d in blocks])]
+    shuffled = list(blocks)
+    rnd.shuffle(shuffled)
+    got = [b.text for b in xy_cut([_LayoutBlock(d) for d in shuffled])]
+    assert got == base
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=6)),
+            st.sampled_from(["ok", "no_data", "error"]),
+        ),
+        max_size=8,
+    )
+)
+def test_vote_confidence_consistent(raw):
+    samples = [Sample(v, None, s) for v, s in raw]
+    value, _ctx, confidence, verified = majority_vote(samples)
+    k, n = (int(x) for x in confidence.split("/"))
+    voters = [s for s in samples if s.status in ("ok", "no_data")]
+    assert n == (len(voters) if voters else len(samples))
+    assert 0 <= k <= n
+    if verified:
+        assert k == n == len(samples)
+    if not voters:
+        assert value == "" and k == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(_words)
+def test_paragraphs_conserve_words(words):
+    text = " ".join(words)
+    paras = paragraphs_of(text)
+    assert " ".join(paras).split(" ") == words
+    # no paragraph except a singleton document is shorter than the tail rule
+    if len(paras) > 1:
+        assert all(len(p.split(" ")) >= 10 for p in paras[1:])

@@ -70,3 +70,23 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+def tune_data_context(wide_binary: bool = True) -> None:
+    """Set Ray Data execution knobs for this engine's workload.
+
+    - ``target_max_block_size`` stays at the 128 MiB default for text
+      corpora; for very wide binary rows (multi-MB scans/media) raise
+      it so single rows don't split blocks absurdly small.
+    - ``preserve_order=False``: ordering is carried in data columns
+      (page_num / block idx / axis), never in block order, so the
+      executor is free to reorder for throughput — this is what makes
+      output independent of scheduling.
+    """
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+    if wide_binary:
+        ctx.target_max_block_size = 256 * 1024 * 1024

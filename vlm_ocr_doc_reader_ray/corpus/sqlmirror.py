@@ -289,6 +289,13 @@ EVENT_TYPE_COUNTS_SQL = r"""
 SELECT event_type, count(*) AS n FROM events GROUP BY 1
 """
 
+HOST_MEDIAN_SQL = GOLDEN_CTE + r"""
+SELECT source || '.example.com' AS host,
+       CAST(median(len(extracted_text)) AS DOUBLE) AS median_chars
+FROM golden
+GROUP BY 1
+"""
+
 HOST_STATS_SQL = GOLDEN_CTE + r"""
 SELECT source || '.example.com' AS host,
        count(*) AS n_docs,

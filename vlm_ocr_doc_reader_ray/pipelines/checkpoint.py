@@ -72,11 +72,24 @@ def run_checkpointed(
             emit_registry=True,
         )
         with atomic_partition_dir(out_root, pid) as ctx:
-            ds.write_parquet(ctx.tmp)
+            ds.write_parquet(os.path.join(ctx.tmp, "extracted"))
+            # derived tables from the already-written extraction (read
+            # back locally — never re-extract)
+            from vlm_ocr_doc_reader_ray.pipelines.extraction import (
+                page_states_table,
+                registry_table,
+            )
+
+            written = rd.read_parquet(os.path.join(ctx.tmp, "extracted"))
+            registry_table(written).write_parquet(os.path.join(ctx.tmp, "registry"))
+            page_states_table(written).write_parquet(
+                os.path.join(ctx.tmp, "page_states")
+            )
             # partition metrics from the written data (cheap re-read of
             # three scalar columns, local to this partition)
             part = rd.read_parquet(
-                ctx.tmp, columns=["n_blocks_kept", "n_blocks_dropped", "parse_status"]
+                os.path.join(ctx.tmp, "extracted"),
+                columns=["n_blocks_kept", "n_blocks_dropped", "parse_status"],
             )
             import pyarrow as pa
 

@@ -57,6 +57,67 @@ def _partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def host_text_median(extracted: rd.Dataset, salts: int = 8) -> rd.Dataset:
+    """Exact per-host median of extracted-text length via SALTED groupby.
+
+    Median is not combinable, so the pre-agg trick of ``host_stats``
+    doesn't apply — this is the op where host skew actually bites
+    (one hot host = one giant reducer). The salt
+    ``blake2b(url) % salts`` splits each host's rows across ``salts``
+    stage-1 reducers; each packs its share into ONE sorted-array row,
+    and stage 2 merges at most ``salts`` compact rows per host. The
+    hot reducer now holds arrays, not rows — memory and time bounded
+    by corpus/salts instead of max-host size.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def project(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        return pa.table(
+            {
+                "host": _host_of(batch.column("url")),
+                "salt": pa.array(
+                    [
+                        int.from_bytes(
+                            hashlib.blake2b(u.encode(), digest_size=2).digest(), "big"
+                        )
+                        % salts
+                        for u in urls
+                    ],
+                    type=pa.int64(),
+                ),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch.column("extracted_text")), pa.int64()
+                ),
+            }
+        )
+
+    projected = extracted.select_columns(["url", "extracted_text"]).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": [g["host"].iloc[0]],
+                "values": [np.sort(g["n_chars"].to_numpy()).tolist()],
+            }
+        )
+
+    packed = projected.groupby(["host", "salt"]).map_groups(pack, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(np.concatenate([np.asarray(v) for v in g["values"]]))
+        return pd.DataFrame(
+            {"host": [g["host"].iloc[0]], "median_chars": [float(np.median(vals))]}
+        )
+
+    return packed.groupby("host").map_groups(merge, batch_format="pandas")
+
+
 def host_stats(extracted: rd.Dataset) -> rd.Dataset:
     """extracted → (host, n_docs, total_chars, total_blocks_kept, parse_failures)."""
     partials = extracted.select_columns(

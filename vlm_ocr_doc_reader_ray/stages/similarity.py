@@ -133,6 +133,59 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (signs.astype(np.int64) * powers).sum(axis=1)
 
 
+def embedding_near_dups(
+    emb: rd.Dataset,
+    threshold: float = 0.95,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> rd.Dataset:
+    """(id_a, id_b, cosine) near-duplicate pairs via sign-LSH buckets.
+
+    Pairs are only compared within a bucket (2^bits-way partition); a
+    near-dup pair straddling a hyperplane is missed — documented
+    recall trade-off of the scale path (same as every sign-LSH
+    dedupe); raise ``bits`` ↓recall ↑speed and vice versa.
+    """
+    import pandas as pd
+
+    planes_holder: dict = {}
+
+    def to_bucket(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, emb_col))
+        if "planes" not in planes_holder:
+            planes_holder["planes"] = _hyperplanes(m.shape[1], bits)
+        buckets = _bucket_of(m, planes_holder["planes"])
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bucket": pa.array(buckets, type=pa.int64()),
+                emb_col: batch.column(emb_col),
+            }
+        )
+
+    bucketed = emb.select_columns([id_col, emb_col]).map_batches(
+        to_bucket, batch_format="pyarrow"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64)[order])
+        sims = m @ m.T
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    out.append((int(ids[i]), int(ids[j]), float(sims[i, j])))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"]).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
 def ann_lsh_bucketed(
     emb: rd.Dataset,
     query_matrix: np.ndarray,
