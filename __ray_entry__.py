@@ -105,6 +105,15 @@ def _q_host_stats(sf_dir: str):
     return host_stats(_extracted(sf_dir))
 
 
+def _q_extract_from_pages(sf_dir: str):
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import (
+        extract_from_pages,
+        pages_block_table,
+    )
+
+    return extract_from_pages(pages_block_table(sf_dir))
+
+
 def _q_host_median(sf_dir: str):
     from vlm_ocr_doc_reader_ray.stages.host_stats import host_text_median
 
@@ -427,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registry_entities": _q_registry,
         "page_states": _q_page_states,
         "host_doc_stats": _q_host_stats,
+        "extract_from_pages": _q_extract_from_pages,
         "host_text_median": _q_host_median,
         "embedding_near_dups": _q_embedding_near_dups,
         "span_stats": _q_span_stats,
@@ -460,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
         "registry_entities": sm.REGISTRY_SQL,
         "page_states": sm.PAGE_STATES_SQL,
         "host_doc_stats": sm.HOST_STATS_SQL,
+        "extract_from_pages": sm.EXTRACT_FROM_PAGES_SQL,
         "host_text_median": sm.HOST_MEDIAN_SQL,
         # embedding_near_dups: planted-twin recovery via sign-LSH, recall<1
         # by design — rows-only

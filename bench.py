@@ -94,6 +94,21 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     ex.write_parquet(os.path.join(out_dir, "extracted"))
     queries["extract_full_write"] = round(time.time() - t0, 3)
 
+    log_extra: dict = {}
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):  # scaling children time q1 only
+        n_docs = rd.read_parquet(corpus_path).count()
+        return {
+            "metric": "end-to-end extracted docs/sec (byte-identical text per url)",
+            "value": queries["extract_full_write"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / queries["extract_full_write"], 1),
+            "reps": reps,
+        }
+
     # q2: extraction → registry explode → per-kind counts (pre-aggregated)
     from vlm_ocr_doc_reader_ray.stages.aggregates import value_counts
 
@@ -107,6 +122,25 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     host_stats(extract(_corpus(), emit_spans=False, emit_registry=False)).to_pandas()
     queries["host_stats"] = round(time.time() - t0, 3)
 
+    # q4: text analysis over the corpus text column (langid, quality,
+    # tokens, fingerprint) → per-language counts
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import analyze
+
+    t0 = time.time()
+    analyzed = analyze(_corpus().select_columns(["url", "text"]))
+    value_counts(analyzed.select_columns(["lang_pred"]), "lang_pred").to_pandas()
+    queries["text_analysis"] = round(time.time() - t0, 3)
+
+    # q5: exact dedup of the corpus by text hash (hash + combiner +
+    # hash-partitioned keep-first over 500k rows)
+    from vlm_ocr_doc_reader_ray.stages.dedup import dedup_exact
+
+    t0 = time.time()
+    deduped = dedup_exact(_corpus().select_columns(["url", "text"]), text_col="text", id_col="url")
+    n_unique = deduped.count()
+    queries["dedup_exact"] = round(time.time() - t0, 3)
+    log_extra["n_unique_texts"] = n_unique
+
     n_docs = rd.read_parquet(corpus_path).count()
     headline = queries["extract_full_write"]
     result = {
@@ -119,6 +153,7 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
         "reps": reps,
+        **log_extra,
     }
     return result
 
@@ -148,6 +183,7 @@ def run_scaling(sf_dir: str, reps: int, lo: int = 4, hi: int = 16) -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=sf_dir,
             GRAFT_REPS=str(reps),
+            GRAFT_HEADLINE_ONLY="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],

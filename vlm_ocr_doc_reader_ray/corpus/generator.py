@@ -183,13 +183,18 @@ def _slot_bbox(slot: int) -> tuple[float, float, float, float]:
     return x0, y0, x1, y1
 
 
-def build_spdf(doc_id: int, text: str, lang: str, source: str) -> bytes:
+def layout_pages(doc_id: int, text: str, lang: str, source: str) -> List[dict]:
+    """Scrambled two-column page layouts for a doc (shared by the SPDF
+    container and the flat `pages` block-table source)."""
     g = golden(doc_id, text, lang, source)
     content = [(g.title, 18.0)] + [(p, 10.5) for p in g.paragraphs] + [
         (g.entity_para, 10.5)
     ]
     pages = []
-    npages = g.page_count
+    # independent of golden.page_count (which is 1 for HTML docs):
+    # the layout always paginates by slot capacity; for PDF docs the
+    # two values coincide
+    npages = (len(content) + PDF_BLOCKS_PER_PAGE - 1) // PDF_BLOCKS_PER_PAGE
     for p in range(1, npages + 1):
         page_blocks = []
         for slot, (btext, font) in enumerate(
@@ -217,7 +222,11 @@ def build_spdf(doc_id: int, text: str, lang: str, source: str) -> bytes:
         pages.append(
             {"page_num": p, "width": PAGE_W, "height": PAGE_H, "blocks": page_blocks}
         )
-    doc = {"pages": pages}
+    return pages
+
+
+def build_spdf(doc_id: int, text: str, lang: str, source: str) -> bytes:
+    doc = {"pages": layout_pages(doc_id, text, lang, source)}
     return b"%SPDF1\n" + json.dumps(doc, ensure_ascii=False).encode("utf-8")
 
 

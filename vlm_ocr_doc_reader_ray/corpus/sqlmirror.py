@@ -289,6 +289,11 @@ EVENT_TYPE_COUNTS_SQL = r"""
 SELECT event_type, count(*) AS n FROM events GROUP BY 1
 """
 
+EXTRACT_FROM_PAGES_SQL = GOLDEN_CTE + r"""
+SELECT url, extracted_text, sha256(extracted_text) AS text_sha256
+FROM golden WHERE NOT is_corrupt
+"""
+
 HOST_MEDIAN_SQL = GOLDEN_CTE + r"""
 SELECT source || '.example.com' AS host,
        CAST(median(len(extracted_text)) AS DOUBLE) AS median_chars

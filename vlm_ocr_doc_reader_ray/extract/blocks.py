@@ -38,13 +38,20 @@ class Block:
     chrome: bool = False
     index: int = 0  # document order, assigned at segmentation time
 
+    _n_words: int = field(default=-1, repr=False, compare=False)
+
     @property
     def chars(self) -> int:
         return len(self.text)
 
     @property
     def words(self) -> int:
-        return len(self.text.split())
+        # hand-rolled cache: classify touches this repeatedly, and
+        # functools.cached_property carries an RLock on py3.11 which
+        # breaks cloudpickle-by-value serialization to Ray workers
+        if self._n_words < 0:
+            self._n_words = len(self.text.split())
+        return self._n_words
 
     @property
     def link_density(self) -> float:

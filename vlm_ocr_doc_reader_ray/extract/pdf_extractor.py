@@ -112,7 +112,17 @@ def extract_pdf(payload: bytes, cfg: EngineConfig = DEFAULT_CONFIG) -> ExtractRe
         pages = doc["pages"]
     except Exception:
         return bad
+    return extract_layout(pages, cfg)
 
+
+def extract_layout(pages: List[dict], cfg: EngineConfig = DEFAULT_CONFIG) -> ExtractResult:
+    """Page dicts (page_num/width/height/blocks) → ExtractResult.
+
+    Shared by the SPDF container path and the flat ``pages``
+    block-table source (reference S4: pre-rendered page input,
+    ``core/processor.py:183-198``)."""
+    bad = ExtractResult()
+    bad.parse_status = "failed"
     blocks: List[Block] = []
     try:
         for page in sorted(pages, key=lambda p: int(p["page_num"])):

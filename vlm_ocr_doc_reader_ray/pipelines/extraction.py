@@ -143,6 +143,102 @@ def headers_table(extracted: rd.Dataset) -> rd.Dataset:
     )
 
 
+def pages_block_table(sf_dir: str) -> rd.Dataset:
+    """Alternate ingest form (reference S4: pre-rendered page arrays):
+    one flat row per layout block
+    (url, page_num, width, height, x0, y0, x1, y1, text, font_size)."""
+    from vlm_ocr_doc_reader_ray.corpus.generator import (
+        is_corrupt_doc,
+        layout_pages,
+        url_of,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in
+                ["url", "page_num", "width", "height", "x0", "y0", "x1", "y1",
+                 "text", "font_size"]}
+        for doc_id, text, lang, source in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist(),
+            batch.column("lang").to_pylist(), batch.column("source").to_pylist(),
+        ):
+            doc_id = int(doc_id)
+            if is_corrupt_doc(doc_id):
+                continue
+            url = url_of(doc_id, lang, source)
+            for page in layout_pages(doc_id, text, lang, source):
+                for b in page["blocks"]:
+                    cols["url"].append(url)
+                    cols["page_num"].append(page["page_num"])
+                    cols["width"].append(page["width"])
+                    cols["height"].append(page["height"])
+                    for k in ("x0", "y0", "x1", "y1", "text", "font_size"):
+                        cols[k].append(b[k])
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], type=pa.string()),
+                "page_num": pa.array(cols["page_num"], type=pa.int64()),
+                "width": pa.array(cols["width"], type=pa.float32()),
+                "height": pa.array(cols["height"], type=pa.float32()),
+                "x0": pa.array(cols["x0"], type=pa.float32()),
+                "y0": pa.array(cols["y0"], type=pa.float32()),
+                "x1": pa.array(cols["x1"], type=pa.float32()),
+                "y1": pa.array(cols["y1"], type=pa.float32()),
+                "text": pa.array(cols["text"], type=pa.large_string()),
+                "font_size": pa.array(cols["font_size"], type=pa.float32()),
+            }
+        )
+
+    return docs.map_batches(flatten, batch_format="pyarrow")
+
+
+def extract_from_pages(blocks: rd.Dataset) -> rd.Dataset:
+    """Flat block rows → (url, extracted_text, text_sha256).
+
+    The G4 ordered-concat under a real shuffle: blocks arrive in
+    arbitrary partition order; ``groupby(url)`` co-locates a document,
+    the group fn rebuilds pages by ``page_num``, XY-cuts each, and
+    assembles — ordering restored from data columns, never from block
+    arrival order."""
+    import hashlib
+
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.extract.pdf_extractor import extract_layout
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        pages = []
+        for page_num, pg in g.groupby("page_num"):
+            pages.append(
+                {
+                    "page_num": int(page_num),
+                    "width": float(pg["width"].iloc[0]),
+                    "height": float(pg["height"].iloc[0]),
+                    "blocks": [
+                        {
+                            "x0": r.x0, "y0": r.y0, "x1": r.x1, "y1": r.y1,
+                            "text": r.text, "font_size": r.font_size,
+                        }
+                        for r in pg.itertuples()
+                    ],
+                }
+            )
+        res = extract_layout(pages)
+        return pd.DataFrame(
+            {
+                "url": [g["url"].iloc[0]],
+                "extracted_text": [res.text],
+                "text_sha256": [hashlib.sha256(res.text.encode()).hexdigest()],
+            }
+        )
+
+    return blocks.groupby("url").map_groups(rebuild, batch_format="pandas")
+
+
 def span_stats_table(extracted: rd.Dataset) -> rd.Dataset:
     """Per-url span bookkeeping invariants (n/spans coverage/end).
 
