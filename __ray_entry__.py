@@ -207,6 +207,13 @@ def _q_registry_upsert(sf_dir: str):
     return merged.select_columns(["url", "kind", "value", "resolution"])
 
 
+def _q_page_resolution(sf_dir: str):
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import registry_table
+    from vlm_ocr_doc_reader_ray.stages.registry_stage import page_resolution
+
+    return page_resolution(registry_table(_extracted(sf_dir, emit_registry=True)))
+
+
 def _q_phone_digits(sf_dir: str):
     from vlm_ocr_doc_reader_ray.pipelines.extraction import registry_table
     from vlm_ocr_doc_reader_ray.stages.registry_stage import phone_digits
@@ -442,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stats": _q_span_stats,
         "verify_grouped": _q_verify_grouped,
         "registry_upsert": _q_registry_upsert,
+        "page_resolution": _q_page_resolution,
         "phone_digits": _q_phone_digits,
         # training-data ops
         "text_analysis": _q_text_analysis,
@@ -477,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "span_stats": sm.SPAN_STATS_SQL,
         "verify_grouped": sm.VERIFY_GROUPED_SQL,
         "registry_upsert": sm.UPSERT_SQL,
+        "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,
         "text_analysis": sm.TEXT_ANALYSIS_SQL,
         "dedup_exact": sm.DEDUP_EXACT_SQL,

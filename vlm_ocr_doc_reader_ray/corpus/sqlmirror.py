@@ -289,6 +289,11 @@ EVENT_TYPE_COUNTS_SQL = r"""
 SELECT event_type, count(*) AS n FROM events GROUP BY 1
 """
 
+PAGE_RESOLUTION_SQL = GOLDEN_CTE + r"""
+SELECT url, page_count AS page_num, 'verified' AS status
+FROM golden WHERE NOT is_corrupt
+"""
+
 EXTRACT_FROM_PAGES_SQL = GOLDEN_CTE + r"""
 SELECT url, extracted_text, sha256(extracted_text) AS text_sha256
 FROM golden WHERE NOT is_corrupt

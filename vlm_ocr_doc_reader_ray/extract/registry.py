@@ -161,6 +161,48 @@ def verify_entry(
     )
 
 
+def chunked_resolve(
+    entries: Sequence[RegistryEntry],
+    text: str,
+    chunk_size: int = 5,
+    radius: int = 40,
+) -> List[RegistryEntry]:
+    """Chunked resolve pass with the reference's alignment contract.
+
+    Reproduces the G2/J2/J3 semantics of the reference resolve loop
+    (``core/reader.py:297-363``):
+
+    - entries are grouped by page (ascending) and split into fixed
+      chunks of ``chunk_size`` (G2, ``reader.py:307-308``);
+    - the result map is initialized to ALL-ERROR keyed by entity_id
+      (J3, ``reader.py:310-313``) — a chunk that produces fewer
+      results than tasks leaves error rows behind, it never drops or
+      crashes;
+    - chunk results align to entries positionally (J2,
+      ``reader.py:348-363``); extras beyond the chunk are ignored.
+
+    Deterministic engine note: every task yields a sample, so the
+    error-padding path only fires for malformed entries — exactly the
+    rows the reference would also mark as errors.
+    """
+    by_page: dict[int, List[RegistryEntry]] = {}
+    for e in entries:
+        by_page.setdefault(e.page_num, []).append(e)
+
+    results: dict[str, RegistryEntry] = {
+        e.entity_id: replace(e, resolution=max(e.resolution, 1), status="error")
+        for e in entries
+    }
+    for page in sorted(by_page):
+        page_entries = sorted(by_page[page], key=lambda e: e.span_start)
+        for i in range(0, len(page_entries), chunk_size):
+            chunk = page_entries[i: i + chunk_size]
+            chunk_results = [resolve_entry(e, text, radius) for e in chunk]
+            for e, r in zip(chunk, chunk_results):  # positional zip (J2)
+                results[e.entity_id] = r
+    return [results[e.entity_id] for e in entries]
+
+
 def build_registry(
     result: ExtractResult, axes: Sequence[int] = (1, 3, 5)
 ) -> List[RegistryEntry]:

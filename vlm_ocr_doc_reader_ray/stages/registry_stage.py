@@ -60,6 +60,55 @@ def pending_entities(registry: rd.Dataset, below_resolution: int = 1) -> rd.Data
     )
 
 
+def page_resolution(registry: rd.Dataset) -> rd.Dataset:
+    """G5 (``core/reader.py:391-408,520-526``): per-(url, page)
+    resolution status as a grouped boolean OR over entity outcomes —
+    'verified' if any entity verified, else 'resolved' if any resolved
+    ok, else 'none'. Pre-aggregated per batch before the shuffle."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "url": batch.column("url"),
+                "page_num": batch.column("page_num"),
+                "n_verified": pc.cast(batch.column("verified"), pa.int64()),
+                "n_ok": pc.cast(pc.equal(batch.column("status"), "ok"), pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["url", "page_num"])
+            .aggregate([("n_verified", "sum"), ("n_ok", "sum")])
+            .rename_columns(["url", "page_num", "n_verified", "n_ok"])
+        )
+
+    partials = registry.map_batches(partial, batch_format="pyarrow")
+    summed = partials.groupby(["url", "page_num"]).aggregate(
+        Sum("n_verified", alias_name="n_verified"),
+        Sum("n_ok", alias_name="n_ok"),
+    )
+
+    def status(batch: pa.Table) -> pa.Table:
+        verified = pc.greater(batch.column("n_verified"), 0)
+        ok = pc.greater(batch.column("n_ok"), 0)
+        st = pc.if_else(
+            verified,
+            pa.scalar("verified"),
+            pc.if_else(ok, pa.scalar("resolved"), pa.scalar("none")),
+        )
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "page_num": batch.column("page_num"),
+                "status": st,
+            }
+        )
+
+    return summed.map_batches(status, batch_format="pyarrow")
+
+
 def phone_digits(registry: rd.Dataset) -> rd.Dataset:
     """M9 (``utils/normalization.py:6-72``) vectorized over registry
     phone values: OCR-digit normalization as a batch stage."""
