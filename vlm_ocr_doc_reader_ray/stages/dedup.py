@@ -86,12 +86,28 @@ def with_text_hash(ds: rd.Dataset, text_col: str = "text", out_col: str = "text_
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def dedup_exact(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+def dedup_exact(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_winners: bool = True,
+) -> rd.Dataset:
     """Keep the min-id row per distinct ``text_col`` value.
 
-    Combiner first (per-batch keep-first ≈ free), then a
-    hash-partitioned group-first — the shuffle carries at most one
-    row per (hash, batch)."""
+    Pipeline: content-hash column → per-batch keep-first combiner →
+    ``groupby(hash).aggregate(Min(id))`` (combiner-based, no per-group
+    Python calls) → winners filter.
+
+    ``broadcast_winners=True`` resolves the final filter by
+    broadcasting the winner-id set (``ray.put`` once) — right when
+    distinct texts fit comfortably in memory (most dedup runs: the
+    winner set is ids only, ~10-100 bytes/row). For corpora whose
+    DISTINCT id set alone is too large, set False to use the
+    hash-partitioned ``map_groups`` path instead (slower per group but
+    fully streaming).
+    """
+    import ray
+
     hashed = with_text_hash(ds, text_col)
 
     def local_first(batch: pd.DataFrame) -> pd.DataFrame:
@@ -99,10 +115,25 @@ def dedup_exact(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
 
     combined = hashed.map_batches(local_first, batch_format="pandas")
 
-    def group_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    if not broadcast_winners:
+        def group_first(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(id_col).head(1)
 
-    return combined.groupby("text_hash").map_groups(group_first, batch_format="pandas")
+        return combined.groupby("text_hash").map_groups(
+            group_first, batch_format="pandas"
+        )
+
+    from ray.data.aggregate import Min
+
+    winners = combined.groupby("text_hash").aggregate(Min(id_col, alias_name="__win"))
+    winner_ids = set(winners.select_columns(["__win"]).to_pandas()["__win"])
+    ref = ray.put(winner_ids)
+
+    def keep_winners(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ref)
+        return batch[batch[id_col].isin(ids)]
+
+    return combined.map_batches(keep_winners, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
