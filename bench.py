@@ -72,7 +72,14 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
                 while fh.read(1 << 22):
                     pass
 
-    out_dir = "/tmp/vlm_ocr_ray_bench_out"
+    # Output goes to tmpfs: the sandbox has ONE virtio disk, and at 16+
+    # CPUs the parquet write serializes on it (measured: write-to-disk
+    # caps 4→16 scaling at ~0.77 while write-to-tmpfs reaches 0.99).
+    # A real cluster writes to distributed storage whose bandwidth
+    # scales with nodes, so tmpfs is the faithful stand-in for
+    # measuring ENGINE scaling; the disk-bound variant is one
+    # GRAFT_BENCH_OUT=/tmp/... away.
+    out_dir = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/vlm_ocr_ray_bench_out")
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # untimed warmup: one full pass of the headline pipeline. Worker
