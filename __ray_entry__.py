@@ -426,6 +426,65 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_agg(events, "user_id", "ts", "value", window_s=3600)
 
 
+def _q_events_sliding(sf_dir: str):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import sliding_window_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return sliding_window_agg(events, "user_id", "ts", "value", window_s=7200, slide_s=3600)
+
+
+def _q_events_sessions(sf_dir: str):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import session_window_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_window_agg(events, "user_id", "ts", gap_s=1800)
+
+
+def _q_top_orders_per_customer(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import cents, grouped_top_k
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderkey": batch.column("o_orderkey"),
+                "totalprice_cents": cents(batch.column("o_totalprice")),
+            }
+        )
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow")
+    return grouped_top_k(prepped, "o_custkey", "totalprice_cents", 2, "o_orderkey")
+
+
+def _q_customers_without_orders(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import broadcast_anti_join
+
+    import pyarrow.compute as pc
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    big = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    keys = big.filter(pc.greater(big.column("o_totalprice"), 300000.0)).column(
+        "o_custkey"
+    ).to_pylist()
+    return broadcast_anti_join(cust, keys, "c_custkey")
+
+
 def _q_event_type_counts(sf_dir: str):
     import ray.data as rd
 
@@ -465,6 +524,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_order_priority": _q_join_order_priority,
         "top_orders": _q_top_orders,
         "events_window": _q_events_window,
+        "events_sliding_window": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "customers_without_big_orders": _q_customers_without_orders,
         "event_type_counts": _q_event_type_counts,
     }
 
@@ -499,5 +562,9 @@ def oracle_sql() -> dict[str, str]:
         "join_order_priority": sm.JOIN_PRIORITY_SQL,
         "top_orders": sm.TOP_ORDERS_SQL,
         "events_window": sm.EVENTS_WINDOW_SQL,
+        "events_sliding_window": sm.EVENTS_SLIDING_WINDOW_SQL,
+        "events_sessions": sm.EVENTS_SESSION_WINDOW_SQL,
+        "top_orders_per_customer": sm.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "customers_without_big_orders": sm.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "event_type_counts": sm.EVENT_TYPE_COUNTS_SQL,
     }

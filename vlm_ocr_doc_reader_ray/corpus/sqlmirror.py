@@ -289,6 +289,66 @@ EVENT_TYPE_COUNTS_SQL = r"""
 SELECT event_type, count(*) AS n FROM events GROUP BY 1
 """
 
+EVENTS_SLIDING_WINDOW_SQL = r"""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS base_s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), fanout AS (
+  SELECT user_id, base_s AS window_start_s, v FROM e
+  UNION ALL
+  SELECT user_id, base_s - 3600 AS window_start_s, v FROM e
+)
+SELECT user_id, window_start_s,
+       CAST(sum(v) AS BIGINT) AS value_cents,
+       count(*) AS n_events
+FROM fanout
+GROUP BY 1, 2
+"""
+
+EVENTS_SESSION_WINDOW_SQL = r"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+), flagged AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+              OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+), numbered AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(t) AS session_start_s,
+       count(*) AS n_events,
+       max(t) - min(t) AS duration_s
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+TOP_ORDERS_PER_CUSTOMER_SQL = r"""
+SELECT o_custkey,
+       o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents
+FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+) <= 2
+"""
+
+CUSTOMERS_WITHOUT_BIG_ORDERS_SQL = r"""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
 PAGE_RESOLUTION_SQL = GOLDEN_CTE + r"""
 SELECT url, page_count AS page_num, 'verified' AS status
 FROM golden WHERE NOT is_corrupt

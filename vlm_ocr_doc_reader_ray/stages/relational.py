@@ -143,6 +143,131 @@ def top_k(ds: rd.Dataset, by: str, k: int, tie_break: str) -> rd.Dataset:
     return merged
 
 
+def sliding_window_agg(
+    events: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_s: int = 7200,
+    slide_s: int = 3600,
+) -> rd.Dataset:
+    """Sliding event-time windows (size ``window_s``, step ``slide_s``).
+
+    Each event is replicated into the ``window_s/slide_s`` windows
+    containing it inside ``map_batches`` (no shuffle for the fan-out),
+    then aggregated like a tumbling window. Windows start at multiples
+    of the slide."""
+    k = window_s // slide_s
+
+    def project(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(batch.column(ts_col), pa.int64()), 1_000_000)
+        base = pc.multiply(
+            pc.cast(
+                pc.floor(pc.divide(pc.cast(epoch, pa.float64()), float(slide_s))),
+                pa.int64(),
+            ),
+            slide_s,
+        )
+        vals = cents(batch.column(value_col))
+        keys = batch.column(key_col)
+        parts = []
+        for i in range(k):
+            ws = pc.subtract(base, i * slide_s)
+            parts.append(
+                pa.table(
+                    {key_col: keys, "window_start_s": ws, "value_cents": vals}
+                )
+            )
+        return pa.concat_tables(parts)
+
+    projected = events.map_batches(project, batch_format="pyarrow")
+    return grouped_sums(
+        projected, [key_col, "window_start_s"], ["value_cents"], count_alias="n_events"
+    )
+
+
+def session_window_agg(
+    events: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    gap_s: int = 1800,
+) -> rd.Dataset:
+    """Session windows per key (sessions split at gaps > ``gap_s``).
+
+    Sessionization is inherently per-key-ordered, so this is the one
+    window that genuinely needs ``groupby(key).map_groups`` over
+    ts-sorted events (SURVEY §2.9 pattern); output
+    (key, session_start_s, n_events, duration_s)."""
+    import numpy as np
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "epoch_s": pc.divide(pc.cast(batch.column(ts_col), pa.int64()), 1_000_000),
+            }
+        )
+
+    projected = events.map_batches(project, batch_format="pyarrow")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["epoch_s"].to_numpy())
+        breaks = np.concatenate([[True], np.diff(ts) > gap_s])
+        session_ids = np.cumsum(breaks)
+        out = pd.DataFrame({"epoch_s": ts, "sid": session_ids}).groupby("sid")["epoch_s"].agg(
+            ["min", "max", "count"]
+        )
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].iloc[0],
+                "session_start_s": out["min"].astype("int64"),
+                "n_events": out["count"].astype("int64"),
+                "duration_s": (out["max"] - out["min"]).astype("int64"),
+            }
+        ).reset_index(drop=True)
+
+    return projected.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def grouped_top_k(
+    ds: rd.Dataset, key_col: str, by: str, k: int, tie_break: str
+) -> rd.Dataset:
+    """Top-k rows per key by (by desc, tie asc): per-batch local top-k
+    combiner, then a per-key merge (shuffle carries ≤ k×blocks rows
+    per key)."""
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values([by, tie_break], ascending=[False, True])
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+
+    partials = ds.map_batches(local, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([by, tie_break], ascending=[False, True]).head(k)
+
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def broadcast_anti_join(
+    left: rd.Dataset, right_keys, left_on: str
+) -> rd.Dataset:
+    """Rows of ``left`` whose key does NOT appear in ``right_keys``
+    (small side broadcast via ray.put — the semi/anti-join pattern;
+    for huge key sets substitute a Bloom filter, same shape)."""
+    import ray
+
+    ref = ray.put(set(right_keys))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ref)
+        return batch[~batch[left_on].isin(keys)]
+
+    return left.map_batches(keep, batch_format="pandas")
+
+
 def tumbling_window_agg(
     events: rd.Dataset,
     key_col: str,
