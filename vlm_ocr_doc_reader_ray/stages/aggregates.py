@@ -19,6 +19,50 @@ import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
 
+def partitioned_group_apply(
+    ds: rd.Dataset,
+    key_cols: Sequence[str],
+    fn,
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Per-group apply without Ray's per-group dispatch overhead.
+
+    ``groupby(keys).map_groups(fn)`` pays a Python round-trip per
+    distinct key — measured 37s for 270k keys where the work itself is
+    ~2s. This helper shuffles by ``hash(keys) % num_parts`` instead
+    (``num_parts`` Ray groups total) and runs a vectorized pandas
+    ``groupby(keys).apply(fn)`` inside each partition. Results are
+    identical for any per-group function because every key lands
+    wholly in one partition.
+    """
+    import pandas as pd
+
+    key_list = list(key_cols)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # stable-enough partitioner: results don't depend on placement,
+        # only co-location of equal keys matters
+        h = pd.util.hash_pandas_object(
+            df[key_list].astype(str).agg("|".join, axis=1), index=False
+        )
+        df["__part"] = (h % num_parts).astype("int64")
+        return df
+
+    parted = ds.map_batches(add_part, batch_format="pandas")
+
+    def apply_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__part")
+        out = []
+        for _key, grp in g.groupby(key_list, sort=False):
+            out.append(fn(grp))
+        if not out:
+            return fn(g.head(0))
+        return pd.concat(out, ignore_index=True)
+
+    return parted.groupby("__part").map_groups(apply_part, batch_format="pandas")
+
+
 def value_counts(ds: rd.Dataset, keys: str | Sequence[str], alias: str = "n") -> rd.Dataset:
     """Distinct-value counts of ``keys`` (pre-aggregated groupby)."""
     key_list = [keys] if isinstance(keys, str) else list(keys)

@@ -237,7 +237,10 @@ def lsh_candidate_pairs(
             {"id_a": "int64", "id_b": "int64", "band": "int32"}
         )
 
-    return buckets.groupby(["band", "bucket"]).map_groups(emit_pairs, batch_format="pandas")
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_group_apply
+
+    # thousands of tiny buckets: partitioned apply, not per-group dispatch
+    return partitioned_group_apply(buckets, ["band", "bucket"], emit_pairs)
 
 
 def minhash_near_dups(
@@ -264,13 +267,9 @@ def minhash_near_dups(
 
     cand = pairs.map_batches(distinct_pairs, batch_format="pandas")
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
-
-    # candidate ids are few; fetch their texts once and broadcast
-    cand_tbl = cand.to_pandas()
+    # candidates are few by construction (LSH prunes): final distinct
+    # on the driver alongside the text fetch below
+    cand_tbl = cand.to_pandas().drop_duplicates(["id_a", "id_b"], ignore_index=True)
     if cand_tbl.empty:
         return rd.from_pandas(
             pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
@@ -374,9 +373,17 @@ def simhash_candidates(
             {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
         )
 
-    pairs = bands.groupby(["band", "key"]).map_groups(emit, batch_format="pandas")
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_group_apply
+
+    pairs = partitioned_group_apply(bands, ["band", "key"], emit)
+
+    def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(["id_a", "id_b"])
 
     def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair, batch_format="pandas")
+    # a pair can surface from up to 4 bands: local distinct first,
+    # then a partitioned distinct (never per-pair Ray dispatch)
+    deduped = pairs.map_batches(local_distinct, batch_format="pandas")
+    return partitioned_group_apply(deduped, ["id_a", "id_b"], dedup_pair)

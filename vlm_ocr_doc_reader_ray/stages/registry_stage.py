@@ -44,10 +44,10 @@ def upsert_registry(registry: rd.Dataset, version_col: str = "resolution") -> rd
     def drop_empty(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[batch["entity_id"].astype(str) != ""]
 
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_group_apply
+
     cleaned = registry.map_batches(drop_empty, batch_format="pandas")
-    return cleaned.groupby(["url", "entity_id"]).map_groups(
-        keep_last, batch_format="pandas"
-    )
+    return partitioned_group_apply(cleaned, ["url", "entity_id"], keep_last)
 
 
 def pending_entities(registry: rd.Dataset, below_resolution: int = 1) -> rd.Dataset:
