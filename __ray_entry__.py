@@ -22,35 +22,9 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def _register_by_value() -> None:
-    """Ship the package to Ray workers by value.
+from vlm_ocr_doc_reader_ray.runtime import register_for_workers
 
-    The package is not pip-installed, so workers spawned from a driver
-    whose cwd/PYTHONPATH doesn't include the repo would fail to import
-    it by reference. Registering the modules with cloudpickle makes the
-    task/actor payload self-contained.
-    """
-    import vlm_ocr_doc_reader_ray  # noqa: F401
-    import vlm_ocr_doc_reader_ray.pipelines.extraction  # noqa: F401
-    import vlm_ocr_doc_reader_ray.stages.aggregates  # noqa: F401
-    import vlm_ocr_doc_reader_ray.stages.dedup  # noqa: F401
-    import vlm_ocr_doc_reader_ray.stages.host_stats  # noqa: F401
-    import vlm_ocr_doc_reader_ray.stages.multimodal  # noqa: F401
-    import vlm_ocr_doc_reader_ray.stages.relational  # noqa: F401
-    import vlm_ocr_doc_reader_ray.stages.similarity  # noqa: F401
-    import vlm_ocr_doc_reader_ray.stages.text_analysis  # noqa: F401
-
-    try:
-        from ray import cloudpickle
-
-        for name, mod in list(sys.modules.items()):
-            if name.startswith("vlm_ocr_doc_reader_ray") and mod is not None:
-                cloudpickle.register_pickle_by_value(mod)
-    except Exception:
-        pass  # fall back to by-reference (works when cwd is the repo)
-
-
-_register_by_value()
+register_for_workers()
 
 EXTRACT_COLUMNS = [
     "url",

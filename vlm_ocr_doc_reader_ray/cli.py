@@ -102,6 +102,9 @@ def main(argv: List[str] | None = None) -> int:
     p_run.add_argument("--no-resume", action="store_true")
 
     args = ap.parse_args(argv)
+    from vlm_ocr_doc_reader_ray.runtime import register_for_workers
+
+    register_for_workers()
     ray = _init_ray(args.num_cpus)
     try:
         import ray.data as rd

@@ -1,0 +1,37 @@
+"""Worker-shipping support for the uninstalled package.
+
+The repo is used in place (no pip install), so Ray workers spawned
+from a driver whose cwd/PYTHONPATH doesn't include the repo cannot
+import the package by reference. Registering every package module
+with cloudpickle's pickle-by-value makes task/actor payloads
+self-contained. Called by ``__ray_entry__`` and the CLI at startup;
+idempotent and safe to call before or after ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def register_for_workers() -> None:
+    # import the module graph so every submodule is in sys.modules
+    import vlm_ocr_doc_reader_ray.cli  # noqa: F401
+    import vlm_ocr_doc_reader_ray.pipelines.checkpoint  # noqa: F401
+    import vlm_ocr_doc_reader_ray.pipelines.extraction  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.aggregates  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.dedup  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.host_stats  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.multimodal  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.registry_stage  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.relational  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.similarity  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.text_analysis  # noqa: F401
+
+    try:
+        from ray import cloudpickle
+
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("vlm_ocr_doc_reader_ray") and mod is not None:
+                cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass  # by-reference fallback (works when cwd is the repo)
