@@ -88,3 +88,22 @@ def test_no_data_when_window_misses():
     assert v.value == ""
     assert v.confidence == "3/3"  # three unanimous no_data votes
     assert v.verified is True
+
+
+def test_register_recognizer_extension_surface():
+    """User extension: new kind participates in scan/resolve/verify."""
+    import vlm_ocr_doc_reader_ray.extract.registry as reg_mod
+    from vlm_ocr_doc_reader_ray.extract.registry import register_recognizer
+
+    before = list(reg_mod.RECOGNIZERS)
+    try:
+        register_recognizer("ticket", r"\bTICKET#\d{4}\b")
+        r = _result("Please see TICKET#1234 for the long running details today")
+        got = {e.kind: e.value for e in reg_mod.scan_entities(r)}
+        assert got.get("ticket") == "TICKET#1234"
+        entries = reg_mod.build_registry(r)
+        tickets = [e for e in entries if e.kind == "ticket"]
+        assert tickets and tickets[0].verified and tickets[0].confidence == "3/3"
+    finally:
+        reg_mod.RECOGNIZERS[:] = before
+        reg_mod._RECOGNIZER_MAP.pop("ticket", None)

@@ -46,6 +46,30 @@ _TRAILING_PUNCT = ".,;:!?)"
 _CONTEXT_RADIUS = 30
 
 
+def register_recognizer(kind: str, pattern: str, clean_trailing: bool = False) -> None:
+    """User-extension surface: add an entity recognizer.
+
+    The Ray-native descendant of the reference's tool registration
+    (``core/vlm_agent.py:48-62``): instead of registering an agent
+    tool, extensions register a (kind → regex) recognizer that the
+    scan/resolve/verify chain then treats exactly like the built-ins.
+    Must be called before building pipelines (actors compile the bank
+    at init). Re-registering a kind replaces it."""
+    rx = re.compile(pattern)
+    for i, (k, _r) in enumerate(RECOGNIZERS):
+        if k == kind:
+            RECOGNIZERS[i] = (kind, rx)
+            break
+    else:
+        RECOGNIZERS.append((kind, rx))
+    _RECOGNIZER_MAP[kind] = rx
+    if clean_trailing:
+        _CLEAN_TRAILING_KINDS.add(kind)
+
+
+_CLEAN_TRAILING_KINDS = {"url", "email"}
+
+
 @dataclass(frozen=True)
 class RegistryEntry:
     """One entity row (columnar twin of the reference's OCRRegistryEntry)."""
@@ -66,7 +90,7 @@ class RegistryEntry:
 
 def _clean_match(kind: str, raw: str) -> str:
     """Strip trailing sentence punctuation from open-ended matches."""
-    if kind in ("url", "email"):
+    if kind in _CLEAN_TRAILING_KINDS:
         return raw.rstrip(_TRAILING_PUNCT)
     return raw
 
