@@ -372,6 +372,38 @@ def _q_join_order_priority(sf_dir: str):
     return grouped_sums(prepped, "o_orderpriority", ["revenue_cents"], count_alias="n_items")
 
 
+def _q_join_native(sf_dir: str):
+    """Same join as join_order_priority via Ray's built-in
+    hash-partitioned Dataset.join."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+    from vlm_ocr_doc_reader_ray.stages.relational import native_hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = native_hash_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        revenue = batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy())
+        return pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "revenue_cents": np.floor(revenue * 100.0 + 0.5).astype("int64"),
+            }
+        )
+
+    prepped = joined.map_batches(prep, batch_format="pandas")
+    return grouped_sums(prepped, "o_orderpriority", ["revenue_cents"], count_alias="n_items")
+
+
 def _q_top_orders(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -496,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "mktsegment_revenue": _q_mktsegment_revenue,
         "join_order_priority": _q_join_order_priority,
+        "join_order_priority_native": _q_join_native,
         "top_orders": _q_top_orders,
         "events_window": _q_events_window,
         "events_sliding_window": _q_events_sliding,
@@ -534,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": sm.PRICING_SUMMARY_SQL,
         "mktsegment_revenue": sm.MKTSEGMENT_REVENUE_SQL,
         "join_order_priority": sm.JOIN_PRIORITY_SQL,
+        "join_order_priority_native": sm.JOIN_PRIORITY_SQL,
         "top_orders": sm.TOP_ORDERS_SQL,
         "events_window": sm.EVENTS_WINDOW_SQL,
         "events_sliding_window": sm.EVENTS_SLIDING_WINDOW_SQL,

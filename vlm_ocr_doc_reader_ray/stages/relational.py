@@ -125,6 +125,27 @@ def partitioned_hash_join(
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def native_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Ray's built-in hash-partitioned ``Dataset.join`` (available in
+    this Ray version) — the library alternative to
+    :func:`partitioned_hash_join`; both are exposed so pipelines can
+    pick per workload (the explicit variant allows salting hot keys,
+    the native one fuses better)."""
+    return left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(left_on,),
+        right_on=(right_on,),
+    )
+
+
 def top_k(ds: rd.Dataset, by: str, k: int, tie_break: str) -> rd.Dataset:
     """Global top-k with a total ordering key (by desc, tie asc).
 
