@@ -474,20 +474,30 @@ def _q_top_orders_per_customer(sf_dir: str):
 
 
 def _q_customers_without_orders(sf_dir: str):
-    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from vlm_ocr_doc_reader_ray.stages.relational import broadcast_anti_join
 
-    import pyarrow.compute as pc
-
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
     )
-    big = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    keys = big.filter(pc.greater(big.column("o_totalprice"), 300000.0)).column(
-        "o_custkey"
-    ).to_pylist()
+    # the key set is built AS A RAY AGGREGATE (filter + per-batch
+    # distinct combiner); only the distinct-key residue ever reaches
+    # the driver — never the orders table itself
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def big_keys(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater(batch.column("o_totalprice"), 300000.0))
+        return pa.table({"o_custkey": keep.column("o_custkey").unique()})
+
+    keys = {
+        r["o_custkey"]
+        for r in orders.map_batches(big_keys, batch_format="pyarrow").take_all()
+    }
     return broadcast_anti_join(cust, keys, "c_custkey")
 
 

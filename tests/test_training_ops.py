@@ -98,6 +98,25 @@ def test_partitioned_hash_join_equals_pandas(ray_session, sf_small):
     )
 
 
+def test_partitioned_hash_join_keeps_all_null_columns(ray_session):
+    """A data column that is all-null inside one bucket must survive
+    with its schema intact (regression: dropna(axis=1) used to eat
+    it)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "payload": [None, None, None, None]})
+    right = pd.DataFrame({"rk": [1, 2, 3, 4], "name": ["a", "b", "c", "d"]})
+    got = partitioned_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "rk", num_buckets=4
+    ).to_pandas()
+    assert sorted(got.columns) == ["k", "name", "payload", "rk"]
+    assert len(got) == 4
+    assert got["payload"].isna().all()
+
+
 def test_media_resize_stub_raises():
     import pyarrow as pa
 

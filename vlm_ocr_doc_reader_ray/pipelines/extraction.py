@@ -209,34 +209,60 @@ def extract_from_pages(blocks: rd.Dataset) -> rd.Dataset:
     import pandas as pd
 
     from vlm_ocr_doc_reader_ray.extract.pdf_extractor import extract_layout
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
 
-    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        pages = []
-        for page_num, pg in g.groupby("page_num"):
-            pages.append(
-                {
-                    "page_num": int(page_num),
-                    "width": float(pg["width"].iloc[0]),
-                    "height": float(pg["height"].iloc[0]),
-                    "blocks": [
-                        {
-                            "x0": r.x0, "y0": r.y0, "x1": r.x1, "y1": r.y1,
-                            "text": r.text, "font_size": r.font_size,
-                        }
-                        for r in pg.itertuples()
-                    ],
-                }
+    def rebuild_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One hash partition (urls co-located): sort once, slice doc
+        and page boundaries from numpy arrays (no per-key Ray dispatch
+        and no iterrows — the per-doc XY-cut itself is irreducible)."""
+        out_urls, out_texts, out_hashes = [], [], []
+        if not g.empty:
+            g = g.sort_values(["url", "page_num"], kind="mergesort")
+            cols = {c: g[c].to_numpy() for c in g.columns}
+            import numpy as np
+
+            urls = cols["url"]
+            doc_starts = np.concatenate(
+                [[0], np.nonzero(urls[1:] != urls[:-1])[0] + 1, [len(urls)]]
             )
-        res = extract_layout(pages)
+            for d0, d1 in zip(doc_starts[:-1], doc_starts[1:]):
+                pages = []
+                pnums = cols["page_num"][d0:d1]
+                page_starts = np.concatenate(
+                    [[0], np.nonzero(pnums[1:] != pnums[:-1])[0] + 1, [len(pnums)]]
+                )
+                for p0, p1 in zip(page_starts[:-1], page_starts[1:]):
+                    s = slice(d0 + p0, d0 + p1)
+                    pages.append(
+                        {
+                            "page_num": int(pnums[p0]),
+                            "width": float(cols["width"][d0 + p0]),
+                            "height": float(cols["height"][d0 + p0]),
+                            "blocks": [
+                                {
+                                    "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                                    "text": t, "font_size": f,
+                                }
+                                for x0, y0, x1, y1, t, f in zip(
+                                    cols["x0"][s], cols["y0"][s], cols["x1"][s],
+                                    cols["y1"][s], cols["text"][s], cols["font_size"][s],
+                                )
+                            ],
+                        }
+                    )
+                res = extract_layout(pages)
+                out_urls.append(urls[d0])
+                out_texts.append(res.text)
+                out_hashes.append(hashlib.sha256(res.text.encode()).hexdigest())
         return pd.DataFrame(
             {
-                "url": [g["url"].iloc[0]],
-                "extracted_text": [res.text],
-                "text_sha256": [hashlib.sha256(res.text.encode()).hexdigest()],
+                "url": pd.Series(out_urls, dtype="object"),
+                "extracted_text": pd.Series(out_texts, dtype="object"),
+                "text_sha256": pd.Series(out_hashes, dtype="object"),
             }
         )
 
-    return blocks.groupby("url").map_groups(rebuild, batch_format="pandas")
+    return partitioned_apply(blocks, ["url"], rebuild_part)
 
 
 def span_stats_table(extracted: rd.Dataset) -> rd.Dataset:

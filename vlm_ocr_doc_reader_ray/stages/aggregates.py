@@ -19,21 +19,23 @@ import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
 
-def partitioned_group_apply(
+def partitioned_apply(
     ds: rd.Dataset,
     key_cols: Sequence[str],
     fn,
     num_parts: int = 32,
 ) -> rd.Dataset:
-    """Per-group apply without Ray's per-group dispatch overhead.
+    """Hash-partition by ``key_cols`` and run ``fn`` ONCE per partition.
 
     ``groupby(keys).map_groups(fn)`` pays a Python round-trip per
     distinct key — measured 37s for 270k keys where the work itself is
     ~2s. This helper shuffles by ``hash(keys) % num_parts`` instead
-    (``num_parts`` Ray groups total) and runs a vectorized pandas
-    ``groupby(keys).apply(fn)`` inside each partition. Results are
-    identical for any per-group function because every key lands
-    wholly in one partition.
+    (``num_parts`` Ray groups total); equal keys are co-located, so
+    any group-local computation can run VECTORIZED inside ``fn`` over
+    the whole partition (``fn`` gets the partition DataFrame with the
+    ``__part`` column already dropped). This is the preferred shape:
+    sessionization, keep-last dedup, per-key top-k are all one
+    vectorized pandas expression per partition.
     """
     import pandas as pd
 
@@ -42,17 +44,42 @@ def partitioned_group_apply(
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         # stable-enough partitioner: results don't depend on placement,
-        # only co-location of equal keys matters
-        h = pd.util.hash_pandas_object(
-            df[key_list].astype(str).agg("|".join, axis=1), index=False
-        )
+        # only co-location of equal keys matters. Vectorized string
+        # concat (no per-row Python).
+        key = df[key_list[0]].astype(str)
+        for c in key_list[1:]:
+            key = key + "|" + df[c].astype(str)
+        h = pd.util.hash_pandas_object(key, index=False)
         df["__part"] = (h % num_parts).astype("int64")
         return df
 
     parted = ds.map_batches(add_part, batch_format="pandas")
 
     def apply_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__part")
+        return fn(g.drop(columns="__part"))
+
+    return parted.groupby("__part").map_groups(apply_part, batch_format="pandas")
+
+
+def partitioned_group_apply(
+    ds: rd.Dataset,
+    key_cols: Sequence[str],
+    fn,
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Per-group apply without Ray's per-group dispatch overhead.
+
+    Built on :func:`partitioned_apply`; inside each hash partition a
+    pandas ``groupby(keys)`` loop calls ``fn`` per distinct key. Use
+    this only when the per-group work is genuinely irreducible (e.g. a
+    matrix op per group); prefer :func:`partitioned_apply` with a
+    vectorized partition-level ``fn`` everywhere else.
+    """
+    import pandas as pd
+
+    key_list = list(key_cols)
+
+    def apply_groups(g: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _key, grp in g.groupby(key_list, sort=False):
             out.append(fn(grp))
@@ -60,7 +87,7 @@ def partitioned_group_apply(
             return fn(g.head(0))
         return pd.concat(out, ignore_index=True)
 
-    return parted.groupby("__part").map_groups(apply_part, batch_format="pandas")
+    return partitioned_apply(ds, key_cols, apply_groups, num_parts=num_parts)
 
 
 def value_counts(ds: rd.Dataset, keys: str | Sequence[str], alias: str = "n") -> rd.Dataset:

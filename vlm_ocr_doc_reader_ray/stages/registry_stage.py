@@ -35,19 +35,22 @@ from vlm_ocr_doc_reader_ray.extract.voting import Sample, majority_vote
 
 def upsert_registry(registry: rd.Dataset, version_col: str = "resolution") -> rd.Dataset:
     """Keep the highest-``version_col`` row per (url, entity_id);
-    ties broken by the later span_start (stable, data-driven)."""
+    ties broken by the later span_start (stable, data-driven).
 
-    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
+    One hash-partitioned shuffle; keep-last is a single vectorized
+    sort + drop_duplicates per partition (no per-key dispatch)."""
+
+    def keep_last_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([version_col, "span_start"], ascending=[True, True])
-        return g.tail(1)
+        return g.drop_duplicates(["url", "entity_id"], keep="last")
 
     def drop_empty(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[batch["entity_id"].astype(str) != ""]
 
-    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_group_apply
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
 
     cleaned = registry.map_batches(drop_empty, batch_format="pandas")
-    return partitioned_group_apply(cleaned, ["url", "entity_id"], keep_last)
+    return partitioned_apply(cleaned, ["url", "entity_id"], keep_last_part)
 
 
 def pending_entities(registry: rd.Dataset, below_resolution: int = 1) -> rd.Dataset:
@@ -138,78 +141,62 @@ def verify_grouped(
     axes: Sequence[int] = (1, 3, 5),
 ) -> rd.Dataset:
     """Checkpoint-path verify: re-join registry rows to their document
-    text, fan out one sample per axis, vote per (url, entity_id).
+    text (hash-partitioned join on url — the J1 join of SURVEY §2.4
+    when pipelining is not available), then vote each row inside
+    ``map_batches``.
 
-    The document text lookup is a bucketed co-group (url is the
-    partition key on both sides) — the J1 join of SURVEY §2.4 when
-    pipelining is not available."""
+    The vote itself is per-row string work (irreducible), but there is
+    no per-key Ray dispatch and no ``iterrows``: the join moves each
+    document text once, and the batch kernel walks plain column
+    arrays. One sample per axis, ordered by axis index (the tie-break
+    column of G3) — identical at any partitioning."""
+    from vlm_ocr_doc_reader_ray.stages.relational import native_hash_join
 
     ex = extracted.select_columns(["url", "extracted_text"])
+    joined = native_hash_join(registry, ex, "url", "url")
+    axis_list = sorted(axes)
 
-    def tag_side_reg(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__side", pa.array(["r"] * len(batch)))
-
-    def tag_side_ex(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__side", pa.array(["e"] * len(batch)))
-
-    reg_cols = [
-        "url", "entity_id", "page_num", "kind", "prompt", "resolution",
-        "value", "context", "verified", "confidence", "span_start",
-        "span_end", "status",
-    ]
-
-    def pad_reg(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["extracted_text"] = None
-        df["__side"] = "r"
-        return df
-
-    def pad_ex(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        for c in reg_cols:
-            if c not in df.columns:
-                df[c] = None
-        df["__side"] = "e"
-        return df[reg_cols + ["extracted_text", "__side"]]
-
-    both = registry.map_batches(pad_reg, batch_format="pandas").union(
-        ex.map_batches(pad_ex, batch_format="pandas")
-    )
-
-    def vote_group(g: pd.DataFrame) -> pd.DataFrame:
-        texts = g[g["__side"] == "e"]["extracted_text"].dropna()
-        text = texts.iloc[0] if len(texts) else ""
-        rows = g[g["__side"] == "r"]
-        out = []
-        for _, r in rows.iterrows():
+    def vote_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        out_url, out_eid, out_kind = [], [], []
+        out_value, out_conf, out_ver, out_res = [], [], [], []
+        for url, eid, page_num, kind, prompt, resolution, value, context, \
+                verified, confidence, span_start, span_end, status, text in zip(
+            batch["url"], batch["entity_id"], batch["page_num"], batch["kind"],
+            batch["prompt"], batch["resolution"], batch["value"], batch["context"],
+            batch["verified"], batch["confidence"], batch["span_start"],
+            batch["span_end"], batch["status"], batch["extracted_text"],
+        ):
             entry = RegistryEntry(
-                entity_id=r["entity_id"], page_num=int(r["page_num"]),
-                kind=r["kind"], prompt=r["prompt"], resolution=int(r["resolution"]),
-                value=r["value"], context=r["context"], verified=bool(r["verified"]),
-                confidence=r["confidence"], span_start=int(r["span_start"]),
-                span_end=int(r["span_end"]), status=r["status"],
+                entity_id=eid, page_num=int(page_num), kind=kind, prompt=prompt,
+                resolution=int(resolution), value=value, context=context,
+                verified=bool(verified), confidence=confidence,
+                span_start=int(span_start), span_end=int(span_end), status=status,
             )
-            # one sample per axis, ordered by axis index (the tie-break
-            # column of G3) — identical at any partitioning
-            samples = [_window_extract(entry, text, 40 * a) for a in sorted(axes)]
+            samples = [_window_extract(entry, text or "", 40 * a) for a in axis_list]
             v = majority_vote(samples)
+            out_url.append(url)
+            out_eid.append(eid)
+            out_kind.append(kind)
             if v.confidence.startswith("0/"):
-                out.append(
-                    dict(url=r["url"], entity_id=r["entity_id"], kind=r["kind"],
-                         value=r["value"], confidence=r["confidence"],
-                         verified=bool(r["verified"]), resolution=int(r["resolution"]))
-                )
+                out_value.append(value)
+                out_conf.append(confidence)
+                out_ver.append(bool(verified))
+                out_res.append(int(resolution))
             else:
-                out.append(
-                    dict(url=r["url"], entity_id=r["entity_id"], kind=r["kind"],
-                         value=v.value, confidence=v.confidence,
-                         verified=v.verified, resolution=2)
-                )
-        if not out:
-            return pd.DataFrame(
-                {c: [] for c in ["url", "entity_id", "kind", "value",
-                                 "confidence", "verified", "resolution"]}
-            )
-        return pd.DataFrame(out)
+                out_value.append(v.value)
+                out_conf.append(v.confidence)
+                out_ver.append(v.verified)
+                out_res.append(2)
+        return pd.DataFrame(
+            {
+                "url": pd.Series(out_url, dtype="object"),
+                "entity_id": pd.Series(out_eid, dtype="object"),
+                "kind": pd.Series(out_kind, dtype="object"),
+                "value": pd.Series(out_value, dtype="object"),
+                "confidence": pd.Series(out_conf, dtype="object"),
+                "verified": pd.Series(out_ver, dtype="bool"),
+                "resolution": pd.Series(out_res, dtype="int64"),
+            }
+        )
 
-    return both.groupby("url").map_groups(vote_group, batch_format="pandas")
+    return joined.map_batches(vote_batch, batch_format="pandas")

@@ -116,8 +116,11 @@ def partitioned_hash_join(
     )
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"].dropna(axis=1, how="all").drop(columns=["__side", "__bucket"])
-        rg = g[g["__side"] == "r"].dropna(axis=1, how="all").drop(columns=["__side", "__bucket"])
+        # un-pad by EXPLICIT column list per side (never dropna: a
+        # genuine data column that is all-null within one bucket would
+        # vanish and make that bucket's output schema diverge)
+        lg = g[g["__side"] == "l"][l_cols]
+        rg = g[g["__side"] == "r"][r_cols]
         if lg.empty or rg.empty:
             return pd.DataFrame()
         return lg.merge(rg, left_on=left_on, right_on=right_on, how="inner")
@@ -215,11 +218,16 @@ def session_window_agg(
 ) -> rd.Dataset:
     """Session windows per key (sessions split at gaps > ``gap_s``).
 
-    Sessionization is inherently per-key-ordered, so this is the one
-    window that genuinely needs ``groupby(key).map_groups`` over
-    ts-sorted events (SURVEY §2.9 pattern); output
+    Sessionization is per-key-ordered, but it does NOT need per-key
+    dispatch: one hash-partitioned shuffle co-locates each key, then
+    the whole partition is sessionized in a single vectorized pass —
+    sort by (key, ts), flag rows where the key changes or the gap
+    exceeds ``gap_s``, cumsum the flags into session ids, and a pandas
+    groupby aggregate (C-speed hash agg) emits
     (key, session_start_s, n_events, duration_s)."""
     import numpy as np
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -231,31 +239,52 @@ def session_window_agg(
 
     projected = events.map_batches(project, batch_format="pyarrow")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["epoch_s"].to_numpy())
-        breaks = np.concatenate([[True], np.diff(ts) > gap_s])
-        session_ids = np.cumsum(breaks)
-        out = pd.DataFrame({"epoch_s": ts, "sid": session_ids}).groupby("sid")["epoch_s"].agg(
-            ["min", "max", "count"]
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=g[key_col].dtype),
+                    "session_start_s": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "duration_s": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values([key_col, "epoch_s"], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        ts = g["epoch_s"].to_numpy()
+        new_key = np.concatenate([[True], keys[1:] != keys[:-1]])
+        gap = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_s])
+        sid = np.cumsum(new_key | gap)
+        agg = (
+            pd.DataFrame({key_col: keys, "t": ts, "sid": sid})
+            .groupby("sid", sort=False)
+            .agg(
+                **{
+                    key_col: (key_col, "first"),
+                    "session_start_s": ("t", "min"),
+                    "n_events": ("t", "count"),
+                    "t_max": ("t", "max"),
+                }
+            )
         )
-        return pd.DataFrame(
-            {
-                key_col: g[key_col].iloc[0],
-                "session_start_s": out["min"].astype("int64"),
-                "n_events": out["count"].astype("int64"),
-                "duration_s": (out["max"] - out["min"]).astype("int64"),
-            }
-        ).reset_index(drop=True)
+        agg["duration_s"] = (agg["t_max"] - agg["session_start_s"]).astype("int64")
+        agg["session_start_s"] = agg["session_start_s"].astype("int64")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg[
+            [key_col, "session_start_s", "n_events", "duration_s"]
+        ].reset_index(drop=True)
 
-    return projected.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return partitioned_apply(projected, [key_col], sessions_part)
 
 
 def grouped_top_k(
     ds: rd.Dataset, key_col: str, by: str, k: int, tie_break: str
 ) -> rd.Dataset:
     """Top-k rows per key by (by desc, tie asc): per-batch local top-k
-    combiner, then a per-key merge (shuffle carries ≤ k×blocks rows
-    per key)."""
+    combiner, then a hash-partitioned merge (shuffle carries ≤
+    k×blocks rows per key; the merge is one vectorized
+    sort + groupby.head per partition, never per-key dispatch)."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -265,11 +294,7 @@ def grouped_top_k(
         )
 
     partials = ds.map_batches(local, batch_format="pandas")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values([by, tie_break], ascending=[False, True]).head(k)
-
-    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+    return partitioned_apply(partials, [key_col], local)
 
 
 def broadcast_anti_join(
