@@ -95,8 +95,14 @@ def _q_host_median(sf_dir: str):
 
 
 def _q_embedding_near_dups(sf_dir: str):
-    """Plant a perturbed twin per vector (deterministic ~0.999-cosine
-    pair), then recover the pairs via sign-LSH buckets. Rows-only."""
+    """Plant a perturbed twin per vector (deterministic ~0.99995-cosine
+    pair), then recover the pairs via BANDED sign-LSH buckets.
+
+    SQL-verified via the planted-pair predicate: the exact >=0.95
+    answer over the planted set IS exactly the twin pairs (measured
+    margin: twins >=0.99995, max non-twin cosine 0.60 at sf0.1), and
+    the 4x12-bit banding misses a twin with p~2e-6 — so the pipeline
+    must reproduce the predicate bit-for-bit."""
     import hashlib
 
     import numpy as np
@@ -130,7 +136,7 @@ def _q_embedding_near_dups(sf_dir: str):
         )
 
     planted = emb.map_batches(with_twins, batch_format="pyarrow")
-    return embedding_near_dups(planted, threshold=0.95)
+    return embedding_near_dups(planted, threshold=0.95).select_columns(["id_a", "id_b"])
 
 
 def _q_span_stats(sf_dir: str):
@@ -220,25 +226,17 @@ def _q_dedup_exact(sf_dir: str):
 
 def _q_dedup_minhash(sf_dir: str):
     """Near-dup pairs over the corpus at reps=2 (each doc + its word
-    rotation → high-Jaccard planted pairs). Rows-only check (LSH is
-    probabilistic recall; no SQL mirror)."""
+    rotation → high-Jaccard planted pairs), keyed by url.
+
+    SQL-verified against the exact shingle-explode Jaccard self-join:
+    verification is exact Jaccard (bit-identical threshold decisions
+    in both engines), and at bands=32 (r=2) an LSH miss at J>=0.8 has
+    p~1e-14, so the output must equal the exact >=0.8 pair set."""
     from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
     from vlm_ocr_doc_reader_ray.stages.dedup import minhash_near_dups
 
     corpus = read_corpus(sf_dir, reps=2).select_columns(["url", "text"])
-    import pyarrow as pa
-
-    def add_int_id(batch: pa.Table) -> pa.Table:
-        import hashlib
-
-        ids = [
-            int.from_bytes(hashlib.blake2b(u.encode(), digest_size=7).digest(), "big")
-            for u in batch.column("url").to_pylist()
-        ]
-        return batch.append_column("doc_key", pa.array(ids, type=pa.int64()))
-
-    tagged = corpus.map_batches(add_int_id, batch_format="pyarrow")
-    return minhash_near_dups(tagged, id_col="doc_key", threshold=0.8)
+    return minhash_near_dups(corpus, id_col="url", threshold=0.8, bands=32)
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -265,7 +263,9 @@ def _q_similarity_lsh(sf_dir: str):
 
     mat, ids = load_queries(sf_dir, n_queries=10)
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ann_lsh_bucketed(emb, mat, ids, k=5)
+    return ann_lsh_bucketed(emb, mat, ids, k=5).select_columns(
+        ["query_id", "rank", "vec_id"]
+    )
 
 
 def _q_media_decode(sf_dir: str):
@@ -560,8 +560,7 @@ def oracle_sql() -> dict[str, str]:
         "host_doc_stats": sm.HOST_STATS_SQL,
         "extract_from_pages": sm.EXTRACT_FROM_PAGES_SQL,
         "host_text_median": sm.HOST_MEDIAN_SQL,
-        # embedding_near_dups: planted-twin recovery via sign-LSH, recall<1
-        # by design — rows-only
+        "embedding_near_dups": sm.EMBEDDING_NEAR_DUPS_SQL,
         "span_stats": sm.SPAN_STATS_SQL,
         "verify_grouped": sm.VERIFY_GROUPED_SQL,
         "registry_upsert": sm.UPSERT_SQL,
@@ -569,9 +568,9 @@ def oracle_sql() -> dict[str, str]:
         "phone_digits": sm.PHONE_DIGITS_SQL,
         "text_analysis": sm.TEXT_ANALYSIS_SQL,
         "dedup_exact": sm.DEDUP_EXACT_SQL,
-        # dedup_minhash_pairs / dedup_simhash_pairs / similarity_lsh:
-        # probabilistic-recall ops, deliberately no SQL oracle (driver
-        # records a rows-only check; determinism pinned in pytest)
+        "dedup_minhash_pairs": sm.MINHASH_PAIRS_SQL,
+        "dedup_simhash_pairs": sm.SIMHASH_PAIRS_SQL,
+        "similarity_lsh": sm.similarity_lsh_sql(),
         "similarity_topk": sm.SIMILARITY_TOPK_SQL,
         "media_decode": sm.MEDIA_DECODE_SQL,
         "pricing_summary": sm.PRICING_SUMMARY_SQL,

@@ -231,6 +231,138 @@ FROM q, e
 QUALIFY rank <= 5
 """
 
+# --------------------------------------------------------------------------
+# dedup / similarity oracles
+# --------------------------------------------------------------------------
+
+# Exact shingle-explode Jaccard over the reps=2 corpus (rep 1 rotates
+# the word list by one — generator._rotate). The engine's minhash+LSH
+# (bands=32) output must EQUAL this exact >=0.8 pair set: candidate
+# recall at the threshold is 1-1e-14 and verification is exact Jaccard
+# with bit-identical threshold decisions (same IEEE division).
+MINHASH_PAIRS_SQL = r"""
+WITH corpus AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' ||
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         text
+  FROM documents
+  UNION ALL
+  SELECT 'https://' || source || '.example.com/' || lang || '/r1/' ||
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         CASE WHEN len(string_split(text, ' ')) > 1
+              THEN array_to_string(
+                     list_slice(string_split(text, ' '), 2,
+                                len(string_split(text, ' ')))
+                     || [string_split(text, ' ')[1]], ' ')
+              ELSE text END AS text
+  FROM documents
+), w AS (
+  SELECT url, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM corpus
+), sh0 AS (
+  SELECT url,
+         unnest(CASE WHEN nw < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_transform(range(0, nw - 2),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+                END) AS shingle
+  FROM w
+), sh AS (
+  SELECT DISTINCT url, shingle FROM sh0
+), cnt AS (
+  SELECT url, count(*) AS ns FROM sh GROUP BY url
+), pair_inter AS (
+  SELECT a.url AS id_a, b.url AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.url < b.url
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (ca.ns + cb.ns - i) AS jaccard
+FROM pair_inter
+JOIN cnt ca ON id_a = ca.url
+JOIN cnt cb ON id_b = cb.url
+WHERE CAST(i AS DOUBLE) / (ca.ns + cb.ns - i) >= 0.8
+"""
+
+# All-pairs 64-bit simhash Hamming<=3. The word hash is md5-based
+# (stages/dedup.py::md5_u64 == ('0x'||substr(md5(w),1,16))::UBIGINT)
+# and the 4x16-bit banding has recall EXACTLY 1 by pigeonhole, so the
+# engine's banded output must equal this oracle bit-for-bit.
+SIMHASH_PAIRS_SQL = r"""
+WITH words0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), words AS (
+  SELECT DISTINCT doc_id, w FROM words0
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS hv
+  FROM words
+), bits AS (
+  SELECT doc_id, CAST(b AS INTEGER) AS bit,
+         sum(CASE WHEN (hv >> CAST(b AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS acc
+  FROM h, (SELECT unnest(range(0, 64)) AS b) bs
+  GROUP BY 1, 2
+), sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0
+                       THEN CAST(1 AS UBIGINT) << bit
+                       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS fp
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+# Planted-twin predicate for embedding near-dup recovery: the exact
+# >=0.95 answer over the planted set IS exactly the twin pairs
+# (measured margin at sf0.1: twins >=0.99995, max non-twin 0.60), and
+# banded sign-LSH misses a twin with p~2e-6 per pair.
+EMBEDDING_NEAR_DUPS_SQL = r"""
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings
+"""
+
+
+def similarity_lsh_sql(dim: int = 64, bits: int = 4, k: int = 5,
+                       n_queries: int = 10) -> str:
+    """Bucketed-ANN oracle: the engine's sign-LSH hyperplanes are
+    deterministic, so they are interpolated as double literals and the
+    bucket is recomputed IN SQL (sign of raw dot product ==
+    sign of normalized dot product); per-query ranking mirrors
+    SIMILARITY_TOPK_SQL restricted to the query's bucket."""
+    from vlm_ocr_doc_reader_ray.stages.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits)
+    terms = []
+    for b in range(bits):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[b]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee,
+         {bucket_expr} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, ee AS qe, bucket AS qbucket
+  FROM e WHERE vec_id < {n_queries}
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY list_cosine_similarity(qe, ee) DESC, vec_id
+       ) AS BIGINT) AS rank,
+       vec_id
+FROM q JOIN e ON e.bucket = q.qbucket
+QUALIFY rank <= {k}
+"""
+
+
 MEDIA_DECODE_SQL = r"""
 SELECT doc_id,
        640 + (doc_id % 5) * 160 AS width,

@@ -6,21 +6,33 @@ only dedup is content-hash workspace identity + entity-id upsert,
 scale):
 
 - **exact**: content-hash column (vectorized) → per-batch keep-first
-  combiner → hash-partitioned ``groupby(hash).map_groups(first)``.
-  The shuffle moves at most one row per (hash, batch).
+  combiner → hash-partitioned vectorized keep-first per partition.
+  The shuffle moves at most one row per (hash, batch); nothing is
+  ever materialized on the driver in the streaming path.
 - **MinHash+LSH**: per-doc k-permutation minhash over word shingles →
-  banded bucket keys → ``groupby(bucket)`` emits candidate pairs only
-  within buckets → exact-Jaccard verification per pair → greedy
-  min-id clustering. All hashes are explicit (blake2b-seeded
+  banded bucket keys → hash-partitioned self-merge emits candidate
+  pairs only within buckets → texts re-attached by DISTRIBUTED hash
+  joins (never a driver lookup table) → exact-Jaccard verification
+  inside ``map_batches``. All hashes are explicit (blake2b-seeded
   multiply-shift), never Python's randomized ``hash()``, so
   signatures are identical at any parallelism / process.
 - **SimHash**: 64-bit sign-sum fingerprint; near-dup candidates via
-  band-equality on 4×16-bit chunks (Hamming ≤ 3 ⇒ some band equal).
+  band-equality on 4×16-bit chunks (Hamming ≤ 3 ⇒ some band equal,
+  pigeonhole — recall is exactly 1). Pair emission is a vectorized
+  self-merge + SWAR popcount, never a Python double loop. The word
+  hash is md5-based so the DuckDB oracle can recompute fingerprints
+  bit-for-bit in SQL.
 - **n-gram Jaccard**: the exact verifier, also exposed standalone.
 
 Skew note: a pathological bucket (e.g. an empty-shingle bucket) would
-serialize one reducer; ``max_bucket`` caps pairs per bucket and the
-cap is recorded in the output so truncation is visible, not silent.
+blow up the pair count; ``max_bucket`` caps ids per bucket and pairs
+from a capped bucket carry ``truncated=True`` so truncation is
+visible in the output, never silent.
+
+Tokenization contract: words are ``text.split(' ')`` (single-space
+split, exactly DuckDB's ``string_split(text, ' ')``) so the SQL
+oracles stay in bit-for-bit lockstep on any input, not just
+single-spaced ASCII.
 """
 
 from __future__ import annotations
@@ -45,6 +57,12 @@ def stable_u64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def md5_u64(s: str) -> int:
+    """First 8 bytes of md5, big-endian — mirrored in SQL by
+    ``('0x' || substr(md5(w), 1, 16))::UBIGINT``."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
 def _perm_params(n_perm: int, seed: int = 0x5EED) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) multiply-shift parameters per permutation."""
     a = np.empty(n_perm, dtype=np.uint64)
@@ -57,7 +75,9 @@ def _perm_params(n_perm: int, seed: int = 0x5EED) -> tuple[np.ndarray, np.ndarra
 
 
 def word_shingles(text: str, n: int = 3) -> List[str]:
-    words = text.split()
+    # split(' ') — NOT split() — to stay in lockstep with the SQL
+    # oracle's string_split(text, ' ') on multi-space input
+    words = text.split(" ")
     if len(words) < n:
         return [" ".join(words)] if words else []
     return [" ".join(words[i: i + n]) for i in range(len(words) - n + 1)]
@@ -69,6 +89,17 @@ def jaccard(a: Sequence[str], b: Sequence[str]) -> float:
         return 1.0
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter)
+
+
+def popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    v = v.astype(np.uint64, copy=True)
+    v -= (v >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
 # ---------------------------------------------------------------------------
@@ -90,23 +121,29 @@ def dedup_exact(
     ds: rd.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_winners: bool = True,
+    broadcast_winners: bool = False,
 ) -> rd.Dataset:
     """Keep the min-id row per distinct ``text_col`` value.
 
     Pipeline: content-hash column → per-batch keep-first combiner →
-    ``groupby(hash).aggregate(Min(id))`` (combiner-based, no per-group
-    Python calls) → winners filter.
+    winner selection. Two modes, both free of per-key Ray dispatch:
 
-    ``broadcast_winners=True`` resolves the final filter by
-    broadcasting the winner-id set (``ray.put`` once) — right when
-    distinct texts fit comfortably in memory (most dedup runs: the
-    winner set is ids only, ~10-100 bytes/row). For corpora whose
-    DISTINCT id set alone is too large, set False to use the
-    hash-partitioned ``map_groups`` path instead (slower per group but
-    fully streaming).
+    - ``broadcast_winners=False`` (default — the scale path, and the
+      measured-fastest one): fully streaming — the combined residue
+      is hash-partitioned by text_hash and each partition keeps
+      winners with one vectorized sort + drop_duplicates. NOTHING is
+      materialized on the driver; works for corpora whose distinct
+      set dwarfs any single node.
+    - ``broadcast_winners=True``: the one-less-shuffle variant for
+      when the distinct-text residue comfortably fits in memory —
+      per-block combine, coalesce, then the (hash, id) residue is
+      reduced to a winner-id set and broadcast via ``ray.put`` for a
+      shuffle-free filter. O(distinct) driver memory BY CONTRACT;
+      prefer the default when in doubt.
     """
     import ray
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
 
     hashed = with_text_hash(ds, text_col)
 
@@ -115,33 +152,22 @@ def dedup_exact(
 
     combined = hashed.map_batches(local_first, batch_format="pandas")
 
+    def part_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).drop_duplicates("text_hash", keep="first")
+
     if not broadcast_winners:
-        def group_first(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values(id_col).head(1)
+        return partitioned_apply(combined, ["text_hash"], part_first)
 
-        return combined.groupby("text_hash").map_groups(
-            group_first, batch_format="pandas"
-        )
-
-    # Winner selection by HIERARCHICAL combining, not groupby: Ray's
-    # sort-based aggregate over 270k distinct keys measured 37s where
-    # this path takes ~2s. Levels: (1) per-batch keep-first (done in
-    # ``combined``), (2) coalesce blocks and combine again, (3) final
-    # combine of the residue — at this point ~bytes-per-distinct-hash,
-    # small enough for one pandas call. At corpora where even the
-    # distinct (hash, id) set dwarfs one node, replace level 3 with a
-    # hash-partitioned combine on the hash prefix (same function,
-    # sharded) — levels 1-2 are unchanged.
-    def combine_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values(id_col).drop_duplicates("text_hash", keep="first")
-
+    # level-2 coalesced combine, then the small (hash, id) residue is
+    # reduced on the driver to the winner-id set (deliberate
+    # O(distinct) footprint — that is this mode's contract)
     partials = (
         combined.select_columns(["text_hash", id_col])
-        .repartition(8)
-        .map_batches(combine_pairs, batch_format="pandas", batch_size=None)
+        .repartition(32)
+        .map_batches(part_first, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
-    winner_ids = set(combine_pairs(partials)[id_col])
+    winner_ids = set(part_first(partials)[id_col])
     ref = ray.put(winner_ids)
 
     def keep_winners(batch: pd.DataFrame) -> pd.DataFrame:
@@ -182,6 +208,12 @@ class MinHasher:
         return batch.append_column("minhash", arr)
 
 
+# deterministic 64-bit mixer for band keys (Fibonacci-hash style
+# fold of the band's signature lanes; collisions only create false
+# candidates, which exact verification removes)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def lsh_candidate_pairs(
     ds: rd.Dataset,
     id_col: str = "doc_id",
@@ -190,7 +222,16 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     max_bucket: int = 200,
 ) -> rd.Dataset:
-    """(id_a, id_b, band) candidate rows from banded minhash buckets."""
+    """(id_a, id_b, band, truncated) candidate rows from banded
+    minhash buckets.
+
+    Bucket keys are a vectorized fold of the band's signature lanes;
+    pair emission is a hash-partitioned SELF-MERGE per (band, bucket)
+    — one vectorized pandas merge per partition, never a Python loop
+    over buckets. Buckets larger than ``max_bucket`` are capped to
+    their ``max_bucket`` smallest ids and the surviving pairs carry
+    ``truncated=True`` so the cap is visible in the output.
+    """
     rows_per_band = n_perm // bands
     # stateless instance: MinHasher state is tiny. If a pool is ever
     # pinned here, size it BELOW the cluster CPU count — a pool that
@@ -202,45 +243,81 @@ def lsh_candidate_pairs(
     )
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        sigs = batch.column("minhash").to_pylist()
-        out_id, out_band, out_key = [], [], []
-        for i, sig in zip(ids, sigs):
-            for band in range(bands):
-                chunk = sig[band * rows_per_band: (band + 1) * rows_per_band]
-                key = hashlib.blake2b(
-                    np.asarray(chunk, dtype=np.uint64).tobytes() + band.to_bytes(2, "big"),
-                    digest_size=8,
-                ).hexdigest()
-                out_id.append(i)
-                out_band.append(band)
-                out_key.append(key)
-        return pa.table(
-            {
-                id_col: pa.array(out_id),
-                "band": pa.array(out_band, type=pa.int32()),
-                "bucket": pa.array(out_key, type=pa.string()),
-            }
-        )
+        n = len(batch)
+        sig_col = batch.column("minhash")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sigs = sig_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        sigs = sigs.reshape(n, n_perm)
+        ids = batch.column(id_col)
+        parts = []
+        for band in range(bands):
+            chunk = sigs[:, band * rows_per_band: (band + 1) * rows_per_band]
+            key = np.full(n, np.uint64(band + 1), dtype=np.uint64)
+            for lane in range(rows_per_band):
+                key = (key * _MIX) ^ chunk[:, lane]
+            parts.append(
+                pa.table(
+                    {
+                        id_col: ids,
+                        "band": pa.array(np.full(n, band, dtype=np.int32)),
+                        "bucket": pa.array(key.view(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     buckets = sig_ds.map_batches(to_buckets, batch_format="pyarrow")
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())[:max_bucket]
-        band = int(g["band"].iloc[0])
-        pairs = [(a, b, band) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        if not pairs:
-            return pd.DataFrame({"id_a": [], "id_b": [], "band": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "band": "int32"}
-            )
-        return pd.DataFrame(pairs, columns=["id_a", "id_b", "band"]).astype(
-            {"id_a": "int64", "id_b": "int64", "band": "int32"}
+    def emit_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=g[id_col].dtype),
+                "id_b": pd.Series([], dtype=g[id_col].dtype),
+                "band": pd.Series([], dtype="int32"),
+                "truncated": pd.Series([], dtype="bool"),
+            }
+        )
+        if g.empty:
+            return empty
+        g = g.drop_duplicates([id_col, "band", "bucket"]).sort_values(id_col)
+        # cap: keep each bucket's max_bucket smallest ids, flag the rest
+        rank = g.groupby(["band", "bucket"], sort=False).cumcount()
+        sizes = g.groupby(["band", "bucket"], sort=False)[id_col].transform("size")
+        g = g.assign(__trunc=(sizes > max_bucket))[rank < max_bucket]
+        m = g.merge(g, on=["band", "bucket"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_a"].to_numpy(),
+                "id_b": m[f"{id_col}_b"].to_numpy(),
+                "band": m["band"].astype("int32").to_numpy(),
+                "truncated": (m["__trunc_a"] | m["__trunc_b"]).to_numpy(),
+            }
         )
 
-    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_group_apply
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
 
-    # thousands of tiny buckets: partitioned apply, not per-group dispatch
-    return partitioned_group_apply(buckets, ["band", "bucket"], emit_pairs)
+    # thousands of tiny buckets: one vectorized self-merge per hash
+    # partition, not per-group dispatch
+    return partitioned_apply(buckets, ["band", "bucket"], emit_part)
+
+
+def distinct_pairs(pairs: rd.Dataset, cols: Sequence[str] = ("id_a", "id_b")) -> rd.Dataset:
+    """Distributed pair-distinct: per-batch combiner then one
+    hash-partitioned vectorized drop_duplicates (a pair can surface
+    from several bands; nothing reaches the driver)."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    col_list = list(cols)
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(col_list)
+
+    local_d = pairs.map_batches(local, batch_format="pandas")
+    return partitioned_apply(local_d, col_list, local)
 
 
 def minhash_near_dups(
@@ -253,69 +330,77 @@ def minhash_near_dups(
 ) -> rd.Dataset:
     """(id_a, id_b, jaccard) verified near-duplicate pairs.
 
-    Candidates from LSH buckets; exact word-shingle Jaccard verifies
-    each distinct pair. The texts needed for verification are joined
-    back by broadcasting the candidate id-set is avoided — instead the
-    pair verifier looks texts up from a broadcast dict when the
-    candidate set is small, which it is by construction (LSH prunes)."""
-    import ray
+    Fully distributed: LSH candidates → distributed pair-distinct →
+    the two texts are re-attached by two HASH JOINS against the
+    corpus (Ray's hash-partitioned ``Dataset.join``; the corpus is
+    never collected into a driver lookup table) → exact word-shingle
+    Jaccard verifies each pair inside ``map_batches``.
 
+    Recall: a true pair at jaccard ``J`` is a candidate with
+    probability ``1-(1-J^r)^b`` (r = n_perm/bands rows per band); at
+    the default 16×4, J=0.8 pairs are missed with p≈2e-4 — pass
+    ``bands=32`` (r=2) to push that to ~1e-14 when exactness at the
+    threshold matters more than candidate-count.
+    """
     pairs = lsh_candidate_pairs(ds, id_col, n_perm, bands, text_col)
+    cand = distinct_pairs(pairs.select_columns(["id_a", "id_b"]))
 
-    def distinct_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[["id_a", "id_b"]].drop_duplicates()
+    texts = ds.select_columns([id_col, text_col])
 
-    cand = pairs.map_batches(distinct_pairs, batch_format="pandas")
+    def rename(to_id: str, to_text: str):
+        def _r(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([to_id, to_text])
 
-    # candidates are few by construction (LSH prunes): final distinct
-    # on the driver alongside the text fetch below
-    cand_tbl = cand.to_pandas().drop_duplicates(["id_a", "id_b"], ignore_index=True)
-    if cand_tbl.empty:
-        return rd.from_pandas(
-            pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64"),
-                          "jaccard": pd.Series([], dtype="float64")})
-        )
-    needed = set(cand_tbl["id_a"]) | set(cand_tbl["id_b"])
+        return _r
 
-    def keep_needed(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch[id_col].isin(needed)][[id_col, text_col]]
+    # the explicit bucketed join (task-based shuffle), NOT the native
+    # actor-pool join: two chained joins spawn two aggregator pools,
+    # which starves small clusters (observed deadlock at 4 CPUs)
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
 
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.map_batches(keep_needed, batch_format="pandas").take_all()
-    }
-    texts_ref = ray.put(texts)
+    with_a = partitioned_hash_join(
+        cand, texts.map_batches(rename("id_a", "text_a"), batch_format="pyarrow"),
+        "id_a", "id_a",
+    )
+    with_b = partitioned_hash_join(
+        with_a, texts.map_batches(rename("id_b", "text_b"), batch_format="pyarrow"),
+        "id_b", "id_b",
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(texts_ref)
-        jac = [
-            jaccard(word_shingles(lookup[a]), word_shingles(lookup[b]))
-            for a, b in zip(batch["id_a"], batch["id_b"])
-        ]
-        batch = batch.copy()
-        batch["jaccard"] = jac
-        return batch[batch["jaccard"] >= threshold]
+        jac = np.array(
+            [
+                jaccard(word_shingles(a), word_shingles(b))
+                for a, b in zip(batch["text_a"], batch["text_b"])
+            ],
+            dtype=np.float64,
+        )
+        out = batch[["id_a", "id_b"]].copy()
+        out["jaccard"] = jac
+        return out[out["jaccard"] >= threshold]
 
-    return rd.from_pandas(cand_tbl).map_batches(verify, batch_format="pandas")
+    return with_b.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit sign-sum fingerprint over word features (weight 1)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in set(text.split()):
-        h = stable_u64(w)
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
-    return out
+    """64-bit sign-sum fingerprint over distinct word features
+    (weight 1). Word hash is md5-based (``md5_u64``) and the word
+    split is ``split(' ')`` so a DuckDB oracle recomputes the exact
+    fingerprint from SQL; the bit loop is vectorized numpy."""
+    words = set(text.split(" "))
+    if not words:
+        return 0
+    hs = np.array([md5_u64(w) for w in words], dtype=np.uint64)
+    bits = (hs[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << _BIT_SHIFTS).sum())
 
 
 def with_simhash(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
@@ -335,55 +420,65 @@ def simhash_candidates(
 
     Banding: with 4 bands of 16 bits, Hamming <= 3 implies at least
     one band identical (pigeonhole), so grouping by band value finds
-    every qualifying pair without an all-pairs scan."""
+    every qualifying pair without an all-pairs scan — recall is
+    exactly 1 and the DuckDB all-pairs oracle must match bit-for-bit.
+    Pair emission per (band, key) partition is a vectorized
+    self-merge + SWAR popcount (no Python loop over bucket members)."""
     hashed = with_simhash(ds.select_columns([id_col, text_col]), text_col)
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        hs = batch.column("simhash").to_pylist()
-        out_id, out_band, out_key, out_hash = [], [], [], []
-        for i, hx in zip(ids, hs):
-            h = int(hx, 16)
-            for band in range(4):
-                out_id.append(i)
-                out_band.append(band)
-                out_key.append((h >> (band * 16)) & 0xFFFF)
-                out_hash.append(hx)
-        return pa.table(
-            {
-                id_col: pa.array(out_id),
-                "band": pa.array(out_band, type=pa.int32()),
-                "key": pa.array(out_key, type=pa.int64()),
-                "simhash": pa.array(out_hash, type=pa.string()),
-            }
+        n = len(batch)
+        hs = np.array(
+            [int(h, 16) for h in batch.column("simhash").to_pylist()], dtype=np.uint64
         )
+        ids = batch.column(id_col)
+        parts = []
+        for band in range(4):
+            key = (hs >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            parts.append(
+                pa.table(
+                    {
+                        id_col: ids,
+                        "band": pa.array(np.full(n, band, dtype=np.int32)),
+                        "key": pa.array(key.astype(np.int64)),
+                        "simhash": pa.array(hs.view(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     bands = hashed.map_batches(to_bands, batch_format="pyarrow")
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        rows = []
-        recs = list(zip(g[id_col], g["simhash"]))
-        for i, (a, ha) in enumerate(recs):
-            for b, hb in recs[i + 1:]:
-                d = bin(int(ha, 16) ^ int(hb, 16)).count("1")
-                if d <= max_hamming:
-                    rows.append((a, b, d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
-            {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+    def emit_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=g[id_col].dtype),
+                "id_b": pd.Series([], dtype=g[id_col].dtype),
+                "hamming": pd.Series([], dtype="int64"),
+            }
         )
+        if g.empty:
+            return empty
+        g = g.drop_duplicates([id_col, "band", "key"]).sort_values(id_col)
+        m = g.merge(g, on=["band", "key"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return empty
+        ham = popcount64(
+            m["simhash_a"].to_numpy().view(np.uint64)
+            ^ m["simhash_b"].to_numpy().view(np.uint64)
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_a"].to_numpy(),
+                "id_b": m[f"{id_col}_b"].to_numpy(),
+                "hamming": ham,
+            }
+        )
+        return out[out["hamming"] <= max_hamming]
 
-    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_group_apply
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
 
-    pairs = partitioned_group_apply(bands, ["band", "key"], emit)
-
-    def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates(["id_a", "id_b"])
-
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    # a pair can surface from up to 4 bands: local distinct first,
-    # then a partitioned distinct (never per-pair Ray dispatch)
-    deduped = pairs.map_batches(local_distinct, batch_format="pandas")
-    return partitioned_group_apply(deduped, ["id_a", "id_b"], dedup_pair)
+    pairs = partitioned_apply(bands, ["band", "key"], emit_part)
+    # a pair can surface from up to 4 bands: distributed distinct
+    return distinct_pairs(pairs, ["id_a", "id_b"])
