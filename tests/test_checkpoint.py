@@ -119,3 +119,49 @@ def test_manifest_lineage_table(ray_session, corpus_files):
     for p in df["output_path"]:
         for sub in ("extracted", "registry", "page_states"):
             assert os.path.isdir(os.path.join(p, sub)), (p, sub)
+
+
+def test_sigkill_then_resume_is_exact(ray_session, corpus_files):
+    """Hard-kill hardening: SIGKILL the whole driver process group
+    mid-run (not an injected exception), then resume must skip every
+    completed partition and produce byte-identical output."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    clean_root = "/tmp/ckpt_sigkill_clean"
+    crash_root = "/tmp/ckpt_sigkill_crash"
+    for p in (clean_root, crash_root):
+        shutil.rmtree(p, ignore_errors=True)
+
+    run_checkpointed(corpus_files, clean_root)
+
+    child = subprocess.Popen(
+        [sys.executable, "-m", "vlm_ocr_doc_reader_ray.cli", "--num-cpus", "2",
+         "run", *corpus_files, "-o", crash_root],
+        cwd="/root/repo",
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,  # own process group: killpg nukes its Ray too
+    )
+    manifest_glob = f"{crash_root}/_manifest/part-*.json"
+    deadline = time.time() + 180
+    try:
+        while time.time() < deadline:
+            if glob.glob(manifest_glob) or child.poll() is not None:
+                break
+            time.sleep(0.2)
+        assert glob.glob(manifest_glob), "child produced no checkpoint in time"
+    finally:
+        if child.poll() is None:
+            os.killpg(child.pid, signal.SIGKILL)
+        child.wait(timeout=30)
+
+    done = set(read_manifests(crash_root))
+    assert 1 <= len(done) <= len(corpus_files)
+
+    r = run_checkpointed(corpus_files, crash_root)
+    assert r["skipped"] == sorted(done)
+    assert sorted(r["ran"] + r["skipped"]) == list(range(len(corpus_files)))
+    pd.testing.assert_frame_equal(_hashes(clean_root), _hashes(crash_root))

@@ -38,3 +38,74 @@ class TestParseAxes:
         for bad in ["0", "-1", "a", "1,x"]:
             with pytest.raises(ValueError):
                 parse_axes_arg(bad)
+
+
+class TestResolvePending:
+    """Entity-granular resume (reference core/reader.py:266-276): only
+    resolution<1 rows are re-processed; a second run finds nothing."""
+
+    def _registry_with_pending(self, sf_small):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.pipelines.extraction import (
+            extract,
+            read_corpus,
+            registry_table,
+        )
+
+        ex = extract(read_corpus(sf_small), emit_spans=False, emit_registry=True)
+        reg = registry_table(ex)
+
+        def demote_phones(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            is_phone = pc.equal(batch.column("kind"), "phone")
+            res = pc.if_else(is_phone, pa.scalar(0, pa.int64()), batch.column("resolution"))
+            val = pc.if_else(
+                is_phone, pa.scalar("(stale)"), batch.column("value")
+            )
+            return batch.set_column(
+                batch.column_names.index("resolution"), "resolution", res
+            ).set_column(batch.column_names.index("value"), "value", val)
+
+        return reg.map_batches(demote_phones, batch_format="pyarrow"), ex
+
+    def test_only_pending_rows_processed_then_none(self, ray_session, sf_small):
+        import pandas as pd
+
+        from vlm_ocr_doc_reader_ray.stages.registry_stage import (
+            pending_entities,
+            resolve_pending,
+        )
+
+        reg, ex = self._registry_with_pending(sf_small)
+        n_pending = pending_entities(reg, below_resolution=1).count()
+        assert n_pending > 0
+
+        merged = resolve_pending(reg, ex)
+        mdf = merged.to_pandas()
+        # every previously-pending row is now resolved (level >= 1) and
+        # its stale value was re-extracted
+        phones = mdf[mdf["kind"] == "phone"]
+        assert (phones["resolution"] >= 1).all()
+        assert not (phones["value"] == "(stale)").any()
+        # non-pending rows kept their verified state untouched
+        others = mdf[mdf["kind"] != "phone"]
+        assert (others["resolution"] == 2).all()
+
+        # second run: nothing pending, output byte-identical
+        merged2 = resolve_pending(rd_from(mdf), ex)
+        assert pending_entities(rd_from(mdf), below_resolution=1).count() == 0
+        m2 = merged2.to_pandas()
+        key = ["url", "entity_id"]
+        pd.testing.assert_frame_equal(
+            mdf.sort_values(key, ignore_index=True)[sorted(mdf.columns)],
+            m2.sort_values(key, ignore_index=True)[sorted(mdf.columns)],
+        )
+
+
+def rd_from(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)

@@ -27,6 +27,14 @@ class TestFenceAndPayload:
         assert clean_json_fence('```\n{"a": 1}\n```') == '{"a": 1}'
         assert clean_json_fence('{"a": 1}') == '{"a": 1}'
 
+    def test_fence_embedded_in_prose(self):
+        # reference contract: the fence can appear ANYWHERE in the text
+        assert (
+            clean_json_fence('Here is the JSON:\n```json\n{"a": 1}\n```\nthanks')
+            == '{"a": 1}'
+        )
+        assert clean_json_fence('prefix ```{"b": 2}``` suffix') == '{"b": 2}'
+
     def test_valid_payload(self):
         p = parse_scan_payload(
             '```json{"text": "hi", "structure": {"headers": '

@@ -67,3 +67,35 @@ def test_host_stats_sql_consistency(con, small_documents):
     assert sum(r[1] for r in rows) == len(small_documents)
     hosts = {r[0] for r in rows}
     assert all(h.endswith(".example.com") for h in hosts)
+
+
+def test_text_analysis_lockstep_on_hostile_text():
+    """Multi-space, newline, tab, accented and empty texts must agree
+    between TextAnalyzer and the DuckDB mirror (the guard for the
+    split(' ') + ASCII-regex lockstep contract)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import TextAnalyzer
+
+    texts = [
+        "the  quick   brown fox",          # multi-space
+        "line one\nline two\tand three",   # newline + tab
+        "café naïve résumé 你好",  # non-ASCII
+        "",                                 # empty
+        " leading and trailing ",
+        "the and of a to is are was",
+    ]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        TextAnalyzer()(pa.table(docs))
+        .to_pandas()[
+            ["doc_id", "lang_pred", "n_words", "n_chars_measured",
+             "stopword_ratio", "n_punct", "ws_tokens", "bpe_tokens", "fingerprint"]
+        ]
+        .sort_values("doc_id", ignore_index=True)
+    )
+    c = duckdb.connect()
+    c.register("documents", docs)
+    want = c.sql(sm.TEXT_ANALYSIS_SQL).df().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)

@@ -101,6 +101,19 @@ def main(argv: List[str] | None = None) -> int:
     p_run.add_argument("-o", "--output", required=True)
     p_run.add_argument("--no-resume", action="store_true")
 
+    p_res = sub.add_parser(
+        "resolve",
+        help="entity-granular resume: re-resolve pending (resolution<1) "
+        "rows of a saved registry against extracted text",
+    )
+    p_res.add_argument("--from", dest="registry", required=True,
+                       help="registry parquet (as written by `registry`)")
+    p_res.add_argument("--extracted", required=True,
+                       help="extracted parquet (as written by `extract`)")
+    p_res.add_argument("-o", "--output", required=True)
+    p_res.add_argument("--pages", default=None)
+    p_res.add_argument("--chunk-size", type=int, default=5)
+
     args = ap.parse_args(argv)
     from vlm_ocr_doc_reader_ray.runtime import register_for_workers
 
@@ -130,6 +143,25 @@ def main(argv: List[str] | None = None) -> int:
                 )
             reg.write_parquet(args.output)
             print(f"wrote registry rows to {args.output}")
+        elif args.cmd == "resolve":
+            from vlm_ocr_doc_reader_ray.extract.sanitize import sanitize_registry_batch
+            from vlm_ocr_doc_reader_ray.stages.registry_stage import (
+                pending_entities,
+                resolve_pending,
+            )
+
+            pages = parse_pages_arg(args.pages)
+            reg = rd.read_parquet(args.registry).map_batches(
+                sanitize_registry_batch, batch_format="pyarrow"
+            )
+            ex = rd.read_parquet(args.extracted)
+            n_pending = pending_entities(reg, below_resolution=1).count()
+            merged = resolve_pending(reg, ex, pages=pages, chunk_size=args.chunk_size)
+            merged.write_parquet(args.output)
+            print(
+                f"resolved {n_pending} pending entities; "
+                f"wrote merged registry to {args.output}"
+            )
         elif args.cmd == "run":
             from vlm_ocr_doc_reader_ray.pipelines.checkpoint import run_checkpointed
 

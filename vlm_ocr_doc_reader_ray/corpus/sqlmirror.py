@@ -195,9 +195,9 @@ SELECT doc_id,
   len(text) AS n_chars_measured,
   CAST(len(list_filter(words, w -> list_contains({_STOP_SQL}, w))) AS DOUBLE) / nw
       AS stopword_ratio,
-  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+  CAST(len(regexp_extract_all(text, '[^0-9A-Za-z_ \t\n\r\f\v]')) AS BIGINT) AS n_punct,
   nw AS ws_tokens,
-  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]')) AS BIGINT)
       AS bpe_tokens,
   list_min(list_transform(
     CASE WHEN nw < 3 THEN [text]

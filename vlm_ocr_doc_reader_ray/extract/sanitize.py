@@ -20,12 +20,18 @@ from typing import Any, List, Optional
 
 import pyarrow as pa
 
-_FENCE_RX = re.compile(r"^\s*```(?:json)?\s*|\s*```\s*$")
+_FENCE_RX = re.compile(r"```(?:json)?\s*\n?(.*?)\n?```", re.DOTALL)
 
 
 def clean_json_fence(text: str) -> str:
-    """Strip markdown code fences around a JSON payload (M4)."""
-    return _FENCE_RX.sub("", text.strip())
+    """Extract the payload between markdown code fences ANYWHERE in
+    the text (M4, reference ``operations/scan.py:69-75``: a payload
+    like 'Here is the JSON:\\n```json\\n{...}\\n```' must parse);
+    fall back to the stripped text when no fence is present."""
+    m = _FENCE_RX.search(text)
+    if m:
+        return m.group(1).strip()
+    return text.strip()
 
 
 def coerce_resolution(value: Any) -> int:

@@ -63,6 +63,97 @@ def pending_entities(registry: rd.Dataset, below_resolution: int = 1) -> rd.Data
     )
 
 
+_REG_COLS = [
+    "url", "entity_id", "page_num", "kind", "prompt", "resolution",
+    "value", "context", "verified", "confidence", "span_start",
+    "span_end", "status",
+]
+
+
+def resolve_pending(
+    registry: rd.Dataset,
+    extracted: rd.Dataset,
+    pages: Sequence[int] | None = None,
+    chunk_size: int = 5,
+    radius: int = 40,
+) -> rd.Dataset:
+    """Entity-granular resume: re-resolve ONLY ``resolution < 1`` rows
+    of a saved registry, then upsert them over the original.
+
+    The reference lifecycle (``core/reader.py:266-276``): load pending
+    entities, optional page filter, chunked resolve
+    (``chunked_resolve`` keeps the G2/J2/J3 alignment contract),
+    state upsert. Here the registry is a Parquet table: pending rows
+    re-join their document text with one hash join on url, each url
+    group resolves inside a hash partition (no per-key Ray dispatch),
+    and ``upsert_registry`` merges winners by (url, entity_id) with
+    resolution as the version — already-resolved rows are never
+    touched or re-processed."""
+    import numpy as np
+
+    from vlm_ocr_doc_reader_ray.extract.registry import chunked_resolve
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+    from vlm_ocr_doc_reader_ray.stages.relational import native_hash_join
+
+    pend = pending_entities(registry, below_resolution=1)
+    if pages is not None:
+        import pyarrow.compute as pc
+
+        page_arr = pa.array(sorted(pages), type=pa.int64())
+        pend = pend.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("page_num"), page_arr)),
+            batch_format="pyarrow",
+        )
+
+    # empty pending set: nothing to do (and empty blocks would lose
+    # their schema inside the join) — the registry IS the result
+    if pend.count() == 0:
+        return registry
+
+    joined = native_hash_join(
+        pend, extracted.select_columns(["url", "extracted_text"]), "url", "url"
+    )
+
+    def _cell(v):
+        return None if (v is None or (isinstance(v, float) and np.isnan(v))) else v
+
+    def resolve_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for url, grp in g.groupby("url", sort=False):
+            text = _cell(grp["extracted_text"].iloc[0]) or ""
+            entries = [
+                RegistryEntry(
+                    entity_id=eid, page_num=int(pn), kind=kind, prompt=prompt,
+                    resolution=int(res), value=_cell(val), context=_cell(ctx),
+                    verified=bool(ver), confidence=_cell(conf),
+                    span_start=int(ss), span_end=int(se), status=st,
+                )
+                for eid, pn, kind, prompt, res, val, ctx, ver, conf, ss, se, st in zip(
+                    grp["entity_id"], grp["page_num"], grp["kind"], grp["prompt"],
+                    grp["resolution"], grp["value"], grp["context"], grp["verified"],
+                    grp["confidence"], grp["span_start"], grp["span_end"], grp["status"],
+                )
+            ]
+            for e in chunked_resolve(entries, text, chunk_size, radius):
+                rows.append(
+                    (url, e.entity_id, e.page_num, e.kind, e.prompt, e.resolution,
+                     e.value, e.context, e.verified, e.confidence, e.span_start,
+                     e.span_end, e.status)
+                )
+        return pd.DataFrame(rows, columns=_REG_COLS).astype(
+            {"page_num": "int64", "resolution": "int64", "verified": "bool",
+             "span_start": "int64", "span_end": "int64"}
+        ) if rows else pd.DataFrame(
+            {c: pd.Series([], dtype="object") for c in _REG_COLS}
+        ).astype(
+            {"page_num": "int64", "resolution": "int64", "verified": "bool",
+             "span_start": "int64", "span_end": "int64"}
+        )
+
+    resolved = partitioned_apply(joined, ["url"], resolve_part)
+    return upsert_registry(registry.union(resolved.select_columns(_REG_COLS)))
+
+
 def page_resolution(registry: rd.Dataset) -> rd.Dataset:
     """G5 (``core/reader.py:391-408,520-526``): per-(url, page)
     resolution status as a grouped boolean OR over entity outcomes —

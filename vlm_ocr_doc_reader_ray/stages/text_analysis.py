@@ -29,8 +29,12 @@ _MARKERS = {
 _STOPWORDS = frozenset(
     "the a an and or of to in on for with at by from is are was were be been".split()
 )
-_PUNCT_RX = re.compile(r"[^\w\s]")
-_BPE_RX = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+# ASCII-EXPLICIT character classes, identical in Python re and in the
+# DuckDB (RE2) oracle — never \w/\s shorthands, whose ASCII/Unicode
+# semantics differ between engines. Lockstep partner:
+# corpus/sqlmirror.py::TEXT_ANALYSIS_SQL.
+_PUNCT_RX = re.compile(r"[^0-9A-Za-z_ \t\n\r\f\v]")
+_BPE_RX = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]")
 
 
 class TextAnalyzer:
@@ -51,7 +55,9 @@ class TextAnalyzer:
             [], [], [], [], [], [], [], []
         )
         for t in texts:
-            words = t.split()
+            # split(' ') — NOT split() — mirrors string_split(text, ' ')
+            # bit-for-bit on multi-space / newline / empty input
+            words = t.split(" ")
             n = len(words)
             nw.append(n)
             nc.append(len(t))
@@ -88,12 +94,12 @@ class TextAnalyzer:
 def fingerprint(text: str, n: int = 3) -> str:
     """Winnowing-style doc fingerprint: min over word-``n``-gram sha256
     prefixes (16 hex chars). Stable across processes and mirrored by
-    ``min(substr(sha256(...),1,16))`` in SQL."""
-    words = text.split()
-    if not words:
-        return ""
+    ``min(substr(sha256(...),1,16))`` in SQL; word split is
+    ``split(' ')`` and short texts hash as-is (== the SQL
+    ``CASE WHEN nw < 3 THEN [text]`` branch, including empty text)."""
+    words = text.split(" ")
     if len(words) < n:
-        grams = [" ".join(words)]
+        grams = [text]
     else:
         grams = [" ".join(words[i: i + n]) for i in range(len(words) - n + 1)]
     return min(hashlib.sha256(g.encode("utf-8")).hexdigest()[:16] for g in grams)
