@@ -109,3 +109,32 @@ def rd_from(df):
     import ray.data as rd
 
     return rd.from_pandas(df)
+
+
+def test_cli_full_subprocess(ray_session, sf_small):
+    """The legacy one-shot `full` surface writes text + structure +
+    page states from one extraction pass (own Ray session, so driven
+    in a subprocess)."""
+    import shutil
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import corpus_parquet
+
+    corpus = corpus_parquet(sf_small, reps=1)
+    out = "/tmp/cli_full_test"
+    shutil.rmtree(out, ignore_errors=True)
+    r = subprocess.run(
+        [sys.executable, "-m", "vlm_ocr_doc_reader_ray.cli", "--num-cpus", "2",
+         "full", corpus, "-o", out, "--pages", "1"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ex = pd.read_parquet(f"{out}/extracted")
+    heads = pd.read_parquet(f"{out}/headers")
+    states = pd.read_parquet(f"{out}/page_states")
+    assert len(ex) == 500
+    assert set(heads.columns) == {"url", "level", "title", "page"}
+    assert (states["page_num"] == 1).all()  # --pages grammar applied

@@ -101,6 +101,15 @@ def main(argv: List[str] | None = None) -> int:
     p_run.add_argument("-o", "--output", required=True)
     p_run.add_argument("--no-resume", action="store_true")
 
+    p_full = sub.add_parser(
+        "full",
+        help="legacy one-shot surface (reference FullDescriptionOperation): "
+        "text + structure + page states in one pass",
+    )
+    p_full.add_argument("corpus")
+    p_full.add_argument("-o", "--output", required=True)
+    p_full.add_argument("--pages", default=None)
+
     p_res = sub.add_parser(
         "resolve",
         help="entity-granular resume: re-resolve pending (resolution<1) "
@@ -143,6 +152,40 @@ def main(argv: List[str] | None = None) -> int:
                 )
             reg.write_parquet(args.output)
             print(f"wrote registry rows to {args.output}")
+        elif args.cmd == "full":
+            # reference cli.py `full` (operations/full_description.py:91-133):
+            # one monolithic pass → text + structure (+ page states);
+            # --pages filters the page-anchored outputs (M13 grammar)
+            import os as _os
+
+            from vlm_ocr_doc_reader_ray.pipelines.extraction import (
+                headers_table,
+                page_states_table,
+            )
+
+            pages = parse_pages_arg(args.pages)
+            ex = extract(rd.read_parquet(args.corpus), emit_spans=True, emit_registry=False)
+            # ONE extraction pass: the written table carries the headers
+            # column, so structure/page outputs derive from the sink
+            ex.write_parquet(_os.path.join(args.output, "extracted"))
+            written = rd.read_parquet(_os.path.join(args.output, "extracted"))
+            heads = headers_table(written)
+            states = page_states_table(written)
+            if pages is not None:
+                import pyarrow.compute as pc
+
+                page_arr = pa_page_set(pages)
+                heads = heads.map_batches(
+                    lambda t: t.filter(pc.is_in(t.column("page"), page_arr)),
+                    batch_format="pyarrow",
+                )
+                states = states.map_batches(
+                    lambda t: t.filter(pc.is_in(t.column("page_num"), page_arr)),
+                    batch_format="pyarrow",
+                )
+            heads.write_parquet(_os.path.join(args.output, "headers"))
+            states.write_parquet(_os.path.join(args.output, "page_states"))
+            print(f"wrote full description (extracted/headers/page_states) to {args.output}")
         elif args.cmd == "resolve":
             from vlm_ocr_doc_reader_ray.extract.sanitize import sanitize_registry_batch
             from vlm_ocr_doc_reader_ray.stages.registry_stage import (
