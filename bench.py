@@ -91,8 +91,10 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
 
     queries: dict[str, float] = {}
 
-    def _corpus():
-        return rd.read_parquet(corpus_path)
+    def _corpus(columns=None):
+        # prune at the READ: the html payload column dominates corpus
+        # bytes; text-only queries must never load it
+        return rd.read_parquet(corpus_path, columns=columns)
 
     # q1 (headline): full extraction incl. registry scan/resolve/verify,
     # written to partitioned parquet — "end-to-end extracted docs/sec"
@@ -134,7 +136,7 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     from vlm_ocr_doc_reader_ray.stages.text_analysis import analyze
 
     t0 = time.time()
-    analyzed = analyze(_corpus().select_columns(["url", "text"]))
+    analyzed = analyze(_corpus(["url", "text"]))
     value_counts(analyzed.select_columns(["lang_pred"]), "lang_pred").to_pandas()
     queries["text_analysis"] = round(time.time() - t0, 3)
 
@@ -143,7 +145,7 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     from vlm_ocr_doc_reader_ray.stages.dedup import dedup_exact
 
     t0 = time.time()
-    deduped = dedup_exact(_corpus().select_columns(["url", "text"]), text_col="text", id_col="url")
+    deduped = dedup_exact(_corpus(["url", "text"]), text_col="text", id_col="url")
     n_unique = deduped.count()
     queries["dedup_exact"] = round(time.time() - t0, 3)
     log_extra["n_unique_texts"] = n_unique
