@@ -501,6 +501,35 @@ def _q_customers_without_orders(sf_dir: str):
     return broadcast_anti_join(cust, keys, "c_custkey")
 
 
+def _q_customers_without_orders_bloom(sf_dir: str):
+    """Same anti-join through the Bloom-filter path (exact mode: the
+    filter prunes, the residual exact check removes its ~1% false
+    positives) — SQL-verified against the same oracle as the
+    broadcast variant."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import bloom_anti_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def big_keys(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater(batch.column("o_totalprice"), 300000.0))
+        return pa.table({"o_custkey": keep.column("o_custkey").unique()})
+
+    keys = {
+        r["o_custkey"]
+        for r in orders.map_batches(big_keys, batch_format="pyarrow").take_all()
+    }
+    return bloom_anti_join(cust, keys, "c_custkey")
+
+
 def _q_event_type_counts(sf_dir: str):
     import ray.data as rd
 
@@ -545,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "customers_without_big_orders": _q_customers_without_orders,
+        "customers_without_big_orders_bloom": _q_customers_without_orders_bloom,
         "event_type_counts": _q_event_type_counts,
     }
 
@@ -583,5 +613,6 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": sm.EVENTS_SESSION_WINDOW_SQL,
         "top_orders_per_customer": sm.TOP_ORDERS_PER_CUSTOMER_SQL,
         "customers_without_big_orders": sm.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
+        "customers_without_big_orders_bloom": sm.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "event_type_counts": sm.EVENT_TYPE_COUNTS_SQL,
     }

@@ -124,3 +124,42 @@ def test_media_resize_stub_raises():
 
     with pytest.raises(NotImplementedError):
         ImageResizer()(pa.table({"media": pa.array([b"x"])}))
+
+
+def test_bloom_filter_deterministic_and_bounded_fp():
+    from vlm_ocr_doc_reader_ray.stages.relational import BloomFilter
+
+    keys = [f"url-{i}" for i in range(5000)]
+    bf = BloomFilter(len(keys))
+    bf.add_many(keys)
+    assert bf.might_contain(keys).all()  # no false negatives, ever
+    others = [f"other-{i}" for i in range(50000)]
+    assert bf.might_contain(others).mean() < 0.03  # ~1% FP design point
+    bf2 = BloomFilter(len(keys))
+    bf2.add_many(keys)
+    assert (bf.bits == bf2.bits).all()  # process-stable bits
+
+
+def test_bloom_anti_join_exact_equals_broadcast(ray_session, sf_small):
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import (
+        bloom_anti_join,
+        broadcast_anti_join,
+    )
+
+    cust = pd.read_parquet(f"{sf_small}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    keys = set(cust["c_custkey"].sample(frac=0.5, random_state=7))
+    a = broadcast_anti_join(rd.from_pandas(cust), keys, "c_custkey").to_pandas()
+    b = bloom_anti_join(rd.from_pandas(cust), keys, "c_custkey").to_pandas()
+    cols = ["c_custkey", "c_name"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols, ignore_index=True),
+        b[cols].sort_values(cols, ignore_index=True),
+    )
+    # approximate mode only ever drops EXTRA rows (FPs), never keeps a member
+    c = bloom_anti_join(rd.from_pandas(cust), keys, "c_custkey", exact=False).to_pandas()
+    assert set(c["c_custkey"]).isdisjoint(keys)
+    assert len(c) <= len(a)

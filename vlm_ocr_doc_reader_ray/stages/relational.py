@@ -302,7 +302,7 @@ def broadcast_anti_join(
 ) -> rd.Dataset:
     """Rows of ``left`` whose key does NOT appear in ``right_keys``
     (small side broadcast via ray.put — the semi/anti-join pattern;
-    for huge key sets substitute a Bloom filter, same shape)."""
+    for huge key sets use :func:`bloom_anti_join`, same shape)."""
     import ray
 
     ref = ray.put(set(right_keys))
@@ -310,6 +310,89 @@ def broadcast_anti_join(
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         keys = ray.get(ref)
         return batch[~batch[left_on].isin(keys)]
+
+    return left.map_batches(keep, batch_format="pandas")
+
+
+class BloomFilter:
+    """Deterministic Bloom filter over int64/string keys.
+
+    ``k`` hash functions are derived from two blake2b-seeded base
+    hashes (double hashing — Kirsch–Mitzenmacher), so membership bits
+    are identical in every process at any parallelism. ~10 bits/key
+    at the default sizing → ~1% false-positive rate.
+    """
+
+    def __init__(self, n_items: int, bits_per_key: int = 10, k: int = 7) -> None:
+        self.m = max(64, int(n_items * bits_per_key))
+        self.k = k
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    @staticmethod
+    def _base_hashes(keys) -> tuple[np.ndarray, np.ndarray]:
+        # pd.util.hash_pandas_object is vectorized AND process-stable
+        # (fixed internal key, independent of PYTHONHASHSEED); two
+        # distinct hash_keys give the two independent base hashes
+        s = pd.Series(keys)
+        h1 = pd.util.hash_pandas_object(
+            s, index=False, hash_key="bloom-filter-h01"
+        ).to_numpy()
+        h2 = pd.util.hash_pandas_object(
+            s, index=False, hash_key="bloom-filter-h02"
+        ).to_numpy() | np.uint64(1)
+        return h1, h2
+
+    def _positions(self, keys) -> np.ndarray:
+        h1, h2 = self._base_hashes(keys)
+        ks = np.arange(self.k, dtype=np.uint64)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.m)
+
+    def add_many(self, keys) -> None:
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(
+            self.bits, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def might_contain(self, keys) -> np.ndarray:
+        """Vectorized membership: True ⇒ maybe present (FP ~1%);
+        False ⇒ DEFINITELY absent."""
+        pos = self._positions(keys)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1).astype(bool)
+
+
+def bloom_anti_join(
+    left: rd.Dataset, right_keys, left_on: str, exact: bool = True
+) -> rd.Dataset:
+    """Anti-join via a broadcast Bloom filter — the huge-key-set form
+    of :func:`broadcast_anti_join`.
+
+    The filter (bits only, ~10 bits/key instead of the key bytes) is
+    ``ray.put`` once; each batch drops definite non-members
+    vectorized. Bloom false positives would WRONGLY drop ~1% of
+    qualifying left rows, so with ``exact=True`` (default) the
+    survivors-of-the-filter are re-checked against the exact key set —
+    the filter then only bounds how many rows reach the exact check.
+    ``exact=False`` gives the pure-Bloom approximate variant for when
+    the exact set cannot be broadcast at all (documented FP trade)."""
+    import ray
+
+    keys = list(right_keys)
+    bf = BloomFilter(len(keys) or 1)
+    bf.add_many(keys)
+    ref = ray.put((bf, set(keys) if exact else None))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        f, exact_keys = ray.get(ref)
+        maybe = f.might_contain(batch[left_on])
+        if exact_keys is None:
+            return batch[~maybe]
+        out = batch[~maybe]
+        candidates = batch[maybe]
+        true_members = candidates[left_on].isin(exact_keys)
+        return pd.concat([out, candidates[~true_members]]).sort_index()
 
     return left.map_batches(keep, batch_format="pandas")
 
