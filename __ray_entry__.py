@@ -268,6 +268,24 @@ def _q_similarity_lsh(sf_dir: str):
     )
 
 
+def _q_similarity_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-k with the fixed deterministic
+    codebook (SQL-mirrored as centroid literals). The trained-codebook
+    variant (`train_centroids`) is pytest-verified against brute force
+    instead."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import (
+        ann_ivf,
+        fixed_codebook,
+        load_queries,
+    )
+
+    mat, ids = load_queries(sf_dir, n_queries=10)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_ivf(emb, mat, ids, centroids=fixed_codebook(mat.shape[1], 16), k=5, nprobe=4)
+
+
 def _q_media_decode(sf_dir: str):
     from vlm_ocr_doc_reader_ray.stages.multimodal import attach_media, decode_media
 
@@ -562,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _q_dedup_simhash,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh": _q_similarity_lsh,
+        "similarity_ivf": _q_similarity_ivf,
         "media_decode": _q_media_decode,
         # relational layer
         "pricing_summary": _q_pricing_summary,
@@ -601,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": sm.MINHASH_PAIRS_SQL,
         "dedup_simhash_pairs": sm.SIMHASH_PAIRS_SQL,
         "similarity_lsh": sm.similarity_lsh_sql(),
+        "similarity_ivf": sm.similarity_ivf_sql(),
         "similarity_topk": sm.SIMILARITY_TOPK_SQL,
         "media_decode": sm.MEDIA_DECODE_SQL,
         "pricing_summary": sm.PRICING_SUMMARY_SQL,

@@ -163,3 +163,36 @@ def test_bloom_anti_join_exact_equals_broadcast(ray_session, sf_small):
     c = bloom_anti_join(rd.from_pandas(cust), keys, "c_custkey", exact=False).to_pandas()
     assert set(c["c_custkey"]).isdisjoint(keys)
     assert len(c) <= len(a)
+
+
+def test_ann_ivf_trained_overlaps_brute_force(ray_session, sf_small):
+    """IVF with a TRAINED codebook (deterministic spherical k-means on
+    the first-256 sample): deterministic across runs, self-hit
+    preserved, and hits drawn from the exact top-20."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import (
+        ann_brute_force,
+        ann_ivf,
+        load_queries,
+        train_centroids,
+    )
+
+    t = pq.read_table(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sample = np.stack(
+        t.to_pandas().sort_values("vec_id").head(256)["embedding"].to_numpy()
+    )
+    cents = train_centroids(sample, k=16)
+    assert (train_centroids(sample, k=16) == cents).all()  # deterministic
+
+    mat, ids = load_queries(sf_small, n_queries=5)
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet")
+    exact = ann_brute_force(emb, mat, ids, k=20).to_pandas()
+    approx = ann_ivf(emb, mat, ids, centroids=cents, k=5, nprobe=4).to_pandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set).to_dict()
+    for q, grp in approx.groupby("query_id"):
+        assert grp.iloc[0]["vec_id"] == q  # self-hit: query's own cell is probed
+        overlap = len(set(grp["vec_id"]) & exact_sets[q]) / len(grp)
+        assert overlap >= 0.4, (q, overlap)

@@ -363,6 +363,56 @@ QUALIFY rank <= {k}
 """
 
 
+def similarity_ivf_sql(dim: int = 64, n_cells: int = 16, k: int = 5,
+                       nprobe: int = 4, n_queries: int = 10) -> str:
+    """IVF-ANN oracle: the fixed deterministic codebook is
+    interpolated as normalized-centroid literals; cell assignment is
+    argmax of the raw dot (same argmax as the normalized cosine since
+    the vector norm is a common positive factor), probes are the
+    query's nprobe best cells (dot desc, cell asc), ranking mirrors
+    SIMILARITY_TOPK_SQL restricted to probed cells."""
+    from vlm_ocr_doc_reader_ray.stages.similarity import fixed_codebook
+
+    cents = fixed_codebook(dim, n_cells)
+    dots = ", ".join(
+        "list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(float(x)) for x in row) + "])"
+        for row in cents
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee,
+         [{dots}] AS cd
+  FROM embeddings
+), cell AS (
+  SELECT vec_id, ee, list_position(cd, list_max(cd)) AS cell FROM e
+), q AS (
+  SELECT vec_id AS query_id, ee AS qe, cd AS qcd
+  FROM e WHERE vec_id < {n_queries}
+), probes0 AS (
+  SELECT query_id, generate_subscripts(qcd, 1) AS cid, unnest(qcd) AS d
+  FROM q
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cid) AS rn
+    FROM probes0
+  ) WHERE rn <= {nprobe}
+)
+SELECT query_id, rank, vec_id FROM (
+  SELECT q.query_id,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qe, c.ee) DESC, c.vec_id
+         ) AS BIGINT) AS rank,
+         c.vec_id
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN cell c ON c.cell = p.cid
+) WHERE rank <= {k}
+"""
+
+
 MEDIA_DECODE_SQL = r"""
 SELECT doc_id,
        640 + (doc_id % 5) * 160 AS width,

@@ -226,6 +226,106 @@ def embedding_near_dups(
     return distinct_pairs(all_pairs, ["id_a", "id_b"])
 
 
+def fixed_codebook(dim: int, k: int = 16, seed: str = "ivf-codebook") -> np.ndarray:
+    """Deterministic, data-independent coarse quantizer: ``k``
+    normalized pseudo-random centroids (same construction as the LSH
+    hyperplanes). Lets the DuckDB oracle recompute cell assignment
+    from interpolated literals; for production quality use
+    :func:`train_centroids` on a corpus sample instead — the
+    partition/search structure is identical."""
+    return _normalize(_hyperplanes(dim, k, seed=seed))
+
+
+def train_centroids(
+    sample: np.ndarray, k: int = 16, iters: int = 8
+) -> np.ndarray:
+    """Deterministic spherical k-means on an in-memory SAMPLE
+    (FAISS-style IVF training: the codebook trains on a tiny fixed
+    sample — here the first rows by id — while assignment and search
+    stay fully distributed). Pure numpy, fixed iteration count, first
+    ``k`` rows as init → bit-identical centroids every run."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    cents = x[:k].copy()
+    for _ in range(iters):
+        cells = np.argmax(x @ cents.T, axis=1)
+        for j in range(k):
+            members = x[cells == j]
+            if len(members):
+                cents[j] = members.sum(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ann_ivf(
+    emb: rd.Dataset,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> rd.Dataset:
+    """IVF-style approximate top-k: vectors are assigned to their
+    max-cosine centroid cell; each query scans only its ``nprobe``
+    nearest cells.
+
+    The inverted-file analogue of :func:`ann_lsh_bucketed`: centroids
+    are broadcast once (``ray.put``), assignment is one vectorized
+    matmul per batch, each batch keeps its local top-k among probed
+    rows (combiner), and the per-query merge handles ≤ k×blocks rows.
+    At corpus scale the cell column would be written once and reused
+    (partition-by-cell), exactly like a FAISS IVF index."""
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    # nprobe nearest cells per query: dot desc, cell index asc tie-break
+    qdots = qn @ cn.T
+    nc = cn.shape[0]
+    probe_sets = []
+    for j in range(qn.shape[0]):
+        order = np.lexsort((np.arange(nc), -qdots[j]))[: min(nprobe, nc)]
+        probe_sets.append(frozenset(int(c) for c in order))
+    q_ref = ray.put((qn, np.asarray(query_ids), cn, probe_sets))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, qids, cents, probes = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy()
+        cells = np.argmax(m @ cents.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for j in range(q.shape[0]):
+            mask = np.isin(cells, list(probes[j]))
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            col = m[mask] @ q[j]
+            order = np.lexsort((sub_ids, -col))[: min(k, len(sub_ids))]
+            out_q.extend([qids[j]] * len(order))
+            out_v.extend(sub_ids[order].tolist())
+            out_s.extend(col[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = emb.select_columns([id_col, emb_col]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+
+    import pandas as pd
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id"]]
+
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
 def ann_lsh_bucketed(
     emb: rd.Dataset,
     query_matrix: np.ndarray,
