@@ -196,3 +196,32 @@ def test_ann_ivf_trained_overlaps_brute_force(ray_session, sf_small):
         assert grp.iloc[0]["vec_id"] == q  # self-hit: query's own cell is probed
         overlap = len(set(grp["vec_id"]) & exact_sets[q]) / len(grp)
         assert overlap >= 0.4, (q, overlap)
+
+
+def test_salted_join_equals_pandas_on_skew(ray_session):
+    """Hot-key salting: declaring a skewed key spreads it over
+    sub-buckets (left round-robin, right replicated) with output
+    identical to the plain join / pandas merge."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    rng = np.arange(2000)
+    left = pd.DataFrame({
+        "k": np.where(rng % 2 == 0, 7, rng),   # half the rows share key 7
+        "lv": rng,
+    })
+    right = pd.DataFrame({"rk": list(range(100)) + [7] * 3,
+                          "rv": list(range(103))})
+    expected = left.merge(right, left_on="k", right_on="rk")
+    got = partitioned_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "rk",
+        num_buckets=8, salt={7: 4},
+    ).to_pandas()
+    cols = ["k", "lv", "rk", "rv"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols, ignore_index=True).astype(expected[cols].dtypes.to_dict()),
+        expected[cols].sort_values(cols, ignore_index=True),
+    )

@@ -54,45 +54,88 @@ def partitioned_hash_join(
     left_on: str,
     right_on: str,
     num_buckets: int = 32,
+    salt: dict | None = None,
 ) -> rd.Dataset:
     """Large⋈large equi-join: explicit bucketed hash join.
 
     Both sides gain ``__bucket = key % B`` (for integer keys; a stable
     hash otherwise), are grouped per bucket, and matching buckets join
-    pairwise inside ``map_groups``. B fixes reducer fan-in; hot keys
-    can be salted into sub-buckets by extending the bucket key —
-    documented partitioning assumption: key hash is roughly uniform.
-    """
+    pairwise inside ``map_groups``. B fixes reducer fan-in;
+    partitioning assumption: key hash is roughly uniform — UNLESS hot
+    keys are declared in ``salt``.
 
-    def tag(colname: str):
-        def _tag(batch: pa.Table) -> pa.Table:
-            key = batch.column(colname)
-            if pa.types.is_integer(key.type):
-                b = pc.cast(
-                    pc.subtract(
-                        key, pc.multiply(pc.floor(pc.divide(pc.cast(key, pa.float64()), float(num_buckets))), float(num_buckets))
-                    ),
-                    pa.int64(),
+    ``salt`` maps hot key values → fan-out n: left rows carrying a hot
+    key are spread over ``n`` sub-buckets (round-robin within each
+    batch — any spread is correct, only co-location of the PAIR
+    matters), and right rows carrying it are REPLICATED into all ``n``
+    sub-buckets, so no single reducer sees the whole hot key. The
+    classic skew-join recipe; results are identical to the unsalted
+    join (pytest-pinned)."""
+    salt = salt or {}
+    max_salt = max(salt.values(), default=1)
+
+    def _base_buckets(key: pa.ChunkedArray | pa.Array) -> "np.ndarray":
+        if pa.types.is_integer(key.type):
+            return (
+                pc.cast(key, pa.int64()).to_numpy(zero_copy_only=False) % num_buckets
+            )
+        import hashlib
+
+        return np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big"
                 )
-            else:
-                import hashlib
+                % num_buckets
+                for v in key.to_pylist()
+            ],
+            dtype=np.int64,
+        )
 
-                b = pa.array(
-                    [
-                        int.from_bytes(
-                            hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big"
-                        )
-                        % num_buckets
-                        for v in key.to_pylist()
-                    ],
-                    type=pa.int64(),
+    def tag_left(batch: pa.Table) -> pa.Table:
+        key = batch.column(left_on)
+        b = _base_buckets(key)
+        if salt:
+            vals = key.to_pylist()
+            salts = np.zeros(len(vals), dtype=np.int64)
+            counters: dict = {}
+            for i, v in enumerate(vals):
+                n = salt.get(v)
+                if n:
+                    c = counters.get(v, 0)
+                    salts[i] = c % n
+                    counters[v] = c + 1
+            b = b * max_salt + salts
+        return batch.append_column("__bucket", pa.array(b, type=pa.int64()))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        key = batch.column(right_on)
+        b = _base_buckets(key)
+        if not salt:
+            return batch.append_column("__bucket", pa.array(b, type=pa.int64()))
+        vals = key.to_pylist()
+        hot_idx = [i for i, v in enumerate(vals) if v in salt]
+        cold_mask = np.ones(len(vals), dtype=bool)
+        cold_mask[hot_idx] = False
+        parts = [
+            batch.filter(pa.array(cold_mask)).append_column(
+                "__bucket", pa.array(b[cold_mask] * max_salt, type=pa.int64())
+            )
+        ]
+        for i in hot_idx:
+            n = salt[vals[i]]
+            row = batch.slice(i, 1)
+            for s in range(n):
+                parts.append(
+                    row.append_column(
+                        "__bucket",
+                        pa.array([b[i] * max_salt + s], type=pa.int64()),
+                    )
                 )
-            return batch.append_column("__bucket", b)
+        return pa.concat_tables(parts)
 
-        return _tag
-
-    lt = left.map_batches(tag(left_on), batch_format="pyarrow")
-    rt = right.map_batches(tag(right_on), batch_format="pyarrow")
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
 
     # side-tag, pad to a common schema, then union: ONE shuffle
     # co-partitions both sides by bucket
