@@ -100,3 +100,51 @@ def test_paragraphs_conserve_words(words):
     # no paragraph except a singleton document is shorter than the tail rule
     if len(paras) > 1:
         assert all(len(p.split(" ")) >= 10 for p in paras[1:])
+
+
+@settings(deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=200))
+def test_popcount64_matches_python_bin(vals):
+    import numpy as np
+
+    from vlm_ocr_doc_reader_ray.stages.dedup import popcount64
+
+    got = popcount64(np.array(vals, dtype=np.uint64))
+    want = [bin(v).count("1") for v in vals]
+    assert got.tolist() == want
+
+
+@settings(deadline=None)
+@given(st.sets(st.text(alphabet="abcdefgh0123456789-", min_size=1, max_size=20),
+               min_size=1, max_size=300))
+def test_bloom_never_false_negative(keys):
+    from vlm_ocr_doc_reader_ray.stages.relational import BloomFilter
+
+    keys = sorted(keys)
+    bf = BloomFilter(len(keys))
+    bf.add_many(keys)
+    assert bf.might_contain(keys).all()
+
+
+@settings(deadline=None)
+@given(st.text(alphabet="ab c\nd\te", max_size=60))
+def test_word_shingles_matches_sql_split_semantics(text):
+    """word_shingles must behave exactly like the SQL mirror's
+    string_split(text, ' ') + list_slice construction on ANY input."""
+    import duckdb
+
+    from vlm_ocr_doc_reader_ray.stages.dedup import word_shingles
+
+    got = word_shingles(text, 3)
+    want = duckdb.sql(
+        """
+        SELECT CASE WHEN nw < 3 THEN [array_to_string(ws, ' ')]
+               ELSE list_transform(range(0, nw - 2),
+                    i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+               END AS sh
+        FROM (SELECT string_split($1, ' ') AS ws, len(string_split($1, ' ')) AS nw)
+        """,
+        params=[text],
+    ).fetchone()[0]
+    assert got == want
