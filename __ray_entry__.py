@@ -292,6 +292,14 @@ def _q_media_decode(sf_dir: str):
     return decode_media(attach_media(_docs(sf_dir)))
 
 
+def _q_media_frames(sf_dir: str):
+    """Frame sampling: byte-offset slicing of the synthetic FVID1
+    container, one row per sampled frame (SQL-verified checksums)."""
+    from vlm_ocr_doc_reader_ray.stages.multimodal import attach_video, sample_frames
+
+    return sample_frames(attach_video(_docs(sf_dir)), every=2)
+
+
 def _q_pricing_summary(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -582,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
         "media_decode": _q_media_decode,
+        "media_frames": _q_media_frames,
         # relational layer
         "pricing_summary": _q_pricing_summary,
         "mktsegment_revenue": _q_mktsegment_revenue,
@@ -623,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": sm.similarity_ivf_sql(),
         "similarity_topk": sm.SIMILARITY_TOPK_SQL,
         "media_decode": sm.MEDIA_DECODE_SQL,
+        "media_frames": sm.MEDIA_FRAMES_SQL,
         "pricing_summary": sm.PRICING_SUMMARY_SQL,
         "mktsegment_revenue": sm.MKTSEGMENT_REVENUE_SQL,
         "join_order_priority": sm.JOIN_PRIORITY_SQL,

@@ -225,3 +225,27 @@ def test_salted_join_equals_pandas_on_skew(ray_session):
         got[cols].sort_values(cols, ignore_index=True).astype(expected[cols].dtypes.to_dict()),
         expected[cols].sort_values(cols, ignore_index=True),
     )
+
+
+def test_media_featurizer_deterministic_histogram(ray_session, sf_small):
+    import numpy as np
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.multimodal import MediaFeaturizer, attach_media
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet").limit(50)
+    feats = attach_media(docs).map_batches(
+        MediaFeaturizer(), batch_format="pyarrow", batch_size=16
+    ).to_pandas()
+    assert len(feats) == 50
+    m = np.stack(feats["features"].to_numpy())
+    assert m.shape == (50, 16)
+    np.testing.assert_allclose(m.sum(axis=1), 1.0)  # fractions sum to 1
+    # process-stable: recompute equals
+    feats2 = attach_media(docs).map_batches(
+        MediaFeaturizer(), batch_format="pyarrow", batch_size=16
+    ).to_pandas()
+    m2 = np.stack(feats2.sort_values("doc_id")["features"].to_numpy())
+    np.testing.assert_array_equal(
+        np.stack(feats.sort_values("doc_id")["features"].to_numpy()), m2
+    )

@@ -422,6 +422,22 @@ SELECT doc_id,
 FROM documents
 """
 
+# Frame sampling over the synthetic FVID1 container: the engine
+# byte-slices every 2nd fixed-size frame out of the binary payload;
+# each frame's bytes are md5(doc_id:k), so SQL recomputes the sampled
+# set and checksums with no codec.
+MEDIA_FRAMES_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, 8 + doc_id % 5, 2)) AS BIGINT) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, frame_idx,
+       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR))
+           AS frame_md5
+FROM f
+"""
+
 PRICING_SUMMARY_SQL = r"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

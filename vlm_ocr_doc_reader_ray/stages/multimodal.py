@@ -108,6 +108,101 @@ def decode_media(
     )
 
 
+VIDEO_MAGIC = b"FVID1"
+FRAME_BYTES = 16  # one md5 digest per frame
+
+
+def fake_video(doc_id: int) -> bytes:
+    """Deterministic synthetic video container: magic + u32 frame
+    count + fixed-size frames. Frame ``k``'s bytes are
+    ``md5(f"{doc_id}:{k}")`` so the DuckDB oracle can recompute the
+    sampled frames without any codec."""
+    import hashlib
+
+    n_frames = 8 + doc_id % 5
+    frames = b"".join(
+        hashlib.md5(f"{doc_id}:{k}".encode()).digest() for k in range(n_frames)
+    )
+    return VIDEO_MAGIC + n_frames.to_bytes(4, "big") + frames
+
+
+def attach_video(docs: rd.Dataset) -> rd.Dataset:
+    """documents rows → + ``video: large_binary`` column."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        payloads = [fake_video(int(d)) for d in batch.column("doc_id").to_pylist()]
+        return batch.append_column("video", pa.array(payloads, type=pa.large_binary()))
+
+    return docs.map_batches(add, batch_format="pyarrow")
+
+
+def sample_frames(ds: rd.Dataset, every: int = 2, batch_size: int = 64) -> rd.Dataset:
+    """Frame-sampling stage: explode every ``every``-th frame by REAL
+    byte-offset slicing of the container (the flat-map shape a real
+    video pipeline uses — one output row per sampled frame, small
+    batches because payloads are wide).
+
+    Output: (doc_id, frame_idx, frame_md5) where frame_md5 is the hex
+    of the frame's bytes — byte-identical to the oracle's
+    ``md5(doc_id || ':' || frame_idx)``."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_hex = [], [], []
+        for doc_id, payload in zip(
+            batch.column("doc_id").to_pylist(), batch.column("video").to_pylist()
+        ):
+            if payload is None or payload[:5] != VIDEO_MAGIC:
+                continue  # failure is data: undecodable rows drop here
+            n_frames = int.from_bytes(payload[5:9], "big")
+            body = payload[9:]
+            for k in range(0, n_frames, every):
+                frame = body[k * FRAME_BYTES: (k + 1) * FRAME_BYTES]
+                out_id.append(int(doc_id))
+                out_idx.append(k)
+                out_hex.append(frame.hex())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int64()),
+                "frame_md5": pa.array(out_hex, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=batch_size)
+
+
+class MediaFeaturizer:
+    """Actor-pool feature-extraction stage: deterministic 16-bin byte
+    histogram (fractions) per payload as ``list<float>`` — the
+    batched-model-inference shape (weights would load in ``__init__``)
+    with a stand-in featurizer that is real, vectorized and
+    process-stable. Verified by pytest (no SQL: blob byte iteration
+    is not SQL-expressible), like any model-scoring op."""
+
+    def __init__(self, media_col: str = "media", bins: int = 16) -> None:
+        self.media_col = media_col
+        self.bins = bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        feats = []
+        shift = 8 - (self.bins - 1).bit_length()
+        for payload in batch.column(self.media_col).to_pylist():
+            if not payload:
+                feats.append([0.0] * self.bins)
+                continue
+            arr = np.frombuffer(payload, dtype=np.uint8) >> shift
+            hist = np.bincount(arr, minlength=self.bins).astype(np.float64)
+            feats.append((hist / len(arr)).tolist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "features": pa.array(feats, type=pa.list_(pa.float64(), self.bins)),
+            }
+        )
+
+
 class ImageResizer:
     """STUB: real pixel decode/resize needs an image codec not present
     in this environment. The stage signature and batch plumbing are
