@@ -300,6 +300,17 @@ def _q_media_frames(sf_dir: str):
     return sample_frames(attach_video(_docs(sf_dir)), every=2)
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 10% corpus sample by key hash (SQL-verified)."""
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import hash_sample
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "source"])
+    return hash_sample(docs, "doc_id", rate=0.1)
+
+
 def _q_pricing_summary(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -583,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phone_digits": _q_phone_digits,
         # training-data ops
         "text_analysis": _q_text_analysis,
+        "hash_sample": _q_hash_sample,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,
@@ -625,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,
         "text_analysis": sm.TEXT_ANALYSIS_SQL,
+        "hash_sample": sm.HASH_SAMPLE_SQL,
         "dedup_exact": sm.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": sm.MINHASH_PAIRS_SQL,
         "dedup_simhash_pairs": sm.SIMHASH_PAIRS_SQL,

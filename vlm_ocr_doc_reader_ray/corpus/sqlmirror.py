@@ -438,6 +438,16 @@ SELECT doc_id, frame_idx,
 FROM f
 """
 
+
+# Deterministic hash sampling: membership is a pure function of the
+# key (md5 threshold) — identical at any parallelism, mirrored here.
+HASH_SAMPLE_SQL = r"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      % 1000000 < 100000
+"""
+
 PRICING_SUMMARY_SQL = r"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

@@ -105,6 +105,40 @@ def fingerprint(text: str, n: int = 3) -> str:
     return min(hashlib.sha256(g.encode("utf-8")).hexdigest()[:16] for g in grams)
 
 
+def hash_sample(
+    ds: rd.Dataset, key_col: str, rate: float, seed: str = "sample"
+) -> rd.Dataset:
+    """Deterministic corpus sampling: keep a row iff
+    ``md5(seed:key) mod 1e6 < rate*1e6``.
+
+    The right way to sample at 10^12 docs: no RNG state, no pass
+    counting — membership is a pure function of the key, so the
+    sample is IDENTICAL at any parallelism, any partitioning, any
+    re-run, and composable (a 1% sample of a 10% sample is the
+    0.1% sample you'd expect only if seeds differ — use distinct
+    seeds per stage). Mirrored bit-for-bit by the DuckDB oracle
+    (md5-based threshold)."""
+    import hashlib
+
+    threshold = int(rate * 1_000_000)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        mask = pa.array(
+            [
+                int(
+                    hashlib.md5(f"{seed}:{k}".encode("utf-8")).hexdigest()[:8], 16
+                ) % 1_000_000
+                < threshold
+                for k in keys
+            ],
+            type=pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def analyze(ds: rd.Dataset, text_col: str = "text", concurrency: int | None = None) -> rd.Dataset:
     kwargs = dict(batch_format="pyarrow", batch_size=1024)
     if concurrency is None:
