@@ -245,6 +245,18 @@ def _q_dedup_simhash(sf_dir: str):
     return simhash_candidates(_docs(sf_dir), id_col="doc_id", max_hamming=3)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Connected components over the simhash near-dup graph:
+    Pregel-style min-label propagation (join + grouped-min
+    supersteps). SQL-verified against a recursive-closure oracle."""
+    from vlm_ocr_doc_reader_ray.stages.dedup import cluster_pairs, simhash_candidates
+
+    pairs = simhash_candidates(_docs(sf_dir), id_col="doc_id").select_columns(
+        ["id_a", "id_b"]
+    )
+    return cluster_pairs(pairs)
+
+
 def _q_similarity_topk(sf_dir: str):
     import ray.data as rd
 
@@ -598,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
@@ -641,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": sm.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": sm.MINHASH_PAIRS_SQL,
         "dedup_simhash_pairs": sm.SIMHASH_PAIRS_SQL,
+        "dedup_clusters": sm.DEDUP_CLUSTERS_SQL,
         "similarity_lsh": sm.similarity_lsh_sql(),
         "similarity_ivf": sm.similarity_ivf_sql(),
         "similarity_topk": sm.SIMILARITY_TOPK_SQL,

@@ -288,8 +288,8 @@ WHERE CAST(i AS DOUBLE) / (ca.ns + cb.ns - i) >= 0.8
 # (stages/dedup.py::md5_u64 == ('0x'||substr(md5(w),1,16))::UBIGINT)
 # and the 4x16-bit banding has recall EXACTLY 1 by pigeonhole, so the
 # engine's banded output must equal this oracle bit-for-bit.
-SIMHASH_PAIRS_SQL = r"""
-WITH words0 AS (
+_SIMHASH_CTE = r"""
+WITH RECURSIVE words0 AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ), words AS (
   SELECT DISTINCT doc_id, w FROM words0
@@ -309,11 +309,33 @@ WITH words0 AS (
                        THEN CAST(1 AS UBIGINT) << bit
                        ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS fp
   FROM bits GROUP BY doc_id
+), simpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 3
+)"""
+
+SIMHASH_PAIRS_SQL = _SIMHASH_CTE + r"""
+SELECT id_a, id_b, hamming FROM simpairs
+"""
+
+# Connected components of the simhash near-dup graph: cluster = min id
+# reachable from each node. The recursive closure is exact at any
+# component diameter; components here are tiny, so the closure stays
+# small even though worst-case closure is O(n^2) per component.
+DEDUP_CLUSTERS_SQL = _SIMHASH_CTE + r""",
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM simpairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM simpairs
+), reach AS (
+  SELECT u AS a, u AS b FROM edges
+  UNION
+  SELECT r.a, e.v AS b FROM reach r JOIN edges e ON e.u = r.b
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.fp, b.fp)) <= 3
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster
+FROM reach GROUP BY a
 """
 
 # Planted-twin predicate for embedding near-dup recovery: the exact
