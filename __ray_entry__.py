@@ -312,6 +312,17 @@ def _q_media_frames(sf_dir: str):
     return sample_frames(attach_video(_docs(sf_dir)), every=2)
 
 
+def _q_quality_filter(sf_dir: str):
+    """Gopher-style quality gate: features + pass/fail flag per doc
+    (keep AND reject streams; filter downstream on the flag)."""
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import quality_filter
+
+    return quality_filter(_docs(sf_dir)).select_columns(
+        ["doc_id", "n_words", "mean_word_len", "symbol_ratio",
+         "stopword_ratio", "quality_pass"]
+    )
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic 10% corpus sample by key hash (SQL-verified)."""
     from vlm_ocr_doc_reader_ray.stages.text_analysis import hash_sample
@@ -607,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "text_analysis": _q_text_analysis,
         "hash_sample": _q_hash_sample,
+        "quality_filter": _q_quality_filter,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,
@@ -651,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
         "phone_digits": sm.PHONE_DIGITS_SQL,
         "text_analysis": sm.TEXT_ANALYSIS_SQL,
         "hash_sample": sm.HASH_SAMPLE_SQL,
+        "quality_filter": sm.QUALITY_FILTER_SQL,
         "dedup_exact": sm.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": sm.MINHASH_PAIRS_SQL,
         "dedup_simhash_pairs": sm.SIMHASH_PAIRS_SQL,

@@ -208,6 +208,23 @@ SELECT doc_id,
 FROM scored
 """
 
+
+# Gopher-style quality gate over the text-analysis features; the
+# thresholds and the float formulas mirror stages/text_analysis.py::
+# quality_filter bit-for-bit (single IEEE ops over identical ints).
+QUALITY_FILTER_SQL = "WITH ta AS (" + TEXT_ANALYSIS_SQL + """)
+SELECT doc_id, n_words,
+       CAST(n_chars_measured - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
+       CAST(n_punct AS DOUBLE) / greatest(n_chars_measured, 1) AS symbol_ratio,
+       stopword_ratio,
+       (n_words >= 20 AND n_words <= 100000
+        AND CAST(n_chars_measured - (n_words - 1) AS DOUBLE) / n_words >= 3.0
+        AND CAST(n_chars_measured - (n_words - 1) AS DOUBLE) / n_words <= 10.0
+        AND CAST(n_punct AS DOUBLE) / greatest(n_chars_measured, 1) <= 0.1
+        AND stopword_ratio >= 0.01) AS quality_pass
+FROM ta
+"""
+
 DEDUP_EXACT_SQL = r"""
 SELECT doc_id, text, lang, source, n_chars, sha256(text) AS text_hash
 FROM documents

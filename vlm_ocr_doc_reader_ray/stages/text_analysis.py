@@ -105,6 +105,65 @@ def fingerprint(text: str, n: int = 3) -> str:
     return min(hashlib.sha256(g.encode("utf-8")).hexdigest()[:16] for g in grams)
 
 
+def quality_filter(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_ratio: float = 0.01,
+) -> rd.Dataset:
+    """Gopher-style heuristic quality gate for a training corpus:
+    keep a document iff word count, mean word length, symbol ratio
+    and stopword ratio are all inside the configured bands (the
+    rule family of Rae et al. 2021 §A1.1, reimplemented over this
+    engine's SQL-lockstep token definitions).
+
+    Adds the measured features AND a ``quality_pass`` flag rather
+    than silently dropping rows — a corpus pipeline wants the reject
+    stream (flag false) as much as the keep stream; filter on the
+    flag downstream. Pure per-batch projection: no shuffle."""
+    analyzed = analyze(ds, text_col=text_col)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nw = batch.column("n_words")
+        nchars = batch.column("n_chars_measured")
+        npunct = batch.column("n_punct")
+        stopr = batch.column("stopword_ratio")
+        # mean word length over split(' ') tokens: (chars - separators) / words
+        mean_wl = pc.divide(
+            pc.cast(pc.subtract(nchars, pc.subtract(nw, 1)), pa.float64()),
+            pc.cast(nw, pa.float64()),
+        )
+        symbol_ratio = pc.divide(
+            pc.cast(npunct, pa.float64()), pc.cast(pc.max_element_wise(nchars, 1), pa.float64())
+        )
+        ok = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(nw, min_words), pc.less_equal(nw, max_words)),
+                pc.and_(
+                    pc.greater_equal(mean_wl, min_mean_word_len),
+                    pc.less_equal(mean_wl, max_mean_word_len),
+                ),
+            ),
+            pc.and_(
+                pc.less_equal(symbol_ratio, max_symbol_ratio),
+                pc.greater_equal(stopr, min_stopword_ratio),
+            ),
+        )
+        return (
+            batch.append_column("mean_word_len", mean_wl)
+            .append_column("symbol_ratio", symbol_ratio)
+            .append_column("quality_pass", ok)
+        )
+
+    return analyzed.map_batches(flag, batch_format="pyarrow")
+
+
 def hash_sample(
     ds: rd.Dataset, key_col: str, rate: float, seed: str = "sample"
 ) -> rd.Dataset:
