@@ -483,6 +483,55 @@ def _q_top_orders(sf_dir: str):
     return top_k(orders.map_batches(prep, batch_format="pyarrow"), "totalprice_cents", 10, "o_orderkey")
 
 
+def _q_events_last_order(sf_dir: str):
+    """As-of join: each event -> the user's most recent order at event
+    time (hash-partitioned merge_asof; DuckDB native ASOF JOIN
+    oracle). Right side pre-reduced per (custkey, orderdate) so the
+    tie-break is data-driven in both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_min_max
+    from vlm_ocr_doc_reader_ray.stages.relational import asof_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    reduced = grouped_min_max(orders, ["o_custkey", "o_orderdate"], "o_orderkey")
+
+    def keep_max(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderdate": batch.column("o_orderdate"),
+                "o_orderkey": batch.column("o_orderkey_max"),
+            }
+        )
+
+    right = reduced.map_batches(keep_max, batch_format="pyarrow")
+    joined = asof_join(events, right, "user_id", "o_custkey", "ts", "o_orderdate")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_s": pc.cast(
+                    pc.floor(pc.divide(pc.cast(pc.cast(batch.column("ts"), pa.int64()), pa.float64()), 1e6)),
+                    pa.int64(),
+                ),
+                "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "order_ts_s": pc.cast(
+                    pc.floor(pc.divide(pc.cast(pc.cast(pc.cast(batch.column("o_orderdate"), pa.timestamp("us")), pa.int64()), pa.float64()), 1e6)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
 
@@ -635,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_order_priority_native": _q_join_native,
         "top_orders": _q_top_orders,
         "events_window": _q_events_window,
+        "events_last_order": _q_events_last_order,
         "events_sliding_window": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "top_orders_per_customer": _q_top_orders_per_customer,
@@ -679,6 +729,7 @@ def oracle_sql() -> dict[str, str]:
         "join_order_priority_native": sm.JOIN_PRIORITY_SQL,
         "top_orders": sm.TOP_ORDERS_SQL,
         "events_window": sm.EVENTS_WINDOW_SQL,
+        "events_last_order": sm.EVENTS_LAST_ORDER_SQL,
         "events_sliding_window": sm.EVENTS_SLIDING_WINDOW_SQL,
         "events_sessions": sm.EVENTS_SESSION_WINDOW_SQL,
         "top_orders_per_customer": sm.TOP_ORDERS_PER_CUSTOMER_SQL,

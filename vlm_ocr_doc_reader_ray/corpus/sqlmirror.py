@@ -523,6 +523,24 @@ ORDER BY totalprice_cents DESC, o_orderkey
 LIMIT 10
 """
 
+
+# As-of join: each event matched to the user's most recent order at
+# event time (right side pre-reduced to one row per (custkey, date) so
+# tie-break is deterministic in both engines). DuckDB's native ASOF
+# JOIN is the oracle.
+EVENTS_LAST_ORDER_SQL = r"""
+WITH r AS (
+  SELECT o_custkey, o_orderdate, CAST(max(o_orderkey) AS BIGINT) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.user_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+       r.o_orderkey,
+       CAST(floor(epoch(r.o_orderdate)) AS BIGINT) AS order_ts_s
+FROM events e ASOF JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
 EVENTS_WINDOW_SQL = r"""
 SELECT user_id,
        CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start_s,

@@ -192,6 +192,84 @@ def native_hash_join(
     )
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Keyed as-of join: for each left row, the right row with the
+    same key and the closest ``right_ts`` <= ``left_ts`` (backward
+    direction; the classic events→latest-dimension-version lookup).
+
+    Ray Data has no asof join; this composes one from primitives: one
+    hash-partitioned shuffle co-locates both sides by key, then each
+    partition runs a single vectorized ``pd.merge_asof`` over its
+    ts-sorted rows (``by=`` handles the per-key matching inside
+    pandas at C speed — no per-key dispatch). Inner semantics:
+    left rows with no preceding right row are dropped, like SQL
+    ``ASOF JOIN``. Determinism caveat (same as SQL): ties on
+    (key, right_ts) are arbitrary — pre-reduce the right side to one
+    row per (key, ts) first."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    l_cols = list(left.schema().names)
+    r_cols = list(right.schema().names)
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+
+    def pad(side: str, my_cols, key_col):
+        def _pad(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = side
+            df["__key"] = df[key_col]
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = None
+            return df[all_cols + ["__side", "__key"]]
+
+        return _pad
+
+    both = left.map_batches(pad("l", l_cols, left_on), batch_format="pandas").union(
+        right.map_batches(pad("r", r_cols, right_on), batch_format="pandas")
+    )
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][l_cols]
+        rg = g[g["__side"] == "r"][r_cols]
+        if lg.empty or rg.empty:
+            return pd.DataFrame(columns=all_cols)
+        r_dtypes = rg.dtypes.to_dict()
+        l_dtypes = lg.dtypes.to_dict()
+        # arrow roundtrips give mixed datetime resolutions (us vs s):
+        # merge on a common ns resolution, restore dtypes after
+        if lg[left_ts].dtype != rg[right_ts].dtype:
+            lg = lg.assign(**{left_ts: lg[left_ts].astype("datetime64[ns]")})
+            rg = rg.assign(**{right_ts: rg[right_ts].astype("datetime64[ns]")})
+        out = pd.merge_asof(
+            lg.sort_values(left_ts, kind="mergesort"),
+            rg.sort_values(right_ts, kind="mergesort"),
+            left_on=left_ts,
+            right_on=right_ts,
+            left_by=left_on,
+            right_by=right_on,
+            direction=direction,
+        )
+        probe = right_ts if right_ts != left_ts else right_on
+        out = out.dropna(subset=[probe])
+        # NaN-padding upcast int right columns to float, and the ts
+        # normalization changed resolutions: restore original dtypes
+        for c, dt in {**l_dtypes, **r_dtypes}.items():
+            if c in out.columns and out[c].dtype != dt:
+                out[c] = out[c].astype(dt)
+        return out[all_cols]
+
+    return partitioned_apply(both, ["__key"], join_part, num_parts=num_parts)
+
+
 def top_k(ds: rd.Dataset, by: str, k: int, tie_break: str) -> rd.Dataset:
     """Global top-k with a total ordering key (by desc, tie asc).
 
