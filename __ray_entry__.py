@@ -464,6 +464,39 @@ def _q_join_native(sf_dir: str):
     return grouped_sums(prepped, "o_orderpriority", ["revenue_cents"], count_alias="n_items")
 
 
+def _q_orders_price_bands(sf_dir: str):
+    """Range join: orders labelled by half-open price band (broadcast
+    band table + one vectorized searchsorted per batch), then a
+    pre-aggregated per-band rollup."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+    from vlm_ocr_doc_reader_ray.stages.relational import band_join, cents
+
+    bands = pd.DataFrame(
+        {
+            "band": ["p0_100k", "p100k_200k", "p200k_300k", "p300k_up"],
+            "lo": [0.0, 100000.0, 200000.0, 300000.0],
+            "hi": [100000.0, 200000.0, 300000.0, None],
+        }
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    tagged = band_join(orders, "o_totalprice", bands)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": batch.column("band"),
+                "revenue_cents": cents(batch.column("o_totalprice")),
+            }
+        )
+
+    prepped = tagged.map_batches(prep, batch_format="pyarrow")
+    return grouped_sums(prepped, "band", ["revenue_cents"], count_alias="n_orders")
+
+
 def _q_top_orders(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
@@ -683,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_order_priority": _q_join_order_priority,
         "join_order_priority_native": _q_join_native,
         "top_orders": _q_top_orders,
+        "orders_price_bands": _q_orders_price_bands,
         "events_window": _q_events_window,
         "events_last_order": _q_events_last_order,
         "events_sliding_window": _q_events_sliding,
@@ -728,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         "join_order_priority": sm.JOIN_PRIORITY_SQL,
         "join_order_priority_native": sm.JOIN_PRIORITY_SQL,
         "top_orders": sm.TOP_ORDERS_SQL,
+        "orders_price_bands": sm.ORDERS_PRICE_BANDS_SQL,
         "events_window": sm.EVENTS_WINDOW_SQL,
         "events_last_order": sm.EVENTS_LAST_ORDER_SQL,
         "events_sliding_window": sm.EVENTS_SLIDING_WINDOW_SQL,

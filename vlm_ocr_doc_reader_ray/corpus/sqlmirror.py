@@ -516,6 +516,25 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """
 
+
+# Range (band) join oracle: the same half-open price bands as an
+# inequality join against a VALUES table.
+ORDERS_PRICE_BANDS_SQL = r"""
+WITH bands(band, lo, hi) AS (
+  VALUES ('p0_100k', 0.0, 100000.0),
+         ('p100k_200k', 100000.0, 200000.0),
+         ('p200k_300k', 200000.0, 300000.0),
+         ('p300k_up', 300000.0, NULL)
+)
+SELECT band,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders JOIN bands
+  ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)
+GROUP BY 1
+"""
+
 TOP_ORDERS_SQL = r"""
 SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents
 FROM orders

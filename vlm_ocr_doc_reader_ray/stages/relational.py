@@ -270,6 +270,41 @@ def asof_join(
     return partitioned_apply(both, ["__key"], join_part, num_parts=num_parts)
 
 
+def band_join(
+    ds: rd.Dataset,
+    value_col: str,
+    bands: pd.DataFrame,
+    band_col: str = "band",
+) -> rd.Dataset:
+    """Range (interval) join against a SMALL side of half-open bands
+    ``[lo, hi)``: each row gains the ``band_col`` label of the band
+    containing ``value_col``; rows in no band are dropped (inner).
+
+    The broadcast form of a range join: the band table is sorted once,
+    shipped once (``ray.put``), and each batch resolves membership
+    with ONE vectorized ``np.searchsorted`` — never a per-row scan,
+    never a shuffle, never the O(n·m) inequality cross-join a naive
+    range join degenerates into. Requires non-overlapping bands
+    (asserted); ``hi=None``/inf means unbounded above."""
+    b = bands.sort_values("lo", ignore_index=True)
+    los = b["lo"].to_numpy(dtype=np.float64)
+    his = b["hi"].fillna(np.inf).to_numpy(dtype=np.float64)
+    assert (his[:-1] <= los[1:]).all() if len(b) > 1 else True, "overlapping bands"
+    labels = b[band_col].to_numpy()
+    ref = ray.put((los, his, labels))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        lo_arr, hi_arr, labs = ray.get(ref)
+        x = batch[value_col].to_numpy(dtype=np.float64)
+        idx = np.searchsorted(lo_arr, x, side="right") - 1
+        ok = (idx >= 0) & (x < hi_arr[np.clip(idx, 0, len(hi_arr) - 1)])
+        out = batch[ok].copy()
+        out[band_col] = labs[idx[ok]]
+        return out
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
 def top_k(ds: rd.Dataset, by: str, k: int, tie_break: str) -> rd.Dataset:
     """Global top-k with a total ordering key (by desc, tie asc).
 
