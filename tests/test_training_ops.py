@@ -249,3 +249,21 @@ def test_media_featurizer_deterministic_histogram(ray_session, sf_small):
     np.testing.assert_array_equal(
         np.stack(feats.sort_values("doc_id")["features"].to_numpy()), m2
     )
+
+
+def test_partitioned_hash_join_preserves_int_dtypes(ray_session):
+    """The pad/union must not leak float-widened columns into the join
+    output (regression: a downstream join keyed on such a column
+    hashed '102.0' != '102' and broke connected components)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4] * 10, "lv": list(range(40))})
+    right = pd.DataFrame({"rk": [1, 2, 3, 4], "rv": [10, 20, 30, 40]})
+    got = partitioned_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "rk", num_buckets=4
+    ).to_pandas()
+    assert str(got["rv"].dtype) == "int64", got.dtypes
+    assert str(got["lv"].dtype) == "int64", got.dtypes

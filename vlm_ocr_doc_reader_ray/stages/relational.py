@@ -158,12 +158,39 @@ def partitioned_hash_join(
         rt.map_batches(pad("r"), batch_format="pandas")
     )
 
+    # expected pandas dtypes per side: the union mixes one side's real
+    # values with the other side's None padding in the same column, so
+    # a group frame's int columns arrive as float/object — restore
+    # them after un-padding (best-effort: genuinely-null data keeps
+    # its widened dtype rather than erroring)
+    def _schema_dtypes(ds: rd.Dataset) -> dict:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base.empty_table().to_pandas().dtypes.to_dict()
+        try:  # PandasBlockSchema: names + numpy dtypes
+            return dict(zip(sch.names, base.types))
+        except Exception:
+            return {}
+
+    l_dtypes = _schema_dtypes(left)
+    r_dtypes = _schema_dtypes(right)
+
+    def _restore(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+        for c, dt in dtypes.items():
+            if c in df.columns and df[c].dtype != dt:
+                try:
+                    df[c] = df[c].astype(dt)
+                except (ValueError, TypeError):
+                    pass
+        return df
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # un-pad by EXPLICIT column list per side (never dropna: a
         # genuine data column that is all-null within one bucket would
         # vanish and make that bucket's output schema diverge)
-        lg = g[g["__side"] == "l"][l_cols]
-        rg = g[g["__side"] == "r"][r_cols]
+        lg = _restore(g[g["__side"] == "l"][l_cols].copy(), l_dtypes)
+        rg = _restore(g[g["__side"] == "r"][r_cols].copy(), r_dtypes)
         if lg.empty or rg.empty:
             return pd.DataFrame()
         return lg.merge(rg, left_on=left_on, right_on=right_on, how="inner")
