@@ -43,7 +43,6 @@ from typing import List, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 
 # ---------------------------------------------------------------------------

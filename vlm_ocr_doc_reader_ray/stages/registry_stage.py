@@ -26,11 +26,10 @@ from typing import Sequence
 
 import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data as rd
 
-from vlm_ocr_doc_reader_ray.extract.registry import RECOGNIZERS, _window_extract, RegistryEntry
-from vlm_ocr_doc_reader_ray.extract.voting import Sample, majority_vote
+from vlm_ocr_doc_reader_ray.extract.registry import _window_extract, RegistryEntry
+from vlm_ocr_doc_reader_ray.extract.voting import majority_vote
 
 
 def upsert_registry(registry: rd.Dataset, version_col: str = "resolution") -> rd.Dataset:

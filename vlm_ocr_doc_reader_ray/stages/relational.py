@@ -11,8 +11,6 @@ the last ulp depending on reduction order.
 
 from __future__ import annotations
 
-from typing import List, Sequence
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -20,7 +18,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums, value_counts
+from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
 
 
 def cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:

@@ -17,8 +17,6 @@
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
