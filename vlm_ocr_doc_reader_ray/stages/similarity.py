@@ -5,7 +5,8 @@
   re-shipped per batch); each batch computes a vectorized
   float64 matmul and keeps only its local top-k per query (combiner),
   so the shuffle moves ``O(queries × k × blocks)`` rows, never the
-  corpus. Final per-query merge is a ``groupby(query_id).map_groups``.
+  corpus. Final per-query merge is a hash-partitioned vectorized
+  top-k (no per-key dispatch — flat at any query count).
 - ``ann_lsh_bucketed``: the scale path — random-hyperplane signatures
   (seeded, deterministic) bucket the corpus; each query searches only
   its own bucket (plus Hamming-1 neighbours), trading recall for a
@@ -36,6 +37,31 @@ def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
         arr = arr.combine_chunks()
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(len(batch), -1)
+
+
+def _merge_topk(partials: rd.Dataset, k: int, out_cols: list) -> rd.Dataset:
+    """Per-query top-k merge WITHOUT per-key dispatch: one
+    hash-partitioned shuffle, then a single vectorized
+    sort + groupby.head + cumcount rank per partition — stays flat
+    whether there are 10 queries or 10 million."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="float64" if c == "score" else "int64")
+                 for c in out_cols}
+            )
+        g = g.sort_values(
+            ["query_id", "score", "vec_id"], ascending=[True, False, True]
+        )
+        g = g.groupby("query_id", sort=False).head(k).copy()
+        g["rank"] = (g.groupby("query_id", sort=False).cumcount() + 1).astype("int64")
+        return g[out_cols]
+
+    return partitioned_apply(partials, ["query_id"], merge_part)
 
 
 def ann_brute_force(
@@ -80,13 +106,7 @@ def ann_brute_force(
         local_topk, batch_format="pyarrow"
     )
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "vec_id", "score"]]
-
-    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return _merge_topk(partials, k, ["query_id", "rank", "vec_id", "score"])
 
 
 def load_queries(
@@ -315,13 +335,7 @@ def ann_ivf(
 
     import pandas as pd
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "vec_id"]]
-
-    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return _merge_topk(partials, k, ["query_id", "rank", "vec_id"])
 
 
 def ann_lsh_bucketed(
@@ -371,10 +385,4 @@ def ann_lsh_bucketed(
         local_topk, batch_format="pyarrow"
     )
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "vec_id", "score"]]
-
-    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return _merge_topk(partials, k, ["query_id", "rank", "vec_id", "score"])
