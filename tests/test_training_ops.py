@@ -267,3 +267,52 @@ def test_partitioned_hash_join_preserves_int_dtypes(ray_session):
     ).to_pandas()
     assert str(got["rv"].dtype) == "int64", got.dtypes
     assert str(got["lv"].dtype) == "int64", got.dtypes
+
+
+def test_new_ops_invariant_under_partitioning(ray_session, sf_small):
+    """as-of join, band join and clustering must produce identical
+    results at different partition counts / block layouts (the
+    engine's distribution-invariance contract)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.dedup import cluster_pairs
+    from vlm_ocr_doc_reader_ray.stages.relational import asof_join, band_join
+
+    events = pd.read_parquet(f"{sf_small}/events.parquet", columns=["user_id", "ts"]).head(2000)
+    orders = pd.read_parquet(
+        f"{sf_small}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    ).drop_duplicates(["o_custkey", "o_orderdate"]).head(3000)
+
+    def run_asof(nblocks, nparts):
+        out = asof_join(
+            rd.from_pandas(events).repartition(nblocks),
+            rd.from_pandas(orders).repartition(nblocks),
+            "user_id", "o_custkey", "ts", "o_orderdate", num_parts=nparts,
+        ).to_pandas()
+        cols = sorted(out.columns)
+        return out[cols].sort_values(cols, ignore_index=True)
+
+    a = run_asof(2, 4)
+    b = run_asof(7, 16)
+    pd.testing.assert_frame_equal(a, b)
+
+    bands = pd.DataFrame({"band": ["lo", "hi"], "lo": [0.0, 200000.0],
+                          "hi": [200000.0, None]})
+    op = pd.read_parquet(f"{sf_small}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def run_bands(nblocks):
+        out = band_join(rd.from_pandas(op).repartition(nblocks), "o_totalprice", bands).to_pandas()
+        return out.sort_values(["o_orderkey"], ignore_index=True)
+
+    pd.testing.assert_frame_equal(run_bands(1), run_bands(9))
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 3, 4, 50], "id_b": [2, 3, 4, 5, 51]})
+
+    def run_clusters(nblocks, nparts):
+        return (
+            cluster_pairs(rd.from_pandas(pairs).repartition(nblocks), num_blocks=nparts)
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+
+    pd.testing.assert_frame_equal(run_clusters(1, 2), run_clusters(5, 8))
