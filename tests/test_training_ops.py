@@ -316,3 +316,21 @@ def test_new_ops_invariant_under_partitioning(ray_session, sf_small):
         )
 
     pd.testing.assert_frame_equal(run_clusters(1, 2), run_clusters(5, 8))
+
+
+def test_cluster_pairs_empty_pair_set(ray_session):
+    """An empty pair set must yield an empty (doc_id, cluster) result
+    with a stable schema — not a TypeError from the convergence
+    checksum (Sum over an empty labels dataset returns None)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.dedup import cluster_pairs
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+    out = cluster_pairs(rd.from_pandas(empty))
+    assert out.count() == 0
+    sch = out.schema()
+    assert sch.names == ["doc_id", "cluster"]
+    assert [str(t) for t in sch.types] == ["int64", "int64"]

@@ -528,6 +528,20 @@ def cluster_pairs(
         .materialize()
     )
 
+    # empty pair set: no components. Guard BEFORE any groupby/join —
+    # Ray's groupby/join on an empty dataset loses the schema (pyarrow
+    # "No match for FieldRef"), and aggregate(Sum) over empty labels
+    # returns {'s': None} which would crash the convergence checksum.
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
     def _grouped_min(ds: rd.Dataset, key: str, val: str) -> rd.Dataset:
         def partial(batch: pa.Table) -> pa.Table:
             return (
@@ -552,8 +566,9 @@ def cluster_pairs(
     )
 
     def checksum(ds: rd.Dataset) -> int:
+        # None-safe: Sum over an empty dataset yields {'s': None}
         row = ds.aggregate(Sum("label", alias_name="s"))
-        return int(row["s"])
+        return int(row["s"] or 0)
 
     prev = checksum(labels)
     from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
