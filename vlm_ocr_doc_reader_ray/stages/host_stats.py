@@ -95,27 +95,53 @@ def host_text_median(extracted: rd.Dataset, salts: int = 8) -> rd.Dataset:
             }
         )
 
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
     projected = extracted.select_columns(["url", "extracted_text"]).map_batches(
         project, batch_format="pyarrow"
     )
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
+    # Both stages are hash-PARTITIONED, never per-key dispatched:
+    # Ray's groupby(...).map_groups pays a Python round-trip per
+    # distinct (host, salt) — millions of groups at web scale (the
+    # pathology measured at 37s/270k keys). Each partition instead
+    # packs ALL its groups with one pandas groupby (C-speed hash agg).
+
+    def pack_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "host": pd.Series([], dtype="object"),
+                    "values": pd.Series([], dtype="object"),
+                }
+            )
+        packed = (
+            g.groupby(["host", "salt"], sort=False)["n_chars"]
+            .agg(list)
+            .reset_index()
+        )
+        return pd.DataFrame({"host": packed["host"], "values": packed["n_chars"]})
+
+    packed = partitioned_apply(projected, ["host", "salt"], pack_part)
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "host": pd.Series([], dtype="object"),
+                    "median_chars": pd.Series([], dtype="float64"),
+                }
+            )
+        # explode to long form, then ONE vectorized groupby.median
+        # over the whole partition (exact median, C path)
+        long = g[["host", "values"]].explode("values")
+        long["values"] = long["values"].astype("int64")
+        out = long.groupby("host", sort=False)["values"].median().reset_index()
         return pd.DataFrame(
-            {
-                "host": [g["host"].iloc[0]],
-                "values": [np.sort(g["n_chars"].to_numpy()).tolist()],
-            }
+            {"host": out["host"], "median_chars": out["values"].astype("float64")}
         )
 
-    packed = projected.groupby(["host", "salt"]).map_groups(pack, batch_format="pandas")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(np.concatenate([np.asarray(v) for v in g["values"]]))
-        return pd.DataFrame(
-            {"host": [g["host"].iloc[0]], "median_chars": [float(np.median(vals))]}
-        )
-
-    return packed.groupby("host").map_groups(merge, batch_format="pandas")
+    return partitioned_apply(packed, ["host"], merge_part)
 
 
 def host_stats(extracted: rd.Dataset) -> rd.Dataset:
