@@ -334,3 +334,41 @@ def test_cluster_pairs_empty_pair_set(ray_session):
     sch = out.schema()
     assert sch.names == ["doc_id", "cluster"]
     assert [str(t) for t in sch.types] == ["int64", "int64"]
+
+
+def test_auto_num_parts_scales_with_input(ray_session):
+    """partitioned_apply's default partition count must grow with the
+    estimated input size (fixed 32 would make one partition exceed a
+    worker's heap at 100x data), while unknown-size lineages fall back
+    to the floor without triggering execution."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        auto_num_parts,
+        partitioned_apply,
+    )
+
+    big = pd.DataFrame(
+        {"k": np.arange(200_000) % 1000, "v": np.arange(200_000, dtype="int64")}
+    )
+    ds = rd.from_pandas(big)
+
+    # with a 64 KiB partition cap this ~3 MB input needs far more than
+    # the 32-part floor — one fixed-32 partition would exceed the cap
+    n = auto_num_parts(ds, floor=32, target_bytes=64 * 1024)
+    assert n > 32, n
+
+    # unknown-size lineage (post-transform metadata) -> floor, and the
+    # estimate must not execute the plan to find out
+    mapped = ds.map_batches(lambda b: b, batch_format="pandas")
+    assert auto_num_parts(mapped, floor=32) == 32
+
+    # default num_parts=None path still computes the right answer
+    got = (
+        partitioned_apply(ds, ["k"], lambda g: g.groupby("k", as_index=False)["v"].sum())
+        .to_pandas().sort_values("k", ignore_index=True)
+    )
+    want = big.groupby("k", as_index=False)["v"].sum().sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)

@@ -18,12 +18,42 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
+# One hash partition must fit a single worker's pandas heap: a fixed
+# partition count would make partition size grow linearly with the
+# input (dataset/32 — fine at sf0.1, a scale-killer at 100×), so the
+# default derives the count from the dataset's estimated bytes.
+MIN_PARTS = 32
+TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def auto_num_parts(
+    ds: rd.Dataset,
+    floor: int = MIN_PARTS,
+    target_bytes: int = TARGET_PARTITION_BYTES,
+) -> int:
+    """``max(floor, ceil(estimated_bytes / target_bytes))``.
+
+    Size is read from plan METADATA ONLY (``infer_metadata``) — never
+    ``ds.size_bytes()``, which executes the plan when metadata is
+    missing and would re-run an expensive upstream lineage just to
+    pick a partition count. Unknown size falls back to ``floor``
+    (same behavior as the old fixed default; callers that know their
+    scale pass ``num_parts`` explicitly)."""
+    size = None
+    try:
+        size = ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        size = None
+    if not size or size <= 0:
+        return floor
+    return max(floor, -(-size // target_bytes))
+
 
 def partitioned_apply(
     ds: rd.Dataset,
     key_cols: Sequence[str],
     fn,
-    num_parts: int = 32,
+    num_parts: int | None = None,
 ) -> rd.Dataset:
     """Hash-partition by ``key_cols`` and run ``fn`` ONCE per partition.
 
@@ -36,9 +66,15 @@ def partitioned_apply(
     ``__part`` column already dropped). This is the preferred shape:
     sessionization, keep-last dedup, per-key top-k are all one
     vectorized pandas expression per partition.
+
+    ``num_parts=None`` (default) derives the partition count from the
+    dataset's estimated size via :func:`auto_num_parts` so a partition
+    stays bounded by ``TARGET_PARTITION_BYTES`` at any input scale.
     """
     import pandas as pd
 
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
     key_list = list(key_cols)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -65,7 +101,7 @@ def partitioned_group_apply(
     ds: rd.Dataset,
     key_cols: Sequence[str],
     fn,
-    num_parts: int = 32,
+    num_parts: int | None = None,
 ) -> rd.Dataset:
     """Per-group apply without Ray's per-group dispatch overhead.
 
