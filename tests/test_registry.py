@@ -107,3 +107,42 @@ def test_register_recognizer_extension_surface():
     finally:
         reg_mod.RECOGNIZERS[:] = before
         reg_mod._RECOGNIZER_MAP.pop("ticket", None)
+
+
+def test_verify_grouped_keeps_unmatched_registry_rows(ray_session, sf_small):
+    """LEFT-join contract: registry rows whose url is missing from the
+    extracted side (filtered/partial extraction) must survive, voted
+    against empty text (0/n confidence, original value kept) — never
+    silently dropped."""
+    import __ray_entry__ as m  # noqa: F401  (worker registration)
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import (
+        extract,
+        read_corpus,
+        registry_table,
+    )
+    from vlm_ocr_doc_reader_ray.stages.registry_stage import verify_grouped
+
+    ex = extract(read_corpus(sf_small), emit_spans=False, emit_registry=True)
+    reg = registry_table(ex)
+    n_reg = reg.count()
+    assert n_reg > 0
+
+    # drop half the extracted urls
+    some_urls = sorted({r["url"] for r in reg.take(200)})
+    keep = set(some_urls[::2])
+    filtered = ex.filter(lambda row: row["url"] in keep)
+
+    out = verify_grouped(reg, filtered).to_pandas()
+    assert len(out) == n_reg  # nothing dropped
+
+    unmatched = out[~out["url"].isin(keep)]
+    assert len(unmatched) > 0
+    # unmatched rows vote against empty text -> every axis errors ->
+    # 0/n vote -> vote_batch keeps the ORIGINAL registry values
+    orig = reg.to_pandas().set_index(["url", "entity_id"])
+    for _, row in unmatched.head(20).iterrows():
+        o = orig.loc[(row["url"], row["entity_id"])]
+        assert row["value"] == o["value"]
+        assert row["confidence"] == o["confidence"]
+        assert bool(row["verified"]) == bool(o["verified"])
+        assert int(row["resolution"]) == int(o["resolution"])

@@ -239,11 +239,17 @@ def verify_grouped(
     no per-key Ray dispatch and no ``iterrows``: the join moves each
     document text once, and the batch kernel walks plain column
     arrays. One sample per axis, ordered by axis index (the tie-break
-    column of G3) — identical at any partitioning."""
+    column of G3) — identical at any partitioning.
+
+    LEFT join contract: a registry row whose url has no row in
+    ``extracted`` (caller passed a filtered/partial extraction) is
+    KEPT and voted against empty text — 0/n confidence, original
+    value — matching the reference's behavior when a page read fails
+    (``core/reader.py:430-447``), never silently dropped."""
     from vlm_ocr_doc_reader_ray.stages.relational import native_hash_join
 
     ex = extracted.select_columns(["url", "extracted_text"])
-    joined = native_hash_join(registry, ex, "url", "url")
+    joined = native_hash_join(registry, ex, "url", "url", join_type="left_outer")
     axis_list = sorted(axes)
 
     def vote_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -262,7 +268,9 @@ def verify_grouped(
                 verified=bool(verified), confidence=confidence,
                 span_start=int(span_start), span_end=int(span_end), status=status,
             )
-            samples = [_window_extract(entry, text or "", 40 * a) for a in axis_list]
+            if not isinstance(text, str):  # left-join null (None/NaN)
+                text = ""
+            samples = [_window_extract(entry, text, 40 * a) for a in axis_list]
             v = majority_vote(samples)
             out_url.append(url)
             out_eid.append(eid)

@@ -202,15 +202,17 @@ def native_hash_join(
     left_on: str,
     right_on: str,
     num_partitions: int = 16,
+    join_type: str = "inner",
 ) -> rd.Dataset:
     """Ray's built-in hash-partitioned ``Dataset.join`` (available in
     this Ray version) — the library alternative to
     :func:`partitioned_hash_join`; both are exposed so pipelines can
     pick per workload (the explicit variant allows salting hot keys,
-    the native one fuses better)."""
+    the native one fuses better). ``join_type`` passes through to
+    Ray (``inner`` / ``left_outer`` / ...)."""
     return left.join(
         right,
-        join_type="inner",
+        join_type=join_type,
         num_partitions=num_partitions,
         on=(left_on,),
         right_on=(right_on,),
