@@ -620,14 +620,16 @@ def _q_customers_without_orders(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data as rd
 
+    from vlm_ocr_doc_reader_ray.stages.aggregates import distinct_values
     from vlm_ocr_doc_reader_ray.stages.relational import broadcast_anti_join
 
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
     )
     # the key set is built AS A RAY AGGREGATE (filter + per-batch
-    # distinct combiner); only the distinct-key residue ever reaches
-    # the driver — never the orders table itself
+    # distinct combiner + one hash-partitioned global distinct); the
+    # driver collects exactly the distinct keys — never the orders
+    # table, never a per-batch residue (distinct × blocks rows)
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
@@ -636,23 +638,25 @@ def _q_customers_without_orders(sf_dir: str):
         keep = batch.filter(pc.greater(batch.column("o_totalprice"), 300000.0))
         return pa.table({"o_custkey": keep.column("o_custkey").unique()})
 
-    keys = {
-        r["o_custkey"]
-        for r in orders.map_batches(big_keys, batch_format="pyarrow").take_all()
-    }
+    key_ds = distinct_values(
+        orders.map_batches(big_keys, batch_format="pyarrow"), "o_custkey"
+    )
+    keys = {r["o_custkey"] for r in key_ds.take_all()}
     return broadcast_anti_join(cust, keys, "c_custkey")
 
 
 def _q_customers_without_orders_bloom(sf_dir: str):
-    """Same anti-join through the Bloom-filter path (exact mode: the
-    filter prunes, the residual exact check removes its ~1% false
-    positives) — SQL-verified against the same oracle as the
-    broadcast variant."""
+    """Same anti-join through the fully-distributed Bloom path: the
+    filter bits are built per-block and OR-merged (bloom_from_dataset)
+    and the exact residual check is a co-partitioned shuffle of ONLY
+    the bloom candidates — the driver never holds a key, just the bit
+    array. SQL-verified against the same oracle as the broadcast
+    variant."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from vlm_ocr_doc_reader_ray.stages.relational import bloom_anti_join
+    from vlm_ocr_doc_reader_ray.stages.relational import bloom_anti_join_dataset
 
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
@@ -660,16 +664,18 @@ def _q_customers_without_orders_bloom(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
+    # capacity: pre-filter row count — parquet metadata, an upper
+    # bound on distinct big-order keys, known without executing
+    capacity = orders.count()
 
     def big_keys(batch: pa.Table) -> pa.Table:
         keep = batch.filter(pc.greater(batch.column("o_totalprice"), 300000.0))
         return pa.table({"o_custkey": keep.column("o_custkey").unique()})
 
-    keys = {
-        r["o_custkey"]
-        for r in orders.map_batches(big_keys, batch_format="pyarrow").take_all()
-    }
-    return bloom_anti_join(cust, keys, "c_custkey")
+    key_ds = orders.map_batches(big_keys, batch_format="pyarrow")
+    return bloom_anti_join_dataset(
+        cust, key_ds, "c_custkey", "o_custkey", capacity=capacity
+    )
 
 
 def _q_event_type_counts(sf_dir: str):

@@ -165,6 +165,93 @@ def test_bloom_anti_join_exact_equals_broadcast(ray_session, sf_small):
     assert len(c) <= len(a)
 
 
+def test_bloom_from_dataset_matches_driver_build(ray_session):
+    """Distributed per-block build + OR tree-merge produces the SAME
+    bit array as inserting every key in one process — at any
+    partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import (
+        BloomFilter,
+        bloom_from_dataset,
+    )
+
+    keys = [f"url-{i}" for i in range(4000)]
+    ref = BloomFilter(4000)
+    ref.add_many(keys)
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(nblocks)
+        bf = bloom_from_dataset(ds, "k", capacity=4000)
+        assert bf.m == ref.m and bf.k == ref.k
+        assert (bf.bits == ref.bits).all()
+
+
+def test_partitioned_anti_join_equals_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_anti_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 500, 3000), "v": np.arange(3000)}
+    )
+    right = pd.DataFrame({"rk": rng.integers(250, 750, 2000)})
+    expect = left[~left["k"].isin(set(right["rk"]))]
+    got = partitioned_anti_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(3),
+        "k",
+        "rk",
+        num_parts=8,
+    ).to_pandas()
+    cols = ["k", "v"]
+    pd.testing.assert_frame_equal(
+        expect[cols].sort_values(cols, ignore_index=True),
+        got[cols].sort_values(cols, ignore_index=True),
+    )
+
+
+def test_bloom_anti_join_dataset_exact_no_driver_keys(ray_session, sf_small):
+    """The dataset-keyed bloom anti-join (distributed build + residual
+    co-partitioned check) matches the broadcast anti-join exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import (
+        bloom_anti_join_dataset,
+        broadcast_anti_join,
+    )
+
+    cust = pd.read_parquet(
+        f"{sf_small}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    keys = cust["c_custkey"].sample(frac=0.5, random_state=7)
+    a = broadcast_anti_join(
+        rd.from_pandas(cust), set(keys), "c_custkey"
+    ).to_pandas()
+    key_ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(4)
+    b = bloom_anti_join_dataset(
+        rd.from_pandas(cust).repartition(4), key_ds, "c_custkey", "k",
+        capacity=len(keys),
+    ).to_pandas()
+    cols = ["c_custkey", "c_name"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols, ignore_index=True),
+        b[cols].sort_values(cols, ignore_index=True),
+    )
+    assert b["c_custkey"].dtype == cust["c_custkey"].dtype
+    # approximate mode only ever drops EXTRA rows, never keeps a member
+    c = bloom_anti_join_dataset(
+        rd.from_pandas(cust), key_ds, "c_custkey", "k",
+        capacity=len(keys), exact=False,
+    ).to_pandas()
+    assert set(c["c_custkey"]).isdisjoint(set(keys))
+    assert len(c) <= len(a)
+
+
 def test_ann_ivf_trained_overlaps_brute_force(ray_session, sf_small):
     """IVF with a TRAINED codebook (deterministic spherical k-means on
     the first-256 sample): deterministic across runs, self-hit

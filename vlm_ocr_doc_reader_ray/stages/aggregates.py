@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
@@ -124,6 +125,23 @@ def partitioned_group_apply(
         return pd.concat(out, ignore_index=True)
 
     return partitioned_apply(ds, key_cols, apply_groups, num_parts=num_parts)
+
+
+def distinct_values(
+    ds: rd.Dataset, cols: str | Sequence[str], num_parts: int | None = None
+) -> rd.Dataset:
+    """Globally-distinct rows of ``cols`` — per-batch combiner, then
+    one hash-partitioned vectorized ``drop_duplicates`` per partition.
+    The residue a driver collects after this is the TRUE distinct set,
+    not distinct-per-batch (which can be up to distinct × blocks
+    rows)."""
+    col_list = [cols] if isinstance(cols, str) else list(cols)
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[col_list].drop_duplicates()
+
+    combined = ds.map_batches(local, batch_format="pandas")
+    return partitioned_apply(combined, col_list, local, num_parts)
 
 
 def value_counts(ds: rd.Dataset, keys: str | Sequence[str], alias: str = "n") -> rd.Dataset:

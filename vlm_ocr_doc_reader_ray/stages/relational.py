@@ -46,6 +46,32 @@ def broadcast_join(
     return left.map_batches(merge, batch_format="pandas")
 
 
+def _schema_dtypes(ds: rd.Dataset) -> dict:
+    """Expected pandas dtype per column of ``ds`` (from plan metadata
+    only — never executes the dataset)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base.empty_table().to_pandas().dtypes.to_dict()
+    try:  # PandasBlockSchema: names + numpy dtypes
+        return dict(zip(sch.names, base.types))
+    except Exception:
+        return {}
+
+
+def _restore_dtypes(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+    """Cast columns back to their source-side dtypes after a padded
+    union widened them (best-effort: genuinely-null data keeps its
+    widened dtype rather than erroring)."""
+    for c, dt in dtypes.items():
+        if c in df.columns and df[c].dtype != dt:
+            try:
+                df[c] = df[c].astype(dt)
+            except (ValueError, TypeError):
+                pass
+    return df
+
+
 def partitioned_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -159,36 +185,16 @@ def partitioned_hash_join(
     # expected pandas dtypes per side: the union mixes one side's real
     # values with the other side's None padding in the same column, so
     # a group frame's int columns arrive as float/object — restore
-    # them after un-padding (best-effort: genuinely-null data keeps
-    # its widened dtype rather than erroring)
-    def _schema_dtypes(ds: rd.Dataset) -> dict:
-        sch = ds.schema()
-        base = getattr(sch, "base_schema", None)
-        if isinstance(base, pa.Schema):
-            return base.empty_table().to_pandas().dtypes.to_dict()
-        try:  # PandasBlockSchema: names + numpy dtypes
-            return dict(zip(sch.names, base.types))
-        except Exception:
-            return {}
-
+    # them after un-padding
     l_dtypes = _schema_dtypes(left)
     r_dtypes = _schema_dtypes(right)
-
-    def _restore(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
-        for c, dt in dtypes.items():
-            if c in df.columns and df[c].dtype != dt:
-                try:
-                    df[c] = df[c].astype(dt)
-                except (ValueError, TypeError):
-                    pass
-        return df
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # un-pad by EXPLICIT column list per side (never dropna: a
         # genuine data column that is all-null within one bucket would
         # vanish and make that bucket's output schema diverge)
-        lg = _restore(g[g["__side"] == "l"][l_cols].copy(), l_dtypes)
-        rg = _restore(g[g["__side"] == "r"][r_cols].copy(), r_dtypes)
+        lg = _restore_dtypes(g[g["__side"] == "l"][l_cols].copy(), l_dtypes)
+        rg = _restore_dtypes(g[g["__side"] == "r"][r_cols].copy(), r_dtypes)
         if lg.empty or rg.empty:
             return pd.DataFrame()
         return lg.merge(rg, left_on=left_on, right_on=right_on, how="inner")
@@ -578,6 +584,159 @@ def bloom_anti_join(
         return pd.concat([out, candidates[~true_members]]).sort_index()
 
     return left.map_batches(keep, batch_format="pandas")
+
+
+def bloom_from_dataset(
+    keys_ds: rd.Dataset,
+    key_col: str,
+    capacity: int | None = None,
+    bits_per_key: int = 10,
+    k: int = 7,
+    fanout: int = 32,
+) -> BloomFilter:
+    """Build a :class:`BloomFilter` over a key COLUMN of a Dataset —
+    fully distributed; no exact key set ever reaches the driver.
+
+    Each block builds a partial bit array in ``map_batches`` (insert
+    is idempotent, so no distinct pass is needed); partials OR-merge
+    in a two-level tree (OR of bit arrays is associative and
+    commutative). Only the final ``m/8``-byte bit array — which must
+    be broadcast anyway — crosses to the driver. This mirrors the
+    reference's implicit semi-join state build (``core/state.py:
+    824-840``) at the scale where the key set itself no longer fits
+    one process.
+
+    ``capacity`` sizes the filter (bits = capacity × bits_per_key) and
+    must be fixed BEFORE the build so every partial shares ``m``; any
+    upper bound works (e.g. the pre-filter row count from parquet
+    metadata). Defaults to ``keys_ds.count()``, which executes the
+    keys lineage once.
+    """
+    if capacity is None:
+        capacity = keys_ds.count()
+    proto = BloomFilter(max(int(capacity), 1), bits_per_key, k)
+    m, kk, nwords = proto.m, proto.k, len(proto.bits)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        f = BloomFilter.__new__(BloomFilter)
+        f.m, f.k = m, kk
+        f.bits = np.zeros(nwords, dtype=np.uint64)
+        if len(batch):
+            f.add_many(batch[key_col])
+        return pd.DataFrame({"bits": [f.bits.tobytes()]})
+
+    def or_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(nwords, dtype=np.uint64)
+        for b in batch["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
+    partials = keys_ds.map_batches(partial, batch_format="pandas")
+    merged = (
+        partials.repartition(fanout)
+        .map_batches(or_merge, batch_size=None, batch_format="pandas")
+        .repartition(1)
+        .map_batches(or_merge, batch_size=None, batch_format="pandas")
+    )
+    row = merged.take(1)[0]
+    bf = BloomFilter.__new__(BloomFilter)
+    bf.m, bf.k = m, kk
+    bf.bits = np.frombuffer(row["bits"], dtype=np.uint64).copy()
+    return bf
+
+
+def partitioned_anti_join(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """Distributed exact anti-join: rows of ``left`` whose key appears
+    NOWHERE in ``right_keys[right_on]``.
+
+    Shuffle-based sibling of :func:`broadcast_anti_join` for when the
+    key set is too large to broadcast: both sides are co-partitioned
+    by key hash in ONE shuffle (side-tagged padded union, the
+    :func:`partitioned_hash_join` trick) and each partition drops its
+    left rows vectorized with ``isin`` against the partition-local
+    keys. Nothing reaches the driver."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    l_cols = list(left.schema().names)
+    l_dtypes = _schema_dtypes(left)
+
+    def pad_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__side"] = "l"
+        return df[l_cols + ["__side"]]
+
+    def pad_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({left_on: df[right_on].drop_duplicates()})
+        out["__side"] = "r"
+        for c in l_cols:
+            if c != left_on:
+                out[c] = None
+        return out[l_cols + ["__side"]]
+
+    both = left.map_batches(pad_left, batch_format="pandas").union(
+        right_keys.map_batches(pad_right, batch_format="pandas")
+    )
+
+    def anti_part(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"]
+        keys = g.loc[g["__side"] == "r", left_on]
+        out = lg[~lg[left_on].isin(set(keys))][l_cols].copy()
+        return _restore_dtypes(out, l_dtypes)
+
+    return partitioned_apply(both, [left_on], anti_part, num_parts)
+
+
+def bloom_anti_join_dataset(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    capacity: int | None = None,
+    exact: bool = True,
+    bits_per_key: int = 10,
+    k: int = 7,
+) -> rd.Dataset:
+    """Anti-join where the key side is a DATASET and the driver never
+    holds a key set — the true huge-key-set form.
+
+    The Bloom filter is built distributed (:func:`bloom_from_dataset`)
+    and broadcast once. Definite non-members (the overwhelming bulk of
+    an anti-join's output) stream straight from the filter stage with
+    NO shuffle; only the bloom candidates — true matches plus ~1%
+    false positives — are co-partitioned against the key dataset for
+    the exact residual check (:func:`partitioned_anti_join`), so the
+    result is exact while the shuffle moves ~1% of ``left``.
+
+    Trade-off, documented: the two output branches each re-execute the
+    ``left`` lineage (two scans). At scale that beats the alternative
+    — one scan but a full all-to-all shuffle of ``left`` — because the
+    scan is embarrassingly parallel while the shuffle is the
+    bottleneck; callers for whom scans dominate should materialize or
+    checkpoint ``left`` first. ``exact=False`` skips the residual
+    check entirely (single scan, no shuffle, ~1% of qualifying rows
+    wrongly dropped — the documented FP trade)."""
+    bf = bloom_from_dataset(right_keys, right_on, capacity, bits_per_key, k)
+    ref = ray.put(bf)
+
+    def split(want_member: bool):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            maybe = ray.get(ref).might_contain(batch[left_on])
+            return batch[maybe] if want_member else batch[~maybe]
+
+        return fn
+
+    direct = left.map_batches(split(False), batch_format="pandas")
+    if not exact:
+        return direct
+    candidates = left.map_batches(split(True), batch_format="pandas")
+    survivors = partitioned_anti_join(candidates, right_keys, left_on, right_on)
+    return direct.union(survivors)
 
 
 def tumbling_window_agg(
