@@ -298,6 +298,36 @@ def _q_similarity_ivf(sf_dir: str):
     return ann_ivf(emb, mat, ids, centroids=fixed_codebook(mat.shape[1], 16), k=5, nprobe=4)
 
 
+def _q_similarity_ivf_indexed(sf_dir: str):
+    """Same IVF search through the PERSISTED index: the inverted file
+    is written once partitioned by cell (hive dirs) and the search
+    opens only the probed cells' files (path-level partition pruning)
+    — the read-pruning half of a FAISS IVF. Same assignment rule →
+    same oracle as similarity_ivf."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import (
+        ann_ivf_indexed,
+        build_ivf_index,
+        fixed_codebook,
+        load_queries,
+    )
+
+    mat, ids = load_queries(sf_dir, n_queries=10)
+    cents = fixed_codebook(mat.shape[1], 16)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    index_dir = f"/tmp/vlm_ocr_ray_ivf_index/{tag}"
+    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        build_ivf_index(emb, cents, index_dir)
+    return ann_ivf_indexed(index_dir, mat, ids, cents, k=5, nprobe=4)
+
+
 def _q_media_decode(sf_dir: str):
     from vlm_ocr_doc_reader_ray.stages.multimodal import attach_media, decode_media
 
@@ -714,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
+        "similarity_ivf_indexed": _q_similarity_ivf_indexed,
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
         # relational layer
@@ -760,6 +791,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": sm.DEDUP_CLUSTERS_SQL,
         "similarity_lsh": sm.similarity_lsh_sql(),
         "similarity_ivf": sm.similarity_ivf_sql(),
+        "similarity_ivf_indexed": sm.similarity_ivf_sql(),
         "similarity_topk": sm.SIMILARITY_TOPK_SQL,
         "media_decode": sm.MEDIA_DECODE_SQL,
         "media_frames": sm.MEDIA_FRAMES_SQL,

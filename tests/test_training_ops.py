@@ -252,6 +252,55 @@ def test_bloom_anti_join_dataset_exact_no_driver_keys(ray_session, sf_small):
     assert len(c) <= len(a)
 
 
+def test_ann_ivf_indexed_matches_recompute_and_prunes(ray_session, sf_small, tmp_path):
+    """The persisted-index path returns bit-identical results to the
+    recompute path and OPENS fewer files than the full index (the
+    partition-pruning claim, measured via input_files)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import (
+        _normalize,
+        _probe_sets,
+        ann_ivf,
+        ann_ivf_indexed,
+        build_ivf_index,
+        fixed_codebook,
+        load_queries,
+    )
+    import numpy as np
+
+    mat, ids = load_queries(sf_small, n_queries=6)
+    cents = fixed_codebook(mat.shape[1], 16)
+    emb = rd.read_parquet(
+        f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(emb, cents, index_dir)
+
+    a = ann_ivf(emb, mat, ids, cents, k=5, nprobe=3).to_pandas()
+    b = ann_ivf_indexed(index_dir, mat, ids, cents, k=5, nprobe=3).to_pandas()
+    cols = ["query_id", "rank", "vec_id"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols, ignore_index=True),
+        b[cols].sort_values(cols, ignore_index=True),
+    )
+
+    # pruning: the probed union is a strict subset of the 16 cells,
+    # and the pruned read opens strictly fewer files
+    probes = _probe_sets(
+        _normalize(mat.astype(np.float64)), cents, 3
+    )
+    union = {str(c) for s in probes for c in s}
+    assert len(union) < 16
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    pf = PathPartitionFilter.of(lambda kv: kv.get("cell") in union, style="hive")
+    n_pruned = len(rd.read_parquet(index_dir, partition_filter=pf).input_files())
+    n_all = len(rd.read_parquet(index_dir).input_files())
+    assert 0 < n_pruned < n_all
+
+
 def test_ann_ivf_trained_overlaps_brute_force(ray_session, sf_small):
     """IVF with a TRAINED codebook (deterministic spherical k-means on
     the first-256 sample): deterministic across runs, self-hit

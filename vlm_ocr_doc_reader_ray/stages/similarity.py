@@ -274,6 +274,110 @@ def train_centroids(
     return cents
 
 
+def _probe_sets(qn: np.ndarray, cn: np.ndarray, nprobe: int) -> list:
+    """``nprobe`` nearest cells per (normalized) query: dot desc,
+    cell index asc tie-break — the one assignment rule shared by
+    search, index build and the SQL oracle."""
+    qdots = qn @ cn.T
+    nc = cn.shape[0]
+    out = []
+    for j in range(qn.shape[0]):
+        order = np.lexsort((np.arange(nc), -qdots[j]))[: min(nprobe, nc)]
+        out.append(frozenset(int(c) for c in order))
+    return out
+
+
+def build_ivf_index(
+    emb: rd.Dataset,
+    centroids: np.ndarray,
+    index_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Persist the IVF inverted file: ``(vec_id, embedding)`` parquet
+    PARTITIONED BY ``cell`` (hive layout, one directory per cell).
+
+    The write-once half of a FAISS-style IVF index: assignment is one
+    broadcast-centroid matmul per batch, and the partitioned layout
+    lets :func:`ann_ivf_indexed` open only the probed cells' files —
+    repeated queries never rescan the corpus."""
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        cells = np.argmax(m @ cents.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column(id_col),
+                "embedding": batch.column(emb_col),
+                "cell": pa.array(cells, type=pa.int64()),
+            }
+        )
+
+    emb.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    ).write_parquet(index_dir, partition_cols=["cell"])
+
+
+def ann_ivf_indexed(
+    index_dir: str,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+) -> rd.Dataset:
+    """IVF top-k over a PERSISTED index (:func:`build_ivf_index`):
+    path-level partition pruning reads only the union of the queries'
+    ``nprobe`` probed cells — scan bytes drop ~``nprobe/k_cells`` vs
+    the recompute path (:func:`ann_ivf`), measured via
+    ``input_files()``. Same assignment rule, bit-identical results."""
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probe_sets = _probe_sets(qn, cn, nprobe)
+    probed_union = {str(c) for s in probe_sets for c in s}
+
+    pf = PathPartitionFilter.of(
+        lambda kv: kv.get("cell") in probed_union, style="hive"
+    )
+    pruned = rd.read_parquet(index_dir, partition_filter=pf)
+    q_ref = ray.put((qn, np.asarray(query_ids), probe_sets))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, qids, probes = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, "embedding"))
+        ids = batch.column("vec_id").to_numpy()
+        # hive partition values surface as strings
+        cells = np.asarray(
+            [int(c) for c in batch.column("cell").to_pylist()], dtype=np.int64
+        )
+        out_q, out_v, out_s = [], [], []
+        for j in range(q.shape[0]):
+            mask = np.isin(cells, list(probes[j]))
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            col = m[mask] @ q[j]
+            order = np.lexsort((sub_ids, -col))[: min(k, len(sub_ids))]
+            out_q.extend([qids[j]] * len(order))
+            out_v.extend(sub_ids[order].tolist())
+            out_s.extend(col[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = pruned.map_batches(local_topk, batch_format="pyarrow")
+    return _merge_topk(partials, k, ["query_id", "rank", "vec_id"])
+
+
 def ann_ivf(
     emb: rd.Dataset,
     query_matrix: np.ndarray,
@@ -296,13 +400,7 @@ def ann_ivf(
     (partition-by-cell), exactly like a FAISS IVF index."""
     cn = _normalize(np.asarray(centroids, dtype=np.float64))
     qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    # nprobe nearest cells per query: dot desc, cell index asc tie-break
-    qdots = qn @ cn.T
-    nc = cn.shape[0]
-    probe_sets = []
-    for j in range(qn.shape[0]):
-        order = np.lexsort((np.arange(nc), -qdots[j]))[: min(nprobe, nc)]
-        probe_sets.append(frozenset(int(c) for c in order))
+    probe_sets = _probe_sets(qn, cn, nprobe)
     q_ref = ray.put((qn, np.asarray(query_ids), cn, probe_sets))
 
     def local_topk(batch: pa.Table) -> pa.Table:
