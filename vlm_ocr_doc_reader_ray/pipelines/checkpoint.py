@@ -74,22 +74,23 @@ def run_checkpointed(
         with atomic_partition_dir(out_root, pid) as ctx:
             ds.write_parquet(os.path.join(ctx.tmp, "extracted"))
             # derived tables from the already-written extraction (read
-            # back locally — never re-extract)
+            # back — never re-extract). ONE disk read: the read-back is
+            # materialized into the object store (spillable, partition-
+            # sized) and all three derived outputs — registry,
+            # page_states, metrics — project from those shared blocks
+            # instead of re-reading the partition from disk per output.
             from vlm_ocr_doc_reader_ray.pipelines.extraction import (
                 page_states_table,
                 registry_table,
             )
 
-            written = rd.read_parquet(os.path.join(ctx.tmp, "extracted"))
+            written = rd.read_parquet(os.path.join(ctx.tmp, "extracted")).materialize()
             registry_table(written).write_parquet(os.path.join(ctx.tmp, "registry"))
             page_states_table(written).write_parquet(
                 os.path.join(ctx.tmp, "page_states")
             )
-            # partition metrics from the written data (cheap re-read of
-            # three scalar columns, local to this partition)
-            part = rd.read_parquet(
-                os.path.join(ctx.tmp, "extracted"),
-                columns=["n_blocks_kept", "n_blocks_dropped", "parse_status"],
+            part = written.select_columns(
+                ["n_blocks_kept", "n_blocks_dropped", "parse_status"]
             )
             import pyarrow as pa
 
