@@ -165,3 +165,70 @@ def test_sigkill_then_resume_is_exact(ray_session, corpus_files):
     assert r["skipped"] == sorted(done)
     assert sorted(r["ran"] + r["skipped"]) == list(range(len(corpus_files)))
     pd.testing.assert_frame_equal(_hashes(clean_root), _hashes(crash_root))
+
+
+@pytest.mark.slow
+def test_two_process_submit_kill_resubmit(ray_session, corpus_files):
+    """The full job-submission lifecycle of the exactly-once claim, in
+    TWO separate driver processes (the `ray job submit` shape, minus
+    the dashboard this sandbox can't run): submit the checkpointed job
+    as its own process with its own Ray, SIGKILL it from outside
+    mid-partition, re-submit as a SECOND fresh process, and assert the
+    re-submitted job skips completed partitions and the consolidated
+    output is byte-identical to an uninterrupted run."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    clean_root = "/tmp/ckpt_2proc_clean"
+    crash_root = "/tmp/ckpt_2proc_crash"
+    for p in (clean_root, crash_root):
+        shutil.rmtree(p, ignore_errors=True)
+
+    run_checkpointed(corpus_files, clean_root)
+
+    def submit(out_root):
+        return subprocess.Popen(
+            [sys.executable, "-m", "vlm_ocr_doc_reader_ray.cli", "--num-cpus", "2",
+             "run", *corpus_files, "-o", out_root],
+            cwd="/root/repo",
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            start_new_session=True,  # own process group: killpg nukes its Ray too
+        )
+
+    child = submit(crash_root)
+    manifest_glob = f"{crash_root}/_manifest/part-*.json"
+    deadline = time.time() + 180
+    try:
+        while time.time() < deadline:
+            if glob.glob(manifest_glob) or child.poll() is not None:
+                break
+            time.sleep(0.2)
+        assert glob.glob(manifest_glob), "job produced no checkpoint in time"
+    finally:
+        if child.poll() is None:
+            os.killpg(child.pid, signal.SIGKILL)
+        child.wait(timeout=30)
+
+    done = set(read_manifests(crash_root))
+    assert 1 <= len(done) <= len(corpus_files)
+
+    # re-submit: a SECOND fresh process completes the job
+    child2 = submit(crash_root)
+    out, _ = child2.communicate(timeout=300)
+    assert child2.returncode == 0, out
+    assert f"skipped {sorted(done)}" in out
+    ran2 = set(range(len(corpus_files))) - done
+    assert f"ran partitions {sorted(ran2)}" in out
+
+    pd.testing.assert_frame_equal(_hashes(clean_root), _hashes(crash_root))
+
+    # idempotence: a THIRD submission is a pure no-op
+    child3 = submit(crash_root)
+    out3, _ = child3.communicate(timeout=300)
+    assert child3.returncode == 0, out3
+    assert "ran partitions []" in out3
+    pd.testing.assert_frame_equal(_hashes(clean_root), _hashes(crash_root))
