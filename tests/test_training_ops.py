@@ -363,6 +363,77 @@ def test_salted_join_equals_pandas_on_skew(ray_session):
     )
 
 
+@pytest.mark.slow
+def test_salted_join_skew_invariant_across_parallelism(ray_session):
+    """The hot-key replication contract at adversarial skew, across
+    PROCESSES: one key carries 50% of the left rows; the join runs
+    salted and unsalted in fresh Ray sessions at 2 and 16 CPUs, and
+    every variant must hash identically to the pandas merge."""
+    import hashlib
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.arange(4000)
+    left = pd.DataFrame({"k": np.where(rng % 2 == 0, 7, rng), "lv": rng})
+    right = pd.DataFrame(
+        {"rk": list(range(200)) + [7] * 5, "rv": list(range(205))}
+    )
+    expected = left.merge(right, left_on="k", right_on="rk")
+    cols = ["k", "lv", "rk", "rv"]
+
+    def canon_hash(df):
+        c = df[cols].astype("int64").sort_values(cols, ignore_index=True)
+        return hashlib.md5(c.to_csv(index=False).encode()).hexdigest()
+
+    want = canon_hash(expected)
+
+    script = r"""
+import sys
+import hashlib
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+ncpus = int(sys.argv[1])
+ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+         logging_level="ERROR")
+sys.path.insert(0, "/root/repo")
+from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+rng = np.arange(4000)
+left = pd.DataFrame({"k": np.where(rng % 2 == 0, 7, rng), "lv": rng})
+right = pd.DataFrame({"rk": list(range(200)) + [7] * 5,
+                      "rv": list(range(205))})
+cols = ["k", "lv", "rk", "rv"]
+for salt in (None, {7: 4}):
+    got = partitioned_hash_join(
+        rd.from_pandas(left).repartition(8),
+        rd.from_pandas(right).repartition(3),
+        "k", "rk", num_buckets=8, salt=salt,
+    ).to_pandas()
+    c = got[cols].astype("int64").sort_values(cols, ignore_index=True)
+    print("HASH", "salted" if salt else "plain",
+          hashlib.md5(c.to_csv(index=False).encode()).hexdigest())
+ray.shutdown()
+"""
+    for ncpus in (2, 16):
+        out = subprocess.run(
+            [sys.executable, "-c", script, str(ncpus)],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        hashes = dict(
+            line.split()[1:3]
+            for line in out.stdout.splitlines()
+            if line.startswith("HASH")
+        )
+        assert hashes == {"plain": want, "salted": want}, (ncpus, hashes, want)
+
+
 def test_media_featurizer_deterministic_histogram(ray_session, sf_small):
     import numpy as np
     import ray.data as rd
