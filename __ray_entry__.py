@@ -136,7 +136,20 @@ def _q_embedding_near_dups(sf_dir: str):
         )
 
     planted = emb.map_batches(with_twins, batch_format="pyarrow")
-    return embedding_near_dups(planted, threshold=0.95).select_columns(["id_a", "id_b"])
+    # scale-aware recall: a 12-bit band catches a twin with p≈0.962,
+    # so missing all B bands has p≈0.038^B; choose B so the EXPECTED
+    # misses over n pairs stay ≤1e-3 (keeps the exact-equality SQL
+    # gate sound as the corpus grows — 4 bands ≈ 2e-6/pair is fine at
+    # 50k but ~2 expected misses at 1M). Parquet metadata count, no
+    # execution; the oracle (planted-twin predicate) is independent
+    # of the banding.
+    import math
+
+    n_pairs = emb.count()
+    bands = max(4, math.ceil((math.log(max(n_pairs, 2)) + math.log(1e3)) / 3.27))
+    return embedding_near_dups(planted, threshold=0.95, bands=bands).select_columns(
+        ["id_a", "id_b"]
+    )
 
 
 def _q_span_stats(sf_dir: str):

@@ -43,6 +43,38 @@ def test_minhash_finds_planted_rotations(ray_session, sf_small):
     assert (df["jaccard"] >= 0.8).all()
 
 
+def test_minhash_truncation_policies(ray_session):
+    """Bucket-cap visibility: identical texts overflow a tiny
+    max_bucket; 'raise' (default) must fail loudly, 'flag' must carry
+    a truncated column, 'ignore' must restore the silent behavior."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.exceptions import RayTaskError
+
+    from vlm_ocr_doc_reader_ray.stages.dedup import minhash_near_dups
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = pd.DataFrame(
+        {"doc_id": range(12), "text": [text] * 12}
+    )
+    ds = rd.from_pandas(docs)
+
+    with pytest.raises((RayTaskError, RuntimeError), match="bucket cap truncated"):
+        minhash_near_dups(ds, max_bucket=5).to_pandas()
+
+    flagged = minhash_near_dups(ds, max_bucket=5, on_truncate="flag").to_pandas()
+    assert "truncated" in flagged.columns and flagged["truncated"].all()
+
+    silent = minhash_near_dups(ds, max_bucket=5, on_truncate="ignore").to_pandas()
+    assert "truncated" not in silent.columns
+    assert len(silent) == len(flagged) > 0
+
+    # an uncapped run on the same data has no truncation -> raise mode
+    # passes and finds all 66 pairs
+    ok = minhash_near_dups(ds, max_bucket=200).to_pandas()
+    assert len(ok) == 12 * 11 // 2
+
+
 def test_simhash_pairs_deterministic(ray_session, sf_small):
     import __ray_entry__ as m
 

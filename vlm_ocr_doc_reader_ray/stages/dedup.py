@@ -326,6 +326,8 @@ def minhash_near_dups(
     threshold: float = 0.8,
     n_perm: int = 64,
     bands: int = 16,
+    on_truncate: str = "raise",
+    max_bucket: int = 200,
 ) -> rd.Dataset:
     """(id_a, id_b, jaccard) verified near-duplicate pairs.
 
@@ -340,9 +342,51 @@ def minhash_near_dups(
     the default 16×4, J=0.8 pairs are missed with p≈2e-4 — pass
     ``bands=32`` (r=2) to push that to ~1e-14 when exactness at the
     threshold matters more than candidate-count.
+
+    Bucket-cap visibility (``on_truncate``): pairs surviving a capped
+    LSH bucket carry ``truncated=True`` from
+    :func:`lsh_candidate_pairs`, meaning OTHER true pairs in that
+    bucket were silently dropped. ``"raise"`` (default) fails loudly
+    the moment a truncated pair appears — skewed data must be an
+    explicit decision, not a silent recall hole; ``"flag"`` keeps a
+    ``truncated`` column in the output; ``"ignore"`` restores the old
+    silent behavior.
     """
-    pairs = lsh_candidate_pairs(ds, id_col, n_perm, bands, text_col)
-    cand = distinct_pairs(pairs.select_columns(["id_a", "id_b"]))
+    if on_truncate not in ("raise", "flag", "ignore"):
+        raise ValueError(f"on_truncate must be raise|flag|ignore, got {on_truncate!r}")
+    pairs = lsh_candidate_pairs(ds, id_col, n_perm, bands, text_col, max_bucket)
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    # pair-distinct KEEPING the truncation flag: a pair is truncated
+    # if ANY band that surfaced it came from a capped bucket
+    def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(["id_a", "id_b"], sort=False, as_index=False)["truncated"]
+            .max()
+        )
+
+    combined = pairs.select_columns(["id_a", "id_b", "truncated"]).map_batches(
+        local_distinct, batch_format="pandas"
+    )
+    cand = partitioned_apply(combined, ["id_a", "id_b"], local_distinct)
+
+    if on_truncate == "raise":
+
+        def check(batch: pd.DataFrame) -> pd.DataFrame:
+            if batch["truncated"].any():
+                bad = batch[batch["truncated"]].head(3)[["id_a", "id_b"]]
+                raise RuntimeError(
+                    "minhash_near_dups: LSH bucket cap truncated candidate "
+                    f"buckets (e.g. pairs {bad.to_dict('records')}); recall is "
+                    "no longer exhaustive. Raise max_bucket, pre-dedup exact "
+                    "duplicates, or pass on_truncate='flag'/'ignore'."
+                )
+            return batch.drop(columns="truncated")
+
+        cand = cand.map_batches(check, batch_format="pandas")
+    elif on_truncate == "ignore":
+        cand = cand.drop_columns(["truncated"])
 
     texts = ds.select_columns([id_col, text_col])
 
@@ -374,7 +418,10 @@ def minhash_near_dups(
             ],
             dtype=np.float64,
         )
-        out = batch[["id_a", "id_b"]].copy()
+        keep_cols = ["id_a", "id_b"] + (
+            ["truncated"] if "truncated" in batch.columns else []
+        )
+        out = batch[keep_cols].copy()
         out["jaccard"] = jac
         return out[out["jaccard"] >= threshold]
 
