@@ -368,9 +368,19 @@ def similarity_lsh_sql(dim: int = 64, bits: int = 4, k: int = 5,
                        n_queries: int = 10) -> str:
     """Bucketed-ANN oracle: the engine's sign-LSH hyperplanes are
     deterministic, so they are interpolated as double literals and the
-    bucket is recomputed IN SQL (sign of raw dot product ==
-    sign of normalized dot product); per-query ranking mirrors
-    SIMILARITY_TOPK_SQL restricted to the query's bucket."""
+    bucket is recomputed IN SQL. Both sides sign the SAME expression —
+    the RAW dot product (the engine buckets on the raw matmul too, so
+    no normalization rounding layer sits between them).
+
+    Residual float-boundary risk, documented: numpy's matmul and
+    DuckDB's list_dot_product may accumulate in different orders, so a
+    dot product within ~1 ulp of 0 (or two corpus vectors whose
+    cosines to a query tie within ~1 ulp under the rank's
+    list_cosine_similarity vs the engine's float64 matmul) could still
+    diverge. The corpus generator's embeddings are nowhere near these
+    boundaries (min |dot| and min rank-gap are far above 1e-12); a
+    future corpus change that lands on a boundary would surface as a
+    single-row hash mismatch here, not silent corruption."""
     from vlm_ocr_doc_reader_ray.stages.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, bits)

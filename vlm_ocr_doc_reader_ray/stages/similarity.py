@@ -450,16 +450,22 @@ def ann_lsh_bucketed(
     Same output schema as ``ann_brute_force`` (+``bucket``); recall<1
     by design — documented scale path, verified in tests against the
     brute-force baseline for overlap, not equality."""
-    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qraw = np.asarray(query_matrix, dtype=np.float64)
+    qn = _normalize(qraw)
     planes = _hyperplanes(qn.shape[1], bits)
-    q_buckets = _bucket_of(qn, planes)
+    # bucket signs come from the RAW dot product — mathematically the
+    # same sign as the normalized dot (the norm is a positive factor)
+    # but numerically the same EXPRESSION the SQL oracle evaluates, so
+    # the normalization rounding layer can't flip a near-zero sign
+    q_buckets = _bucket_of(qraw, planes)
     q_ref = ray.put((qn, np.asarray(query_ids), q_buckets, planes))
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q, qids, qb, pl = ray.get(q_ref)
-        m = _normalize(_batch_matrix(batch, emb_col))
+        raw = _batch_matrix(batch, emb_col)
+        m = _normalize(raw)
         ids = batch.column(id_col).to_numpy()
-        buckets = _bucket_of(m, pl)
+        buckets = _bucket_of(raw, pl)
         out_q, out_v, out_s = [], [], []
         for j in range(q.shape[0]):
             mask = buckets == qb[j]
