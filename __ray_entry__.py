@@ -377,6 +377,66 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(docs, "doc_id", rate=0.1)
 
 
+def _docs_with_pii(sf_dir: str):
+    """Documents with deterministically injected emails/IPv4s (the
+    synthetic webtext has none) — LOCKSTEP with
+    ``sqlmirror.PII_INJECT_CTE`` so the scrub itself is what the
+    oracle hash compares."""
+    import pandas as pd
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"]
+        email = (
+            " contact user" + d.astype(str) + "@mail"
+            + (d % 5).astype(str) + ".example.com now"
+        ).where(d % 7 == 0, "")
+        ip = (
+            " from 10." + (d % 256).astype(str) + ".0."
+            + (d % 254 + 1).astype(str)
+        ).where(d % 11 == 0, "")
+        return pd.DataFrame(
+            {"doc_id": d, "text": batch["text"].astype(str) + email + ip}
+        )
+
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(inject, batch_format="pandas")
+
+
+def _q_pii_scrub(sf_dir: str):
+    """C4/RefinedWeb-style PII masking pass (emails then IPv4s) with
+    per-doc match counts; pure vectorized projection."""
+    from vlm_ocr_doc_reader_ray.stages.scrub import pii_scrub
+
+    return pii_scrub(_docs_with_pii(sf_dir))
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher dup-3-gram within-document repetition gate (1% ppm
+    threshold gives both outcomes on this corpus)."""
+    from vlm_ocr_doc_reader_ray.stages.scrub import repetition_stats
+
+    return repetition_stats(_docs(sf_dir), max_dup_fraction=0.01)
+
+
+def _q_ngram_counts(sf_dir: str):
+    """Global top-20 bigram census (per-batch combiner, pre-aggregated
+    groupby, local-k merge — the corpus never shuffles)."""
+    from vlm_ocr_doc_reader_ray.stages.scrub import ngram_counts
+
+    return ngram_counts(_docs(sf_dir), n=2, top_k=20)
+
+
+def _q_line_dedup(sf_dir: str):
+    """C4-style cross-document line dedup over deterministic 8-word
+    lines; docs reassemble from surviving lines in order."""
+    from vlm_ocr_doc_reader_ray.stages.scrub import line_dedup
+
+    return line_dedup(_docs(sf_dir))
+
+
 def _q_pricing_summary(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -750,6 +810,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis": _q_text_analysis,
         "hash_sample": _q_hash_sample,
         "quality_filter": _q_quality_filter,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
+        "ngram_counts": _q_ngram_counts,
+        "line_dedup": _q_line_dedup,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,
@@ -798,6 +862,10 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": sm.TEXT_ANALYSIS_SQL,
         "hash_sample": sm.HASH_SAMPLE_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,
+        "pii_scrub": sm.PII_SCRUB_SQL,
+        "repetition_stats": sm.REPETITION_STATS_SQL,
+        "ngram_counts": sm.NGRAM_COUNTS_SQL,
+        "line_dedup": sm.LINE_DEDUP_SQL,
         "dedup_exact": sm.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": sm.MINHASH_PAIRS_SQL,
         "dedup_simhash_pairs": sm.SIMHASH_PAIRS_SQL,

@@ -1,0 +1,144 @@
+"""Corpus-hygiene operators (stages/scrub.py): PII masking order,
+repetition fixed-point, n-gram census determinism, and the C4-style
+line-dedup contract — all pinned on hand-built inputs plus
+partitioning invariance."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from vlm_ocr_doc_reader_ray.stages.scrub import (
+    line_dedup,
+    ngram_counts,
+    pii_scrub,
+    repetition_stats,
+)
+
+
+def _ds(df, nblocks=1):
+    import ray.data as rd
+
+    ds = rd.from_pandas(df)
+    return ds.repartition(nblocks) if nblocks > 1 else ds
+
+
+def test_pii_scrub_masks_emails_then_ips(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail a@b.com and c.d@e.org end",
+                "ip 10.0.0.1 twice 255.255.255.255",
+                # the email is masked FIRST, so the dotted quad inside
+                # it never survives to the IP pass
+                "tricky 1.2.3.4@host.com here",
+                "clean text no pii",
+            ],
+        }
+    )
+    out = (
+        pii_scrub(_ds(df)).to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out.n_emails) == [2, 0, 1, 0]
+    assert list(out.n_ips) == [0, 2, 0, 0]
+    assert out.scrubbed[0] == "mail <EMAIL> and <EMAIL> end"
+    assert out.scrubbed[1] == "ip <IP> twice <IP>"
+    assert out.scrubbed[2] == "tricky <EMAIL> here"
+    assert out.scrubbed[3] == "clean text no pii"
+
+
+def test_repetition_stats_short_and_repeated(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "ab",  # < 3 words: 1 gram, 0 dup, pass
+                "x y z x y z x y z x y",  # heavy 3-gram repetition
+                "a b c d e f",  # all distinct
+            ],
+        }
+    )
+    out = (
+        repetition_stats(_ds(df), max_dup_fraction=0.3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out.n_ngrams) == [1, 9, 4]
+    assert list(out.n_distinct) == [1, 3, 4]
+    # (9-3)/9 = 0.666667 → round-half-up fixed point
+    assert list(out.dup_ppm) == [0, 666667, 0]
+    assert list(out.repetition_pass) == [True, False, True]
+
+
+def test_ngram_counts_total_order_and_partition_invariance(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "a b a b a b",  # "a b"×3, "b a"×2
+                "b a",  # "b a"×1 → ties "a b"? no: b a = 3 total
+                "c d",
+                "x",  # single word: no bigrams
+            ],
+        }
+    )
+    one = ngram_counts(_ds(df), n=2, top_k=3).to_pandas()
+    # total order: count desc, ngram asc
+    assert list(one.ngram) == ["a b", "b a", "c d"]
+    assert list(one.n) == [3, 3, 1]
+    many = (
+        ngram_counts(_ds(df, nblocks=4), n=2, top_k=3)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_line_dedup_first_occurrence_wins_and_reassembles(ray_session):
+    # 2-word lines for a readable fixture
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a b c d",  # lines: "a b", "c d"
+                "c d e f",  # "c d" lost to doc 0, keeps "e f"
+                "a b c d",  # exact dup of doc 0: loses everything
+            ],
+        }
+    )
+    out = (
+        line_dedup(_ds(df), words_per_line=2)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out.doc_id) == [0, 1]  # doc 2 vanished entirely
+    assert list(out.text) == ["a b c d", "e f"]
+    assert list(out.n_lines_kept) == [2, 1]
+
+
+def test_line_dedup_partition_invariance(ray_session, sf_small):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet",
+                           columns=["doc_id", "text"])
+    a = (
+        line_dedup(docs)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        line_dedup(docs.repartition(7))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_repetition_dup_ppm_rounds_half_up(ray_session):
+    # 3 grams, 1 dup → 333333.33 → 333333; 3 grams 2 dup → 666666.67 → 666667
+    df = pd.DataFrame({"doc_id": [0], "text": ["p q r p q r p"]})
+    # grams: "p q r","q r p","r p q","p q r","q r p" → 5 total 3 distinct
+    out = repetition_stats(_ds(df)).to_pandas()
+    assert out.n_ngrams[0] == 5 and out.n_distinct[0] == 3
+    assert out.dup_ppm[0] == 400000  # 2/5 exactly

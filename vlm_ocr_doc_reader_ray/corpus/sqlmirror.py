@@ -670,3 +670,114 @@ SELECT source || '.example.com' AS host,
 FROM golden
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------- scrub
+
+# PII scrub runs over the documents corpus with deterministically
+# injected emails/IPv4s (the synthetic webtext has none) — the SAME
+# injection expression in Ray (stages/scrub.py consumers) and SQL, so
+# the masking itself is what the hash compares. Patterns restricted to
+# the Python-re ∩ RE2 shared syntax; masking order (emails, then IPs
+# over the masked text) is part of the contract.
+PII_INJECT_CTE = r"""
+WITH docs AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+              || CAST(doc_id % 5 AS VARCHAR) || '.example.com now'
+         ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 254 + 1 AS VARCHAR)
+         ELSE '' END AS text
+  FROM documents
+)
+"""
+
+PII_SCRUB_SQL = PII_INJECT_CTE + r""", m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+         regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g') AS masked
+  FROM docs
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(masked,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       regexp_replace(masked,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+FROM m
+"""
+
+# Gopher dup-3-gram repetition: same 3-gram construction as the
+# text_analysis fingerprint (lockstep with word_shingles); dup_ppm is
+# round-half-up fixed point so both engines compare integers.
+REPETITION_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN nw < 3 THEN [text]
+         ELSE list_transform(range(0, nw - 2),
+                             i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+    END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CAST(((len(grams) - len(list_distinct(grams))) * 2000000 + len(grams))
+            // (2 * len(grams)) AS BIGINT) AS dup_ppm,
+       ((len(grams) - len(list_distinct(grams))) * 2000000 + len(grams))
+            // (2 * len(grams)) <= 10000 AS repetition_pass
+FROM g
+"""
+
+# Global top-20 bigram census; total order (n desc, ngram asc) makes
+# the boundary deterministic.
+NGRAM_COUNTS_SQL = r"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(0, nw - 1),
+                i -> array_to_string(list_slice(ws, i + 1, i + 2), ' '))) AS ngram
+  FROM t WHERE nw >= 2
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20
+"""
+
+# C4-style line dedup over deterministic 8-word "lines": a line
+# survives only at its min (doc_id, line_idx) occurrence; docs rebuild
+# from surviving lines in order (docs losing every line disappear —
+# both engines agree on that contract).
+LINE_DEDUP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, (nw + 7) // 8),
+                i -> struct_pack(line_idx := i,
+                                 line := array_to_string(
+                                     list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')))) AS s
+  FROM t
+), x AS (
+  SELECT doc_id, CAST(s.line_idx AS BIGINT) AS line_idx, s.line AS line FROM e
+), w AS (
+  SELECT doc_id, line_idx, line FROM x
+  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1
+)
+SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_lines_kept
+FROM w GROUP BY doc_id
+"""

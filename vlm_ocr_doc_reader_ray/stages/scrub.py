@@ -1,0 +1,203 @@
+"""Corpus-hygiene operators for LLM training-data pipelines: PII
+scrubbing, within-document repetition stats (Gopher-style), corpus
+n-gram counts, and C4-style cross-document line deduplication.
+
+All four are expressed Ray-Data-first: pure per-batch projections
+where the semantics are per-document (pii, repetition), pre-aggregated
+combiners before any shuffle (ngram counts), and hash-partitioned
+vectorized winner selection + ordered reassembly for the one
+genuinely cross-document op (line dedup). Word tokenization is the
+engine-wide ``split(' ')`` (== DuckDB ``string_split``) so every
+operator is SQL-mirrorable in lockstep.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import ray.data as rd
+
+# RE2-compatible (DuckDB regexp_* functions) AND Python-re-compatible
+# patterns — only shared syntax (\d, \b, classes, bounded reps), so
+# both engines match the exact same spans.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+EMAIL_MASK = "<EMAIL>"
+IP_MASK = "<IP>"
+
+_EMAIL_C = re.compile(EMAIL_RE)
+_IPV4_C = re.compile(IPV4_RE)
+
+
+def pii_scrub(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Mask emails then IPv4 literals; report per-doc match counts.
+
+    Pure vectorized projection (pandas ``.str`` regex kernels — no
+    Python loop over rows, no shuffle): the C4/RefinedWeb-style
+    pre-training scrub pass. Masking order is part of the contract
+    (emails first, then IPs over the already-masked text) so the SQL
+    mirror composes ``regexp_replace`` identically."""
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].astype(str)
+        n_emails = t.str.count(EMAIL_RE).astype("int64")
+        masked = t.str.replace(_EMAIL_C, EMAIL_MASK, regex=True)
+        n_ips = masked.str.count(IPV4_RE).astype("int64")
+        scrubbed = masked.str.replace(_IPV4_C, IP_MASK, regex=True)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "n_emails": n_emails,
+                "n_ips": n_ips,
+                "scrubbed": scrubbed,
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+def repetition_stats(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_dup_fraction: float = 0.3,
+) -> rd.Dataset:
+    """Within-document repetition (Gopher quality rule): the fraction
+    of word ``n``-grams that are repeats of an earlier one.
+
+    Per-document projection, no shuffle. Documents shorter than ``n``
+    words count as 1 n-gram (the whole text), duplicate fraction 0 —
+    the same short-text rule as the minhash shingler."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        totals, distincts = [], []
+        for t in batch[text_col].astype(str):
+            ws = t.split(" ")
+            if len(ws) < n:
+                totals.append(1)
+                distincts.append(1)
+                continue
+            grams = [" ".join(ws[i: i + n]) for i in range(len(ws) - n + 1)]
+            totals.append(len(grams))
+            distincts.append(len(set(grams)))
+        total = pd.Series(totals, index=batch.index, dtype="int64")
+        distinct = pd.Series(distincts, index=batch.index, dtype="int64")
+        # exact cents-style fixed-point (×10^6, floor(+0.5)) so the
+        # fraction compares bit-identically with the SQL mirror
+        dup_ppm = ((total - distinct) * 1_000_000 * 2 + total) // (2 * total)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "n_ngrams": total,
+                "n_distinct": distinct,
+                "dup_ppm": dup_ppm.astype("int64"),
+                "repetition_pass": dup_ppm <= int(max_dup_fraction * 1_000_000),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def ngram_counts(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int = 20,
+) -> rd.Dataset:
+    """Global top-``top_k`` word ``n``-grams by corpus frequency.
+
+    The LM-data census op. Per-batch explode + LOCAL count collapses
+    each batch to its distinct n-grams before anything moves
+    (combiner), the global sum is a pre-aggregated groupby over those
+    residues, and the final top-k uses the local-k merge — the corpus
+    itself never shuffles. Total order: count desc, n-gram asc."""
+    from vlm_ocr_doc_reader_ray.stages.relational import top_k as _top_k
+
+    def explode_count(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: dict = {}
+        for t in batch[text_col].astype(str):
+            ws = t.split(" ")
+            for i in range(len(ws) - n + 1):
+                g = " ".join(ws[i: i + n])
+                counts[g] = counts.get(g, 0) + 1
+        return pd.DataFrame(
+            {"ngram": list(counts.keys()),
+             "n": pd.Series(list(counts.values()), dtype="int64")}
+        )
+
+    partials = ds.map_batches(explode_count, batch_format="pandas")
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    def sum_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("ngram", sort=False, as_index=False)["n"].sum()
+
+    totals = partitioned_apply(partials, ["ngram"], sum_part)
+    return _top_k(totals, "n", top_k, "ngram")
+
+
+def line_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 8,
+) -> rd.Dataset:
+    """C4-style cross-document line deduplication: every distinct line
+    survives ONLY in its first occurrence (min ``(doc_id, line_idx)``)
+    and documents are reassembled from their surviving lines in order.
+
+    The corpus text has no newlines, so "lines" are deterministic
+    ``words_per_line``-word chunks — the same construction the SQL
+    mirror uses. Three stages, all vectorized per partition:
+
+    1. explode to (doc_id, line_idx, line) rows (per-batch, no
+       shuffle);
+    2. ONE hash shuffle by line: each partition keeps the winning
+       occurrence per distinct line with a vectorized sort +
+       drop_duplicates and emits the winner keys;
+    3. ONE hash shuffle by doc: surviving lines re-join in line order
+       (groupby + ordered join per partition — the G4 ordered-concat
+       shape).
+    """
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, lines = [], [], []
+        for d, t in zip(batch[id_col], batch[text_col].astype(str)):
+            ws = t.split(" ")
+            for j in range(0, len(ws), words_per_line):
+                ids.append(d)
+                idxs.append(j // words_per_line)
+                lines.append(" ".join(ws[j: j + words_per_line]))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "line_idx": pd.Series(idxs, dtype="int64"),
+                "line": pd.Series(lines, dtype="object"),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([id_col, "line_idx"]).drop_duplicates(
+            "line", keep="first"
+        )
+
+    # per-batch combiner first: a batch's duplicate lines collapse
+    # before the shuffle moves anything
+    combined = exploded.map_batches(keep_first, batch_format="pandas")
+    winners = partitioned_apply(combined, ["line"], keep_first)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "line_idx"])
+        out = g.groupby(id_col, sort=False)["line"].agg(" ".join).reset_index()
+        counts = g.groupby(id_col, sort=False)["line"].size().reset_index(name="n_lines_kept")
+        out = out.merge(counts, on=id_col)
+        return out.rename(columns={"line": "text"})
+
+    return partitioned_apply(winners, [id_col], reassemble)
