@@ -355,6 +355,18 @@ def _q_media_frames(sf_dir: str):
     return sample_frames(attach_video(_docs(sf_dir)), every=2)
 
 
+def _q_media_resize(sf_dir: str):
+    """REAL image path: pure-stdlib PNG encode → decode → bilinear
+    resize (no external codec). The oracle recomputes input dims +
+    exact pixel sum from the symbolic image, so a green hash proves
+    pixel-perfect decode; the bilinear output sum is pytest-pinned."""
+    from vlm_ocr_doc_reader_ray.stages.multimodal import attach_png, resize_media
+
+    return resize_media(attach_png(_docs(sf_dir))).select_columns(
+        ["doc_id", "in_w", "in_h", "in_sum", "out_w", "out_h", "resize_status"]
+    )
+
+
 def _q_quality_filter(sf_dir: str):
     """Gopher-style quality gate: features + pass/fail flag per doc
     (keep AND reject streams; filter downstream on the flag)."""
@@ -824,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf_indexed": _q_similarity_ivf_indexed,
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
+        "media_resize": _q_media_resize,
         # relational layer
         "pricing_summary": _q_pricing_summary,
         "mktsegment_revenue": _q_mktsegment_revenue,
@@ -876,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": sm.SIMILARITY_TOPK_SQL,
         "media_decode": sm.MEDIA_DECODE_SQL,
         "media_frames": sm.MEDIA_FRAMES_SQL,
+        "media_resize": sm.MEDIA_RESIZE_SQL,
         "pricing_summary": sm.PRICING_SUMMARY_SQL,
         "mktsegment_revenue": sm.MKTSEGMENT_REVENUE_SQL,
         "join_order_priority": sm.JOIN_PRIORITY_SQL,

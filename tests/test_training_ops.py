@@ -149,13 +149,102 @@ def test_partitioned_hash_join_keeps_all_null_columns(ray_session):
     assert got["payload"].isna().all()
 
 
-def test_media_resize_stub_raises():
+def test_media_resize_real_decode_and_failure_is_data():
+    import numpy as np
     import pyarrow as pa
 
-    from vlm_ocr_doc_reader_ray.stages.multimodal import ImageResizer
+    from vlm_ocr_doc_reader_ray.extract.pngcodec import decode_png, encode_png
+    from vlm_ocr_doc_reader_ray.stages.multimodal import ImageResizer, png_pixels
 
-    with pytest.raises(NotImplementedError):
-        ImageResizer()(pa.table({"media": pa.array([b"x"])}))
+    good = encode_png(png_pixels(3))
+    out = ImageResizer(target=(8, 8))(
+        pa.table({"doc_id": pa.array([3, 4], type=pa.int64()),
+                  "media": pa.array([good, b"not a png"])})
+    )
+    d = out.to_pydict()
+    assert d["resize_status"] == ["ok", "failed"]
+    assert d["in_w"][0] == png_pixels(3).shape[1]
+    assert d["in_sum"][0] == int(png_pixels(3).astype(np.int64).sum())
+    assert (d["out_w"], d["out_h"]) == ([8, 0], [8, 0])
+    # the resized payload is itself a decodable PNG of the target shape
+    small = decode_png(d["resized"][0])
+    assert small.shape == (8, 8)
+    assert d["out_sum"][0] == int(small.astype(np.int64).sum())
+    assert d["in_sum"][1] == 0 and d["resized"][1] == b""
+
+
+def test_pngcodec_roundtrip_and_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vlm_ocr_doc_reader_ray.extract import pngcodec
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 9), (17, 3, 3), (4, 4, 4), (1, 1), (2, 3, 2)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        b = pngcodec.decode_png(pngcodec.encode_png(a))
+        assert b.shape == a.shape and (b == a).all()
+
+    # every scanline filter type (1/Sub, 2/Up, 3/Average, 4/Paeth)
+    # decoded against a straight-from-spec scalar reconstruction
+    def make_png(h, w, ch, rows):
+        color = {1: 0, 3: 2, 4: 6, 2: 4}[ch]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        raw = b"".join(bytes([f]) + bytes(line) for f, line in rows)
+        return (pngcodec._SIG + pngcodec._chunk(b"IHDR", ihdr)
+                + pngcodec._chunk(b"IDAT", zlib.compress(raw))
+                + pngcodec._chunk(b"IEND", b""))
+
+    def ref_unfilter(rows, w, ch):
+        stride, out = w * ch, []
+        for f, line in rows:
+            rec, prior = [0] * stride, (out[-1] if out else [0] * stride)
+            for i in range(stride):
+                a_ = rec[i - ch] if i >= ch else 0
+                b_ = prior[i]
+                c_ = prior[i - ch] if i >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a_
+                elif f == 2:
+                    pred = b_
+                elif f == 3:
+                    pred = (a_ + b_) // 2
+                else:
+                    p = a_ + b_ - c_
+                    pa_, pb_, pc_ = abs(p - a_), abs(p - b_), abs(p - c_)
+                    pred = a_ if (pa_ <= pb_ and pa_ <= pc_) else (
+                        b_ if pb_ <= pc_ else c_)
+                rec[i] = (line[i] + pred) & 0xFF
+            out.append(rec)
+        return np.array(out, dtype=np.uint8)
+
+    for ch in (1, 2, 3, 4):
+        w, h = 6, 5
+        rows = [(f % 5, rng.integers(0, 256, w * ch, dtype=np.uint8))
+                for f in range(h)]
+        got = pngcodec.decode_png(make_png(h, w, ch, rows))
+        want = ref_unfilter(rows, w, ch)
+        want = want.reshape(h, w, ch) if ch > 1 else want
+        assert (got == want).all(), ch
+
+
+def test_bilinear_resize_conventions():
+    import numpy as np
+
+    from vlm_ocr_doc_reader_ray.extract.pngcodec import resize_bilinear
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    assert (resize_bilinear(a, (8, 8)) == a).all()  # identity at same size
+    c = np.full((5, 7), 77, np.uint8)
+    assert (resize_bilinear(c, (3, 13)) == 77).all()  # constant preserved
+    # pixel-center 2x upscale of [0,100]: clamped lerp 0,25,75,100
+    r = resize_bilinear(np.array([[0, 100]], dtype=np.uint8), (1, 4))
+    assert r.tolist() == [[0, 25, 75, 100]]
 
 
 def test_bloom_filter_deterministic_and_bounded_fp():

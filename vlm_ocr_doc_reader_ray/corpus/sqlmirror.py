@@ -781,3 +781,32 @@ SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS text,
        CAST(count(*) AS BIGINT) AS n_lines_kept
 FROM w GROUP BY doc_id
 """
+
+
+# media_resize: the PNG payload is generated from the symbolic image
+# pixel(y,x) = (3x+7y+doc_id) mod 256 (stages/multimodal.py::
+# png_pixels), so the oracle recomputes input dims + exact pixel sum
+# without a codec — a green hash proves the pure-stdlib PNG
+# encode→decode roundtrip recovered every pixel. The resized pixel
+# sum is bilinear-specific (pytest-pinned, not SQL-expressible).
+MEDIA_RESIZE_SQL = r"""
+WITH dims AS (
+  SELECT doc_id,
+         16 + (doc_id % 5) * 8 AS in_w,
+         16 + (doc_id % 7) * 4 AS in_h,
+         doc_id % 97 = 13 AS corrupt
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN corrupt THEN 0 ELSE in_w END AS in_w,
+  CASE WHEN corrupt THEN 0 ELSE in_h END AS in_h,
+  CASE WHEN corrupt THEN 0
+       ELSE CAST(list_sum(flatten(list_transform(range(0, in_h),
+            y -> list_transform(range(0, in_w),
+                 x -> (3 * x + 7 * y + doc_id) % 256)))) AS BIGINT)
+  END AS in_sum,
+  CASE WHEN corrupt THEN 0 ELSE 32 END AS out_w,
+  CASE WHEN corrupt THEN 0 ELSE 32 END AS out_h,
+  CASE WHEN corrupt THEN 'failed' ELSE 'ok' END AS resize_status
+FROM dims
+"""

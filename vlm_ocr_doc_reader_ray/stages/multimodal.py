@@ -3,11 +3,16 @@
 Pattern for image/audio/video at 100 TB: the media itself is an
 opaque ``large_binary`` column; decode / feature-extraction stages are
 actor-pool ``map_batches`` with SMALL batch sizes (payload × batch ×
-concurrency must fit worker heap). The actual codecs are not
-available in this environment, so the decode body is either a
-deterministic header parse (our synthetic container) or an explicit
-``NotImplementedError`` — the Ray-side plumbing (schema, batch
-sizing, actor signature, output layout) is real and tested.
+concurrency must fit worker heap). Two decode tiers:
+
+- the synthetic ``FIMG1``/``FVID1`` containers (header parse /
+  byte-offset frame slicing) exercise the plumbing with
+  SQL-recomputable outputs;
+- ``ImageResizer`` runs a REAL pixel path — pure-stdlib PNG decode →
+  bilinear resize → re-encode (``extract/pngcodec.py``; no PIL/cv2 in
+  this environment, and none needed for PNG). JPEG/video codecs
+  remain out of scope here; a real deployment swaps the codec in the
+  actor ``__init__`` without touching the stage shape.
 
 Synthetic container (``FIMG1``): magic + big-endian u32 width,
 height + raw payload bytes. Width/height are pure functions of
@@ -203,16 +208,121 @@ class MediaFeaturizer:
         )
 
 
-class ImageResizer:
-    """STUB: real pixel decode/resize needs an image codec not present
-    in this environment. The stage signature and batch plumbing are
-    the production shape; calling it raises ``NotImplementedError``
-    (gate it behind a codec import in a real deployment)."""
+def png_pixels(doc_id: int) -> "np.ndarray":  # noqa: F821
+    """Deterministic grayscale test image for ``doc_id``:
+    ``pixel(y,x) = (3x + 7y + doc_id) mod 256`` at
+    ``(16+(doc_id%7)*4) × (16+(doc_id%5)*8)`` — simple enough that the
+    DuckDB oracle recomputes the pixel sum symbolically."""
+    import numpy as np
 
-    def __init__(self, target: tuple[int, int] = (224, 224)) -> None:
+    w = 16 + (doc_id % 5) * 8
+    h = 16 + (doc_id % 7) * 4
+    grid = np.add.outer(7 * np.arange(h, dtype=np.int64),
+                        3 * np.arange(w, dtype=np.int64)) + doc_id
+    return (grid % 256).astype(np.uint8)
+
+
+def attach_png(docs: rd.Dataset, corrupt_every: int = 97,
+               corrupt_residue: int = 13) -> rd.Dataset:
+    """documents rows → + ``media: large_binary`` of REAL PNG bytes
+    (pure-stdlib encoder). Docs on the engine-wide corrupt residue get
+    a truncated payload — failure is data downstream."""
+    from vlm_ocr_doc_reader_ray.extract.pngcodec import encode_png
+
+    def add(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d in batch.column("doc_id").to_pylist():
+            png = encode_png(png_pixels(int(d)))
+            if int(d) % corrupt_every == corrupt_residue:
+                png = png[: len(png) // 2]  # truncated mid-chunk
+            payloads.append(png)
+        return batch.append_column(
+            "media", pa.array(payloads, type=pa.large_binary())
+        )
+
+    return docs.map_batches(add, batch_format="pyarrow")
+
+
+class ImageResizer:
+    """Real decode → bilinear resize → re-encode over PNG payloads
+    (pure-stdlib codec, ``extract/pngcodec.py``) — the page-raster
+    preprocessing shape of the reference's renderer
+    (`preprocessing/renderer.py:35-96`), run as a small-batch stage.
+
+    Emits input dims + pixel sum (oracle-checkable), output dims +
+    pixel sum, and the resized PNG; undecodable payloads yield
+    ``resize_status='failed'`` with zeroed metrics."""
+
+    def __init__(self, target: tuple[int, int] = (32, 32),
+                 media_col: str = "media") -> None:
+        # a real deployment loads its codec here, once per actor
+        from vlm_ocr_doc_reader_ray.extract import pngcodec
+
+        self.codec = pngcodec
         self.target = target
+        self.media_col = media_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "pixel decode requires an image codec (PIL/cv2) not available here"
+        import numpy as np
+
+        in_w, in_h, in_sum = [], [], []
+        out_sum, resized, status = [], [], []
+        for payload in batch.column(self.media_col).to_pylist():
+            try:
+                arr = self.codec.decode_png(payload)
+                small = self.codec.resize_bilinear(arr, self.target)
+                h, w = arr.shape[:2]
+                in_w.append(w)
+                in_h.append(h)
+                in_sum.append(int(arr.astype(np.int64).sum()))
+                out_sum.append(int(small.astype(np.int64).sum()))
+                resized.append(self.codec.encode_png(small))
+                status.append("ok")
+            except Exception:  # zlib.error / ValueError / truncation
+                in_w.append(0)
+                in_h.append(0)
+                in_sum.append(0)
+                out_sum.append(0)
+                resized.append(b"")
+                status.append("failed")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "in_w": pa.array(in_w, type=pa.int64()),
+                "in_h": pa.array(in_h, type=pa.int64()),
+                "in_sum": pa.array(in_sum, type=pa.int64()),
+                "out_w": pa.array(
+                    [self.target[1] if s == "ok" else 0 for s in status],
+                    type=pa.int64(),
+                ),
+                "out_h": pa.array(
+                    [self.target[0] if s == "ok" else 0 for s in status],
+                    type=pa.int64(),
+                ),
+                "out_sum": pa.array(out_sum, type=pa.int64()),
+                "resized": pa.array(resized, type=pa.large_binary()),
+                "resize_status": pa.array(status, type=pa.string()),
+            }
         )
+
+
+def resize_media(
+    ds: rd.Dataset,
+    target: tuple[int, int] = (32, 32),
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Decode+resize stage over PNG media. Stateless tasks by default;
+    pass ``concurrency`` for an actor pool sized BELOW the cluster CPU
+    count (pool-takes-all starves the read stage)."""
+    if concurrency is None:
+        return ds.map_batches(
+            ImageResizer(target), batch_format="pyarrow", batch_size=batch_size
+        )
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
