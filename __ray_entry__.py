@@ -53,6 +53,27 @@ def _q_extract_text(sf_dir: str):
     return _extracted(sf_dir).select_columns(EXTRACT_COLUMNS)
 
 
+def _q_warc_extract_text(sf_dir: str):
+    """Same extraction pipeline fed from WARC shards (Common Crawl
+    layout: per-record gzip members) instead of Parquet — the
+    source-format half of the north rule. Verified against the SAME
+    golden SQL as extract_text: the WARC write→read round-trip must
+    preserve url/lang/html bit-for-bit, or the text hashes diverge."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import extract
+    from vlm_ocr_doc_reader_ray.sources.warc import corpus_warc, read_warc
+
+    shard_dir = corpus_warc(sf_dir, shards=4)
+    import os
+
+    paths = sorted(
+        os.path.join(shard_dir, p) for p in os.listdir(shard_dir)
+    )
+    corpus = read_warc(paths)
+    return extract(corpus, emit_spans=False, emit_registry=False).select_columns(
+        EXTRACT_COLUMNS
+    )
+
+
 def _q_extract_headers(sf_dir: str):
     from vlm_ocr_doc_reader_ray.pipelines.extraction import headers_table
 
@@ -837,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
+        "warc_extract_text": _q_warc_extract_text,
         # relational layer
         "pricing_summary": _q_pricing_summary,
         "mktsegment_revenue": _q_mktsegment_revenue,
@@ -890,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": sm.MEDIA_DECODE_SQL,
         "media_frames": sm.MEDIA_FRAMES_SQL,
         "media_resize": sm.MEDIA_RESIZE_SQL,
+        "warc_extract_text": sm.EXTRACT_TEXT_SQL,
         "pricing_summary": sm.PRICING_SUMMARY_SQL,
         "mktsegment_revenue": sm.MKTSEGMENT_REVENUE_SQL,
         "join_order_priority": sm.JOIN_PRIORITY_SQL,
