@@ -470,6 +470,88 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(_docs(sf_dir))
 
 
+def _q_customer_order_ranks(sf_dir: str):
+    """row_number() per customer by price: one hash shuffle, then a
+    vectorized cumcount per partition (never per-key dispatch)."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import grouped_row_number
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    ranked = grouped_row_number(
+        orders, ["o_custkey"], ["o_totalprice", "o_orderkey"],
+        ascending=[False, True],
+    )
+    return ranked.select_columns(["o_orderkey", "o_custkey", "rn"])
+
+
+def _q_user_event_gaps(sf_dir: str):
+    """lag() per user: inter-event gap in integer microseconds
+    (-1 sentinel on each user's first event)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import grouped_lag
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("ts"), "ts_us",
+            pc.cast(batch.column("ts"), pa.int64()),
+        )
+
+    lagged = grouped_lag(
+        events.map_batches(to_us, batch_format="pyarrow"),
+        ["user_id"], ["ts_us", "event_id"], "ts_us", out_col="prev_us",
+    )
+
+    import pandas as pd
+
+    def gap(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df["prev_us"]
+        gap_us = (df["ts_us"] - prev).where(prev.notna(), -1).astype("int64")
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "user_id": df["user_id"],
+             "gap_us": gap_us}
+        )
+
+    return lagged.map_batches(gap, batch_format="pandas")
+
+
+def _q_customer_running_total(sf_dir: str):
+    """Running revenue per customer in integer cents — prefix sums
+    over BIGINT are order-exact, so the SQL window matches bit-for-bit."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import (
+        cents,
+        grouped_running_sum,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column("price_cents", cents(batch.column("o_totalprice")))
+
+    run = grouped_running_sum(
+        orders.map_batches(add_cents, batch_format="pyarrow"),
+        ["o_custkey"], ["o_orderdate", "o_orderkey"], "price_cents",
+        out_col="running_cents",
+    )
+    return run.select_columns(["o_orderkey", "o_custkey", "running_cents"])
+
+
 def _q_pricing_summary(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -871,6 +953,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "top_orders_per_customer": _q_top_orders_per_customer,
+        "customer_order_ranks": _q_customer_order_ranks,
+        "user_event_gaps": _q_user_event_gaps,
+        "customer_running_total": _q_customer_running_total,
         "customers_without_big_orders": _q_customers_without_orders,
         "customers_without_big_orders_bloom": _q_customers_without_orders_bloom,
         "event_type_counts": _q_event_type_counts,
@@ -924,6 +1009,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": sm.EVENTS_SLIDING_WINDOW_SQL,
         "events_sessions": sm.EVENTS_SESSION_WINDOW_SQL,
         "top_orders_per_customer": sm.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "customer_order_ranks": sm.CUSTOMER_ORDER_RANKS_SQL,
+        "user_event_gaps": sm.USER_EVENT_GAPS_SQL,
+        "customer_running_total": sm.CUSTOMER_RUNNING_TOTAL_SQL,
         "customers_without_big_orders": sm.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "customers_without_big_orders_bloom": sm.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "event_type_counts": sm.EVENT_TYPE_COUNTS_SQL,

@@ -810,3 +810,33 @@ SELECT doc_id,
   CASE WHEN corrupt THEN 'failed' ELSE 'ok' END AS resize_status
 FROM dims
 """
+
+
+# ---------------------------------------------------- analytic windows
+
+CUSTOMER_ORDER_RANKS_SQL = r"""
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+FROM orders
+"""
+
+# gap in integer microseconds (epoch_us is BIGINT on both sides; the
+# first event of a user gets the -1 sentinel, not NULL, so the column
+# stays int64 through the hash compare)
+USER_EVENT_GAPS_SQL = r"""
+SELECT event_id, user_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+FROM events
+"""
+
+# running total in integer cents: prefix sums over BIGINT are
+# order-exact, so Ray cumsum and the SQL window agree bit-for-bit
+CUSTOMER_RUNNING_TOTAL_SQL = r"""
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM orders
+"""

@@ -773,3 +773,84 @@ def tumbling_window_agg(
     return grouped_sums(
         projected, [key_col, "window_start_s"], ["value_cents"], count_alias="n_events"
     )
+
+
+# ------------------------------------------------------- analytic windows
+#
+# SQL analytic functions (row_number / lag / running sum OVER a
+# partition) re-expressed Ray-Data-first: ONE hash shuffle co-locates
+# each key's rows (partitioned_apply), then the whole partition is
+# computed with vectorized pandas groupby kernels — never a per-key
+# map_groups dispatch. Ordering inside a key must be made total by
+# the caller (pass a unique tie-break column) or results are
+# nondeterministic under re-partitioning — same contract as SQL.
+
+
+def grouped_row_number(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    ascending: Sequence[bool],
+    out_col: str = "rn",
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """row_number() OVER (PARTITION BY keys ORDER BY order_by)."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    key_list, order_list, asc = list(keys), list(order_by), list(ascending)
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_list + order_list,
+                          ascending=[True] * len(key_list) + asc)
+        g[out_col] = g.groupby(key_list, sort=False).cumcount() + 1
+        g[out_col] = g[out_col].astype("int64")
+        return g
+
+    return partitioned_apply(ds, key_list, number, num_parts=num_parts)
+
+
+def grouped_lag(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    offset: int = 1,
+    out_col: str = "lag_value",
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """lag(value, offset) OVER (PARTITION BY keys ORDER BY order_by);
+    the first ``offset`` rows of each key get NaN/NaT (SQL NULL)."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    key_list, order_list = list(keys), list(order_by)
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_list + order_list)
+        g[out_col] = g.groupby(key_list, sort=False)[value_col].shift(offset)
+        return g
+
+    return partitioned_apply(ds, key_list, lag, num_parts=num_parts)
+
+
+def grouped_running_sum(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "running",
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """sum(value) OVER (PARTITION BY keys ORDER BY order_by ROWS
+    UNBOUNDED PRECEDING). Use an INTEGER value column (e.g. cents):
+    integer prefix sums are associativity-free, so the result is
+    independent of partitioning and bit-comparable with SQL."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    key_list, order_list = list(keys), list(order_by)
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_list + order_list)
+        g[out_col] = g.groupby(key_list, sort=False)[value_col].cumsum()
+        return g
+
+    return partitioned_apply(ds, key_list, run, num_parts=num_parts)
