@@ -470,6 +470,19 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(_docs(sf_dir))
 
 
+def _q_hll_registers(sf_dir: str):
+    """HyperLogLog register table over document texts: per-batch
+    combiner to <=2^9 one-byte registers, merged by max — COUNT
+    DISTINCT without shuffling the data. A green hash pins the whole
+    sketch state; the float estimate is pytest-bounded."""
+    from vlm_ocr_doc_reader_ray.stages.sketch import hll_registers
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return hll_registers(docs, "text", p=9)
+
+
 def _q_customer_order_ranks(sf_dir: str):
     """row_number() per customer by price: one hash shuffle, then a
     vectorized cumcount per partition (never per-key dispatch)."""
@@ -926,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "quality_filter": _q_quality_filter,
         "pii_scrub": _q_pii_scrub,
+        "hll_registers": _q_hll_registers,
         "repetition_stats": _q_repetition_stats,
         "ngram_counts": _q_ngram_counts,
         "line_dedup": _q_line_dedup,
@@ -983,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": sm.HASH_SAMPLE_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,
         "pii_scrub": sm.PII_SCRUB_SQL,
+        "hll_registers": sm.HLL_REGISTERS_SQL,
         "repetition_stats": sm.REPETITION_STATS_SQL,
         "ngram_counts": sm.NGRAM_COUNTS_SQL,
         "line_dedup": sm.LINE_DEDUP_SQL,

@@ -1,0 +1,76 @@
+"""HyperLogLog sketch: register determinism across partitionings,
+estimate accuracy bounds (large-range raw + small-range linear
+counting), and merge associativity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from vlm_ocr_doc_reader_ray.stages.sketch import (
+    _bit_length_u64,
+    hll_estimate,
+    hll_register_rows,
+    hll_registers,
+)
+
+
+def test_bit_length_matches_python():
+    rng = np.random.default_rng(3)
+    xs = np.concatenate(
+        [
+            np.array([0, 1, 2, 3, 2**63, 2**64 - 1], dtype=np.uint64),
+            rng.integers(0, 2**63, 200).astype(np.uint64),
+        ]
+    )
+    got = _bit_length_u64(xs)
+    want = np.array([int(x).bit_length() for x in xs], dtype=np.int64)
+    assert (got == want).all()
+
+
+def test_hll_registers_partition_invariant(ray_session):
+    import ray.data as rd
+
+    vals = pd.DataFrame({"v": [f"item-{i % 700}" for i in range(5000)]})
+    outs = []
+    for nblocks in (1, 11):
+        outs.append(
+            hll_registers(rd.from_pandas(vals).repartition(nblocks), "v", p=9)
+            .to_pandas()
+            .sort_values("bucket", ignore_index=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # and identical to the single-process computation
+    local = hll_register_rows(vals["v"], 9).rename(columns={"rho": "rho_max"})
+    pd.testing.assert_frame_equal(
+        outs[0], local.sort_values("bucket", ignore_index=True)
+    )
+
+
+def test_hll_estimate_bounds():
+    # p=9 → standard error 1.04/sqrt(512) ≈ 4.6%; assert 15% (3σ+)
+    for n in (300, 5000, 100_000):  # linear-counting and raw regimes
+        vals = pd.Series([f"u{i}" for i in range(n)])
+        regs = hll_register_rows(vals, 9).rename(columns={"rho": "rho_max"})
+        est = hll_estimate(regs, 9)
+        assert abs(est - n) / n < 0.15, (n, est)
+
+
+def test_hll_merge_associative():
+    a = pd.Series([f"x{i}" for i in range(2000)])
+    b = pd.Series([f"x{i}" for i in range(1000, 3000)])  # overlap
+    ra = hll_register_rows(a, 9)
+    rb = hll_register_rows(b, 9)
+    merged = (
+        pd.concat([ra, rb])
+        .groupby("bucket", as_index=False)["rho"]
+        .max()
+        .rename(columns={"rho": "rho_max"})
+    )
+    whole = hll_register_rows(pd.concat([a, b]), 9).rename(
+        columns={"rho": "rho_max"}
+    )
+    pd.testing.assert_frame_equal(
+        merged.sort_values("bucket", ignore_index=True),
+        whole.sort_values("bucket", ignore_index=True),
+    )

@@ -840,3 +840,22 @@ SELECT o_orderkey, o_custkey,
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
 FROM orders
 """
+
+
+# HLL register table over documents.text: same md5_u64 hash as the
+# dedup family; rho via bin() bit-length (integer/string ops only —
+# no float boundary risk). The float estimate is pytest-bounded, not
+# SQL-hashed; a green register hash pins the entire sketch state.
+HLL_REGISTERS_SQL = r"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h FROM documents
+), b AS (
+  SELECT CAST(h >> 55 AS BIGINT) AS bucket,
+         h & ((1::UBIGINT << 55) - 1) AS r
+  FROM h
+)
+SELECT bucket,
+       CAST(max(CASE WHEN r = 0 THEN 56 ELSE 55 - len(bin(r)) + 1 END)
+            AS BIGINT) AS rho_max
+FROM b GROUP BY bucket
+"""
