@@ -470,6 +470,39 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(_docs(sf_dir))
 
 
+def _q_wet_text_analysis(sf_dir: str):
+    """Text analysis fed from WET shards (Common Crawl extracted-text
+    layout, per-member gzip) instead of Parquet. Verified against the
+    SAME oracle as text_analysis: the WET write→read round-trip must
+    preserve every code point of every document."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vlm_ocr_doc_reader_ray.sources.warc import corpus_wet, read_wet
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import analyze
+
+    shard_dir = corpus_wet(sf_dir, shards=4)
+    import os
+
+    paths = sorted(os.path.join(shard_dir, p) for p in os.listdir(shard_dir))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        # url is wet://doc/{doc_id} — recover the table key
+        doc_id = pc.cast(
+            pc.replace_substring(batch.column("url"), "wet://doc/", ""),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": doc_id, "text": batch.column("text")})
+
+    docs = read_wet(paths).map_batches(keyed, batch_format="pyarrow")
+    return analyze(docs).select_columns(
+        [
+            "doc_id", "lang_pred", "n_words", "n_chars_measured",
+            "stopword_ratio", "n_punct", "ws_tokens", "bpe_tokens", "fingerprint",
+        ]
+    )
+
+
 def _q_hll_registers(sf_dir: str):
     """HyperLogLog register table over document texts: per-batch
     combiner to <=2^9 one-byte registers, merged by max — COUNT
@@ -955,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "warc_extract_text": _q_warc_extract_text,
+        "wet_text_analysis": _q_wet_text_analysis,
         # relational layer
         "pricing_summary": _q_pricing_summary,
         "mktsegment_revenue": _q_mktsegment_revenue,
@@ -1013,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": sm.MEDIA_FRAMES_SQL,
         "media_resize": sm.MEDIA_RESIZE_SQL,
         "warc_extract_text": sm.EXTRACT_TEXT_SQL,
+        "wet_text_analysis": sm.TEXT_ANALYSIS_SQL,
         "pricing_summary": sm.PRICING_SUMMARY_SQL,
         "mktsegment_revenue": sm.MKTSEGMENT_REVENUE_SQL,
         "join_order_priority": sm.JOIN_PRIORITY_SQL,

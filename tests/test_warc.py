@@ -108,3 +108,32 @@ def test_read_warc_dataset_matches_writer(ray_session, tmp_path):
     assert [bytes(h) for h in df.html] == [bytes(h) for h in want.html]
     assert list(df.lang) == list(want.lang)
     assert list(pd.to_datetime(df.warc_ts)) == list(pd.to_datetime(want.warc_ts))
+
+
+def test_wet_roundtrip_and_dataset(ray_session, tmp_path):
+    from datetime import datetime
+
+    from vlm_ocr_doc_reader_ray.sources.warc import (
+        _gzip_member,
+        iter_wet_records,
+        read_wet,
+        warcinfo_bytes,
+        wet_record_bytes,
+    )
+
+    texts = ["plain text", "unicode — éü中文", "with\r\n\r\nCRLF blocks", ""]
+    path = str(tmp_path / "a.warc.wet.gz")
+    with open(path, "wb") as f:
+        f.write(_gzip_member(warcinfo_bytes("a.warc.wet.gz")))
+        for i, t in enumerate(texts):
+            f.write(_gzip_member(
+                wet_record_bytes(f"wet://doc/{i}", datetime(2024, 1, 1, 0, 0, i), t)
+            ))
+    with open(path, "rb") as f:
+        got = list(iter_wet_records(f))
+    assert [g["text"] for g in got] == texts
+    assert [g["url"] for g in got] == [f"wet://doc/{i}" for i in range(4)]
+
+    df = read_wet([path]).to_pandas().sort_values("url", ignore_index=True)
+    assert list(df.text) == texts  # url sort == write order here
+    assert list(df.columns) == ["url", "warc_ts", "text"]

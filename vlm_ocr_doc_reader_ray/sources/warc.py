@@ -167,10 +167,8 @@ class _InflateReader:
         return out
 
 
-def iter_warc_records(f) -> Iterator[dict]:
-    """File-like → dicts for each ``response`` record (other record
-    types — warcinfo, request, metadata — are skipped, as a
-    Common-Crawl consumer does)."""
+def _iter_raw(f) -> Iterator[tuple[dict, bytes]]:
+    """File-like → (header dict, body bytes) for every WARC record."""
     r = _InflateReader(f)
     while True:
         block = r.read_until(CRLF + CRLF)
@@ -187,6 +185,14 @@ def iter_warc_records(f) -> Iterator[dict]:
         length = int(hdr.get(b"content-length", b"0"))
         body = r.read_exact(length)
         r.read_until(CRLF + CRLF)  # record trailer
+        yield hdr, body
+
+
+def iter_warc_records(f) -> Iterator[dict]:
+    """File-like → dicts for each ``response`` record (other record
+    types — warcinfo, request, metadata — are skipped, as a
+    Common-Crawl consumer does)."""
+    for hdr, body in _iter_raw(f):
         if hdr.get(b"warc-type") != b"response":
             continue
         # split the HTTP envelope from the page bytes
@@ -201,6 +207,34 @@ def iter_warc_records(f) -> Iterator[dict]:
             "warc_ts": _parse_warc_date(hdr[b"warc-date"].decode("ascii")),
             "html": html,
             "lang": lang,
+        }
+
+
+def wet_record_bytes(url: str, ts: datetime, text: str) -> bytes:
+    """One WET ``conversion`` record: extracted plain text, no HTTP
+    envelope (the Common Crawl *.warc.wet layout)."""
+    body = text.encode("utf-8")
+    header = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: conversion" + CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + CRLF
+        + b"WARC-Date: " + _warc_date(ts).encode("ascii") + CRLF
+        + b"Content-Type: text/plain" + CRLF
+        + b"Content-Length: " + str(len(body)).encode("ascii") + CRLF
+        + CRLF
+    )
+    return header + body + CRLF + CRLF
+
+
+def iter_wet_records(f) -> Iterator[dict]:
+    """File-like → dicts for each ``conversion`` (WET) record."""
+    for hdr, body in _iter_raw(f):
+        if hdr.get(b"warc-type") != b"conversion":
+            continue
+        yield {
+            "url": hdr.get(b"warc-target-uri", b"").decode("utf-8"),
+            "warc_ts": _parse_warc_date(hdr[b"warc-date"].decode("ascii")),
+            "text": body.decode("utf-8"),
         }
 
 
@@ -308,4 +342,96 @@ def corpus_warc(
         os.rename(tmp_dir, out_dir)
     except OSError:
         shutil.rmtree(tmp_dir, ignore_errors=True)  # concurrent writer won
+    return out_dir
+
+
+class WetDatasource(FileBasedDatasource):
+    """WET (conversion) shards → (url, warc_ts, text) rows."""
+
+    _FILE_EXTENSIONS = ["wet", "warc.wet", "warc.wet.gz", "wet.gz"]
+
+    def __init__(self, paths, batch_rows: int = 512, **kwargs) -> None:
+        super().__init__(paths, **kwargs)
+        self.batch_rows = batch_rows
+
+    def _read_stream(self, f: "pa.NativeFile", path: str) -> Iterator[pa.Table]:
+        rows: list[dict] = []
+        for rec in iter_wet_records(f):
+            rows.append(rec)
+            if len(rows) >= self.batch_rows:
+                yield _wet_table(rows)
+                rows = []
+        if rows:
+            yield _wet_table(rows)
+
+
+def _wet_table(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], type=pa.string()),
+            "warc_ts": pa.array(
+                [r["warc_ts"] for r in rows], type=pa.timestamp("us")
+            ),
+            "text": pa.array([r["text"] for r in rows], type=pa.large_string()),
+        }
+    )
+
+
+def read_wet(paths, batch_rows: int = 512, **kwargs) -> "rd.Dataset":
+    """WET shard path(s) → Dataset(url, warc_ts, text)."""
+    import ray.data as rd
+
+    return rd.read_datasource(WetDatasource(paths, batch_rows=batch_rows, **kwargs))
+
+
+def corpus_wet(
+    sf_dir: str, shards: int = 4, cache_root: str | None = None
+) -> str:
+    """Materialize (once, atomically) documents.parquet as WET shards
+    (per-member gzip); url embeds doc_id as ``wet://doc/{doc_id}`` so
+    text-keyed pipelines can recover the key after the round-trip."""
+    import os
+    import shutil
+    from datetime import datetime
+    from pathlib import Path
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import CORPUS_CACHE_ROOT
+
+    root = cache_root or CORPUS_CACHE_ROOT
+    tag = f"wet_{Path(sf_dir).name}_s{shards}"
+    out_dir = os.path.join(root, tag)
+    if os.path.isdir(out_dir):
+        return out_dir
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+    files = [
+        open(os.path.join(tmp_dir, f"shard-{s:05d}.warc.wet.gz"), "wb")
+        for s in range(shards)
+    ]
+    try:
+        for s, f in enumerate(files):
+            f.write(_gzip_member(warcinfo_bytes(f"shard-{s:05d}.warc.wet.gz")))
+        i = 0
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        for batch in docs.iter_batches(batch_size=512, batch_format="pyarrow"):
+            for doc_id, text in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                rec = wet_record_bytes(
+                    f"wet://doc/{doc_id}", datetime(2024, 1, 1), text
+                )
+                files[i % shards].write(_gzip_member(rec))
+                i += 1
+    finally:
+        for f in files:
+            f.close()
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
