@@ -503,6 +503,39 @@ def _q_wet_text_analysis(sf_dir: str):
     )
 
 
+def _q_url_parse(sf_dir: str):
+    """Crawl URL canonicalization over deterministically injected URL
+    shapes (uppercase hosts, default + explicit ports, fragments,
+    root paths, garbage) — LOCKSTEP with sqlmirror.URL_PARSE_SQL."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.urltools import parse_urls
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"]
+        url = pd.Series("", index=batch.index, dtype="object")
+        m = d % 5
+        url[m == 0] = (
+            "https://WWW.Example.COM:443/A/b/c?q=" + d.astype(str) + "#frag"
+        )
+        url[m == 1] = "http://site" + (d % 10).astype(str) + ".org:8080/path/"
+        url[m == 2] = "https://example.net"
+        url[m == 3] = "not a url " + d.astype(str)
+        url[m == 4] = (
+            "https://" + batch["source"] + ".example.com/" + batch["lang"]
+            + "/" + d.astype(str).str.zfill(8)
+        )
+        return pd.DataFrame({"doc_id": d, "url": url})
+
+    return parse_urls(docs.map_batches(inject, batch_format="pandas"))
+
+
 def _q_hll_registers(sf_dir: str):
     """HyperLogLog register table over document texts: per-batch
     combiner to <=2^9 one-byte registers, merged by max — COUNT
@@ -596,6 +629,33 @@ def _q_customer_running_total(sf_dir: str):
         out_col="running_cents",
     )
     return run.select_columns(["o_orderkey", "o_custkey", "running_cents"])
+
+
+def _q_customer_moving_sum(sf_dir: str):
+    """3-row moving revenue per customer (integer cents, exact via
+    difference of prefix sums)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import (
+        cents,
+        grouped_rolling_sum,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column("price_cents", cents(batch.column("o_totalprice")))
+
+    run = grouped_rolling_sum(
+        orders.map_batches(add_cents, batch_format="pyarrow"),
+        ["o_custkey"], ["o_orderdate", "o_orderkey"], "price_cents",
+        window_rows=3, out_col="moving_cents",
+    )
+    return run.select_columns(["o_orderkey", "o_custkey", "moving_cents"])
 
 
 def _q_pricing_summary(sf_dir: str):
@@ -973,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "pii_scrub": _q_pii_scrub,
         "hll_registers": _q_hll_registers,
+        "url_parse": _q_url_parse,
         "repetition_stats": _q_repetition_stats,
         "ngram_counts": _q_ngram_counts,
         "line_dedup": _q_line_dedup,
@@ -1004,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_ranks": _q_customer_order_ranks,
         "user_event_gaps": _q_user_event_gaps,
         "customer_running_total": _q_customer_running_total,
+        "customer_moving_sum": _q_customer_moving_sum,
         "customers_without_big_orders": _q_customers_without_orders,
         "customers_without_big_orders_bloom": _q_customers_without_orders_bloom,
         "event_type_counts": _q_event_type_counts,
@@ -1032,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": sm.QUALITY_FILTER_SQL,
         "pii_scrub": sm.PII_SCRUB_SQL,
         "hll_registers": sm.HLL_REGISTERS_SQL,
+        "url_parse": sm.URL_PARSE_SQL,
         "repetition_stats": sm.REPETITION_STATS_SQL,
         "ngram_counts": sm.NGRAM_COUNTS_SQL,
         "line_dedup": sm.LINE_DEDUP_SQL,
@@ -1062,6 +1125,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_ranks": sm.CUSTOMER_ORDER_RANKS_SQL,
         "user_event_gaps": sm.USER_EVENT_GAPS_SQL,
         "customer_running_total": sm.CUSTOMER_RUNNING_TOTAL_SQL,
+        "customer_moving_sum": sm.CUSTOMER_MOVING_SUM_SQL,
         "customers_without_big_orders": sm.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "customers_without_big_orders_bloom": sm.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "event_type_counts": sm.EVENT_TYPE_COUNTS_SQL,

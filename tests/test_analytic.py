@@ -86,3 +86,60 @@ def test_grouped_running_sum_is_partition_invariant(ray_session):
         outs[0].set_index("uid")["run"].sort_index(),
         want.set_index("uid")["run"].sort_index(),
     )
+
+
+def test_grouped_rolling_sum_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import grouped_rolling_sum
+
+    df = _frame(1500, seed=13)
+    got = (
+        grouped_rolling_sum(
+            rd.from_pandas(df).repartition(6), ["k"], ["uid"], "v",
+            window_rows=4, out_col="roll",
+        )
+        .to_pandas()
+        .sort_values("uid", ignore_index=True)
+    )
+    want = df.sort_values(["k", "uid"])
+    want = want.assign(
+        roll=want.groupby("k")["v"].rolling(4, min_periods=1).sum().values
+    ).sort_values("uid", ignore_index=True)
+    assert list(got.roll) == [int(x) for x in want.roll]
+
+
+def test_parse_urls_edge_cases(ray_session):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.urltools import parse_urls
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "url": [
+                "https://A.B.C:443/x?q=1#f",   # default port dropped, frag gone
+                "http://h.io:80/",             # default http port dropped
+                "http://h.io:8080",            # explicit port, root path
+                "ftp://nope/x",                # unsupported scheme -> failed
+                "https://h.io/a//b/",          # // keeps its empty segment
+                "garbage",
+            ],
+        }
+    )
+    out = (
+        parse_urls(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out.url_norm) == [
+        "https://a.b.c/x?q=1",
+        "http://h.io/",
+        "http://h.io:8080/",
+        "",
+        "https://h.io/a//b/",
+        "",
+    ]
+    assert list(out.port) == [-1, -1, 8080, -1, -1, -1]
+    assert list(out.depth) == [1, 0, 0, 0, 3, 0]
+    assert list(out.is_https) == [True, False, False, False, True, False]

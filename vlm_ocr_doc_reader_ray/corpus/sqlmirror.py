@@ -859,3 +859,70 @@ SELECT bucket,
             AS BIGINT) AS rho_max
 FROM b GROUP BY bucket
 """
+
+
+# url_parse: crawl URL canonicalization over deterministically
+# injected URL shapes (ports, default ports, fragments, uppercase
+# hosts, root paths, garbage) — the SAME regex string runs in
+# Python-re (engine) and RE2 (this mirror); shared syntax only.
+# Known representational gap, irrelevant to the injected set: a bare
+# trailing '?' (empty query) is indistinguishable from no query in
+# RE2's regexp_extract ('' for both), while Python re distinguishes
+# None from ''.
+URL_PARSE_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'https://WWW.Example.COM:443/A/b/c?q=' || CAST(doc_id AS VARCHAR) || '#frag'
+      WHEN 1 THEN 'http://site' || CAST(doc_id % 10 AS VARCHAR) || '.org:8080/path/'
+      WHEN 2 THEN 'https://example.net'
+      WHEN 3 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+      ELSE 'https://' || source || '.example.com/' || lang || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+    END AS url
+  FROM documents
+), g AS (
+  SELECT doc_id, url,
+    regexp_matches(url, '^(https?)://([^/:?#]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$') AS ok,
+    lower(regexp_extract(url, '^(https?)://([^/:?#]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
+    lower(regexp_extract(url, '^(https?)://([^/:?#]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS host,
+    regexp_extract(url, '^(https?)://([^/:?#]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS port_s,
+    regexp_extract(url, '^(https?)://([^/:?#]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS path0,
+    regexp_extract(url, '^(https?)://([^/:?#]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 5) AS query
+  FROM u
+), n AS (
+  SELECT doc_id, ok, scheme, host,
+    CASE WHEN port_s = '' THEN -1
+         WHEN scheme = 'http'  AND port_s = '80'  THEN -1
+         WHEN scheme = 'https' AND port_s = '443' THEN -1
+         ELSE CAST(port_s AS BIGINT) END AS port,
+    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+    query
+  FROM g
+)
+SELECT doc_id,
+  CASE WHEN ok THEN scheme ELSE '' END AS scheme,
+  CASE WHEN ok THEN host ELSE '' END AS host,
+  CASE WHEN ok THEN port ELSE -1 END AS port,
+  CASE WHEN ok THEN path ELSE '' END AS path,
+  CASE WHEN ok AND trim(path, '/') <> ''
+       THEN CAST(len(string_split(trim(path, '/'), '/')) AS BIGINT)
+       ELSE 0 END AS depth,
+  ok AND scheme = 'https' AS is_https,
+  CASE WHEN ok THEN scheme || '://' || host ||
+            (CASE WHEN port = -1 THEN '' ELSE ':' || CAST(port AS VARCHAR) END) ||
+            path ||
+            (CASE WHEN query = '' THEN '' ELSE '?' || query END)
+       ELSE '' END AS url_norm
+FROM n
+"""
+
+
+# row-based moving sum in integer cents (frame: 2 PRECEDING..CURRENT)
+CUSTOMER_MOVING_SUM_SQL = r"""
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS moving_cents
+FROM orders
+"""

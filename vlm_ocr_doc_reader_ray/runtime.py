@@ -29,6 +29,7 @@ def register_for_workers() -> None:
     import vlm_ocr_doc_reader_ray.stages.sketch  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.similarity  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.text_analysis  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.urltools  # noqa: F401
 
     try:
         from ray import cloudpickle

@@ -854,3 +854,36 @@ def grouped_running_sum(
         return g
 
     return partitioned_apply(ds, key_list, run, num_parts=num_parts)
+
+
+def grouped_rolling_sum(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    window_rows: int,
+    out_col: str = "rolling",
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """sum(value) OVER (PARTITION BY keys ORDER BY order_by ROWS
+    ``window_rows - 1`` PRECEDING) — a row-based moving sum.
+
+    Computed as the difference of prefix sums (``cumsum`` minus the
+    group-shifted ``cumsum``) — two vectorized cython kernels per
+    partition, no per-row windowing and no per-key dispatch. Use an
+    INTEGER value column: the trick is only exact when addition is
+    associative."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    key_list, order_list = list(keys), list(order_by)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_list + order_list)
+        run = g.groupby(key_list, sort=False)[value_col].cumsum()
+        prev = run.groupby([g[k] for k in key_list], sort=False).shift(
+            window_rows
+        ).fillna(0)
+        g[out_col] = (run - prev).astype("int64")
+        return g
+
+    return partitioned_apply(ds, key_list, roll, num_parts=num_parts)
