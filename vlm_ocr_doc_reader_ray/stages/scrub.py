@@ -118,15 +118,33 @@ def ngram_counts(
     from vlm_ocr_doc_reader_ray.stages.relational import top_k as _top_k
 
     def explode_count(batch: pd.DataFrame) -> pd.DataFrame:
-        counts: dict = {}
-        for t in batch[text_col].astype(str):
-            ws = t.split(" ")
-            for i in range(len(ws) - n + 1):
-                g = " ".join(ws[i: i + n])
-                counts[g] = counts.get(g, 0) + 1
+        import numpy as np
+
+        # flatten every doc's words into one array, then build n-grams
+        # by shifted joins and count with value_counts (C-speed hash),
+        # masking out windows that straddle a document boundary
+        word_lists = batch[text_col].astype(str).str.split(" ")
+        lens = word_lists.str.len().to_numpy()
+        flat = np.concatenate(word_lists.to_numpy())
+        n_windows = len(flat) - n + 1
+        if n_windows <= 0:
+            return pd.DataFrame(
+                {"ngram": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        valid = np.ones(n_windows, dtype=bool)
+        bounds = np.cumsum(lens)[:-1]  # first word index of docs 1..k
+        for off in range(1, n):
+            cross = bounds - off  # window at this start crosses a boundary
+            cross = cross[(cross >= 0) & (cross < n_windows)]
+            valid[cross] = False
+        grams = pd.Series(flat[: n_windows][valid])
+        for off in range(1, n):
+            grams = grams + " " + pd.Series(flat[off : off + n_windows][valid])
+        counts = grams.value_counts()
         return pd.DataFrame(
-            {"ngram": list(counts.keys()),
-             "n": pd.Series(list(counts.values()), dtype="int64")}
+            {"ngram": counts.index.to_numpy(),
+             "n": counts.to_numpy().astype("int64")}
         )
 
     partials = ds.map_batches(explode_count, batch_format="pandas")
