@@ -470,6 +470,69 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(_docs(sf_dir))
 
 
+def _eval_docs(sf_dir: str):
+    """The deterministic 'benchmark suite': documents with
+    ``doc_id % 101 == 0`` (original texts, pre-injection)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % 101 == 0]
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(keep, batch_format="pandas")
+
+
+def _docs_with_eval_leak(sf_dir: str):
+    """Documents with deterministically injected benchmark excerpts
+    (the synthetic corpus shares no natural cross-doc 13-gram):
+    docs with ``doc_id % 13 == 5`` get the first 13 words of eval doc
+    rank ``doc_id % n_eval`` appended — LOCKSTEP with
+    ``sqlmirror.CONTAMINATION_SQL`` so the scan itself is what the
+    oracle hash compares. The excerpt table is collected on the
+    driver (the eval side is small by the decontamination contract)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    ev = sorted(
+        (r["doc_id"], " ".join(str(r["text"]).split(" ")[:13]))
+        for r in _eval_docs(sf_dir).iter_rows()
+    )
+    excerpts = {rn: text for rn, (_id, text) in enumerate(ev)}
+    n_eval = len(excerpts)
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"]
+        exc = (d % n_eval).map(excerpts)
+        text = batch["text"].astype(str)
+        return pd.DataFrame(
+            {
+                "doc_id": d,
+                "text": text.where(d % 13 != 5, text + " " + exc),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(inject, batch_format="pandas")
+
+
+def _q_contamination(sf_dir: str):
+    """Benchmark decontamination scan: per-doc 13-gram overlap with
+    the eval set (distinct eval n-grams broadcast once via ray.put;
+    the corpus-side scan is a pure projection, no shuffle)."""
+    from vlm_ocr_doc_reader_ray.stages.scrub import (
+        contamination_check,
+        eval_ngram_set,
+    )
+
+    ev = eval_ngram_set(_eval_docs(sf_dir), n=13)
+    return contamination_check(_docs_with_eval_leak(sf_dir), ev, n=13)
+
+
 def _q_wet_text_analysis(sf_dir: str):
     """Text analysis fed from WET shards (Common Crawl extracted-text
     layout, per-member gzip) instead of Parquet. Verified against the
@@ -1037,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "ngram_counts": _q_ngram_counts,
         "line_dedup": _q_line_dedup,
+        "contamination": _q_contamination,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,
@@ -1098,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": sm.REPETITION_STATS_SQL,
         "ngram_counts": sm.NGRAM_COUNTS_SQL,
         "line_dedup": sm.LINE_DEDUP_SQL,
+        "contamination": sm.CONTAMINATION_SQL,
         "dedup_exact": sm.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": sm.MINHASH_PAIRS_SQL,
         "dedup_simhash_pairs": sm.SIMHASH_PAIRS_SQL,

@@ -142,3 +142,65 @@ def test_repetition_dup_ppm_rounds_half_up(ray_session):
     out = repetition_stats(_ds(df)).to_pandas()
     assert out.n_ngrams[0] == 5 and out.n_distinct[0] == 3
     assert out.dup_ppm[0] == 400000  # 2/5 exactly
+
+
+def test_contamination_check_hits_and_short_doc_rule(ray_session):
+    from vlm_ocr_doc_reader_ray.stages.scrub import (
+        contamination_check,
+        eval_ngram_set,
+    )
+
+    ev = pd.DataFrame(
+        {"doc_id": [100], "text": ["the quick brown fox jumps over it"]}
+    )
+    # doc 0 contains an eval trigram twice; doc 1 is clean; doc 2 is
+    # shorter than n (no n-grams at all -> clean by construction)
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "x the quick brown y the quick brown z",
+                "totally unrelated words here now",
+                "too short",
+            ],
+        }
+    )
+    evset = eval_ngram_set(_ds(ev), n=3)
+    assert "the quick brown" in evset and len(evset) == 5
+    out = (
+        contamination_check(_ds(df, nblocks=3), evset, n=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out.n_ngrams) == [7, 3, 0]
+    assert list(out.n_eval_hits) == [2, 0, 0]
+    assert list(out.contaminated) == [True, False, False]
+
+
+def test_contamination_partition_invariance(ray_session):
+    from vlm_ocr_doc_reader_ray.stages.scrub import (
+        contamination_check,
+        eval_ngram_set,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                f"w{i} common tail phrase here padded {'x ' * (i % 4)}end"
+                for i in range(40)
+            ],
+        }
+    )
+    ev = pd.DataFrame({"doc_id": [9000], "text": ["common tail phrase here we go"]})
+    evset = eval_ngram_set(_ds(ev), n=4)
+    a = (
+        contamination_check(_ds(rows, nblocks=1), evset, n=4)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        contamination_check(_ds(rows, nblocks=7), evset, n=4)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert a.contaminated.all()

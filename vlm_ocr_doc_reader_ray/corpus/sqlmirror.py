@@ -783,6 +783,50 @@ FROM w GROUP BY doc_id
 """
 
 
+# Benchmark decontamination: eval set = original texts of docs with
+# doc_id % 101 = 0; docs with doc_id % 13 = 5 get the first 13 words
+# of eval doc rank (doc_id % n_eval) appended (LOCKSTEP with
+# __ray_entry__._docs_with_eval_leak); a doc is contaminated iff any
+# of its 13-grams appears among the eval set's 13-grams.
+CONTAMINATION_SQL = r"""
+WITH ev0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0
+), exc AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+         array_to_string(list_slice(string_split(text, ' '), 1, 13), ' ') AS excerpt
+  FROM ev0
+), inj AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 13 = 5 THEN d.text || ' ' || e.excerpt
+              ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN exc e ON e.rn = d.doc_id % (SELECT count(*) FROM exc)
+), evg AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(0, len(string_split(text, ' ')) - 12),
+                i -> array_to_string(
+                    list_slice(string_split(text, ' '), i + 1, i + 13), ' '))) AS ng
+  FROM ev0 WHERE len(string_split(text, ' ')) >= 13
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM inj
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(0, nw - 12),
+                i -> array_to_string(list_slice(ws, i + 1, i + 13), ' '))) AS ng
+  FROM t WHERE nw >= 13
+), hits AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_eval_hits
+  FROM g JOIN evg USING (ng) GROUP BY g.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN t.nw >= 13 THEN t.nw - 12 ELSE 0 END AS BIGINT) AS n_ngrams,
+       CAST(coalesce(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+       coalesce(h.n_eval_hits, 0) > 0 AS contaminated
+FROM t LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # media_resize: the PNG payload is generated from the symbolic image
 # pixel(y,x) = (3x+7y+doc_id) mod 256 (stages/multimodal.py::
 # png_pixels), so the oracle recomputes input dims + exact pixel sum

@@ -102,6 +102,47 @@ def repetition_stats(
     return ds.map_batches(stats, batch_format="pandas")
 
 
+def _batch_word_ngrams(texts: pd.Series, n: int):
+    """Vectorized word n-gram builder over a batch of texts.
+
+    Flattens every doc's words into one array, builds n-grams by
+    shifted array joins, and masks windows that straddle a document
+    boundary. Returns ``(grams, doc_idx)`` — parallel arrays of the
+    n-gram strings and the 0-based position (within the batch) of the
+    document each came from — so callers can count globally (census)
+    or per document (contamination) without re-tokenizing. Documents
+    shorter than ``n`` words contribute no n-grams."""
+    import numpy as np
+
+    word_lists = texts.astype(str).str.split(" ")
+    lens = word_lists.str.len().to_numpy()
+    empty = (
+        np.array([], dtype=object),
+        np.array([], dtype=np.int64),
+    )
+    if len(lens) == 0:
+        return empty
+    flat = np.concatenate(word_lists.to_numpy())
+    n_windows = len(flat) - n + 1
+    if n_windows <= 0:
+        return empty
+    valid = np.ones(n_windows, dtype=bool)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    bounds = starts[1:]  # first word index of docs 1..k
+    for off in range(1, n):
+        cross = bounds - off  # window at this start crosses a boundary
+        cross = cross[(cross >= 0) & (cross < n_windows)]
+        valid[cross] = False
+    grams = pd.Series(flat[:n_windows][valid])
+    for off in range(1, n):
+        grams = grams + " " + pd.Series(flat[off: off + n_windows][valid])
+    # document of each surviving window = index of the doc whose word
+    # range contains the window start
+    win_starts = np.nonzero(valid)[0]
+    doc_idx = np.searchsorted(starts, win_starts, side="right") - 1
+    return grams.to_numpy(), doc_idx.astype(np.int64)
+
+
 def ngram_counts(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -118,30 +159,8 @@ def ngram_counts(
     from vlm_ocr_doc_reader_ray.stages.relational import top_k as _top_k
 
     def explode_count(batch: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        # flatten every doc's words into one array, then build n-grams
-        # by shifted joins and count with value_counts (C-speed hash),
-        # masking out windows that straddle a document boundary
-        word_lists = batch[text_col].astype(str).str.split(" ")
-        lens = word_lists.str.len().to_numpy()
-        flat = np.concatenate(word_lists.to_numpy())
-        n_windows = len(flat) - n + 1
-        if n_windows <= 0:
-            return pd.DataFrame(
-                {"ngram": pd.Series([], dtype="object"),
-                 "n": pd.Series([], dtype="int64")}
-            )
-        valid = np.ones(n_windows, dtype=bool)
-        bounds = np.cumsum(lens)[:-1]  # first word index of docs 1..k
-        for off in range(1, n):
-            cross = bounds - off  # window at this start crosses a boundary
-            cross = cross[(cross >= 0) & (cross < n_windows)]
-            valid[cross] = False
-        grams = pd.Series(flat[: n_windows][valid])
-        for off in range(1, n):
-            grams = grams + " " + pd.Series(flat[off : off + n_windows][valid])
-        counts = grams.value_counts()
+        grams, _ = _batch_word_ngrams(batch[text_col], n)
+        counts = pd.Series(grams).value_counts()
         return pd.DataFrame(
             {"ngram": counts.index.to_numpy(),
              "n": counts.to_numpy().astype("int64")}
@@ -219,3 +238,82 @@ def line_dedup(
         return out.rename(columns={"line": "text"})
 
     return partitioned_apply(winners, [id_col], reassemble)
+
+
+def eval_ngram_set(
+    eval_ds: rd.Dataset, text_col: str = "text", n: int = 13
+) -> frozenset:
+    """Collect the distinct word ``n``-grams of a (small) benchmark /
+    eval dataset as a driver-side frozenset.
+
+    Contract: the eval side of a decontamination pass is the
+    BENCHMARK suite — megabytes, not the corpus — so collecting its
+    distinct n-grams to the driver and broadcasting them is the
+    correct 100-TB shape (one ``ray.put``, read by every task), not a
+    shortcut. The distinct-per-partition combiner runs distributed
+    first so the driver only ever receives the true distinct set."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import distinct_values
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        grams, _ = _batch_word_ngrams(batch[text_col], n)
+        return pd.DataFrame({"ngram": pd.Series(grams, dtype="object").drop_duplicates()})
+
+    distinct = distinct_values(
+        eval_ds.map_batches(explode, batch_format="pandas"), "ngram"
+    )
+    return frozenset(
+        r["ngram"] for r in distinct.iter_rows()
+    )
+
+
+def contamination_check(
+    ds: rd.Dataset,
+    eval_ngrams,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> rd.Dataset:
+    """GPT-3/PaLM-style benchmark decontamination: per document, how
+    many of its word ``n``-grams appear in the eval set's n-grams.
+
+    ``eval_ngrams`` is a frozenset (see :func:`eval_ngram_set`) or a
+    ``ray.ObjectRef`` to one — passed by reference either way, so the
+    set ships to each worker once, never per batch. The scan itself is
+    a pure per-batch projection (no shuffle): vectorized n-gram build
+    + hash-set membership + ``bincount`` per document. Output:
+    ``(id_col, n_ngrams, n_eval_hits, contaminated)`` for every input
+    document (docs shorter than ``n`` words have 0 n-grams and are
+    clean)."""
+    import numpy as np
+    import ray
+
+    ref = (
+        eval_ngrams
+        if isinstance(eval_ngrams, ray.ObjectRef)
+        else ray.put(eval_ngrams)
+    )
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        # one object-store fetch per task (tasks see the ref, not a
+        # per-batch copy of the set)
+        ev = ray.get(ref)
+        grams, doc_idx = _batch_word_ngrams(batch[text_col], n)
+        n_docs = len(batch)
+        totals = np.bincount(doc_idx, minlength=n_docs).astype("int64")
+        if len(grams):
+            hit_mask = pd.Series(grams).isin(ev).to_numpy()
+            hits = np.bincount(
+                doc_idx[hit_mask], minlength=n_docs
+            ).astype("int64")
+        else:
+            hits = np.zeros(n_docs, dtype="int64")
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "n_ngrams": totals,
+                "n_eval_hits": hits,
+                "contaminated": hits > 0,
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pandas")
