@@ -410,6 +410,22 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(docs, "doc_id", rate=0.1)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Language-rebalanced deterministic sample: en kept at 30%,
+    zh at 10%, everything else at 2% — per-stratum md5 thresholds,
+    membership a pure function of doc_id (SQL-verified)."""
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import stratified_sample
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.3, "zh": 0.1}, default_rate=0.02
+    )
+
+
 def _docs_with_pii(sf_dir: str):
     """Documents with deterministically injected emails/IPv4s (the
     synthetic webtext has none) — LOCKSTEP with
@@ -1093,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "text_analysis": _q_text_analysis,
         "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
         "quality_filter": _q_quality_filter,
         "pii_scrub": _q_pii_scrub,
         "hll_registers": _q_hll_registers,
@@ -1155,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
         "phone_digits": sm.PHONE_DIGITS_SQL,
         "text_analysis": sm.TEXT_ANALYSIS_SQL,
         "hash_sample": sm.HASH_SAMPLE_SQL,
+        "stratified_sample": sm.STRATIFIED_SAMPLE_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,
         "pii_scrub": sm.PII_SCRUB_SQL,
         "hll_registers": sm.HLL_REGISTERS_SQL,

@@ -700,3 +700,45 @@ def test_auto_num_parts_scales_with_input(ray_session):
     )
     want = big.groupby("k", as_index=False)["v"].sum().sort_values("k", ignore_index=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stratified_sample_rates_and_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(4000),
+            "lang": ["en", "zh", "fr", "de"] * 1000,
+        }
+    )
+    out = stratified_sample(
+        rd.from_pandas(df).repartition(5),
+        "doc_id", "lang", {"en": 0.5, "zh": 0.1}, default_rate=0.0,
+    ).to_pandas()
+    by = out.groupby("lang").size()
+    # zero-rate strata are dropped entirely; listed rates land near
+    # their target (md5 is uniform; 1000 keys/stratum)
+    assert set(by.index) <= {"en", "zh"}
+    assert 400 <= by.get("en", 0) <= 600
+    assert 60 <= by.get("zh", 0) <= 140
+    # partitioning invariance: identical membership at 1 block
+    out1 = stratified_sample(
+        rd.from_pandas(df),
+        "doc_id", "lang", {"en": 0.5, "zh": 0.1}, default_rate=0.0,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id", ignore_index=True),
+        out1.sort_values("doc_id", ignore_index=True),
+    )
+    # a uniform rate table degenerates to hash_sample with the same seed
+    uni = stratified_sample(
+        rd.from_pandas(df), "doc_id", "lang", {}, default_rate=0.2,
+        seed="sample",
+    ).to_pandas()
+    hs = hash_sample(rd.from_pandas(df), "doc_id", 0.2).to_pandas()
+    assert sorted(uni.doc_id) == sorted(hs.doc_id)

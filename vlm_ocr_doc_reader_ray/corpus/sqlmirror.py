@@ -497,6 +497,16 @@ WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS 
       % 1000000 < 100000
 """
 
+# Stratified deterministic sampling: per-language keep rates, same
+# md5-threshold membership rule as HASH_SAMPLE_SQL (seed 'strata').
+STRATIFIED_SAMPLE_SQL = r"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substr(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      % 1000000
+      < CASE lang WHEN 'en' THEN 300000 WHEN 'zh' THEN 100000 ELSE 20000 END
+"""
+
 PRICING_SUMMARY_SQL = r"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

@@ -198,6 +198,53 @@ def hash_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    strata_col: str,
+    rates: dict,
+    default_rate: float = 0.0,
+    seed: str = "strata",
+) -> rd.Dataset:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``md5(seed:key) mod 1e6 < rate(stratum)*1e6``.
+
+    The language/domain-rebalancing op of a pre-training mix: each
+    stratum (e.g. ``lang``) gets its own keep rate, membership stays a
+    pure function of the key (same md5 threshold as
+    :func:`hash_sample`, so identical at any parallelism/partitioning
+    and composable across stages via distinct seeds). ``rates`` maps
+    stratum value → rate; strata not listed use ``default_rate``. The
+    rate table is a handful of entries shipped inside the task
+    closure — never a shuffle."""
+    import hashlib
+
+    import pandas as pd
+
+    thresholds = {k: int(v * 1_000_000) for k, v in rates.items()}
+    default_threshold = int(default_rate * 1_000_000)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.Series(
+            [
+                int(
+                    hashlib.md5(f"{seed}:{k}".encode("utf-8")).hexdigest()[:8], 16
+                ) % 1_000_000
+                for k in batch[key_col]
+            ],
+            index=batch.index,
+        )
+        cut = (
+            batch[strata_col]
+            .map(thresholds)
+            .fillna(default_threshold)
+            .astype("int64")
+        )
+        return batch[h < cut]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def analyze(ds: rd.Dataset, text_col: str = "text", concurrency: int | None = None) -> rd.Dataset:
     kwargs = dict(batch_format="pyarrow", batch_size=1024)
     if concurrency is None:
