@@ -486,6 +486,27 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(_docs(sf_dir))
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact bigrams with corpus count >= 40 via the two-pass
+    count-min filter: sketch build (bounded residues) + broadcast +
+    candidate-only exact recount — the bigram stream never shuffles."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import _batch_word_ngrams
+    from vlm_ocr_doc_reader_ray.stages.sketch import heavy_hitters
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        grams, _ = _batch_word_ngrams(batch["text"], 2)
+        return pd.DataFrame({"ngram": pd.Series(grams, dtype="object")})
+
+    stream = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(explode, batch_format="pandas")
+    return heavy_hitters(stream, "ngram", threshold=40)
+
+
 def _eval_docs(sf_dir: str):
     """The deterministic 'benchmark suite': documents with
     ``doc_id % 101 == 0`` (original texts, pre-injection)."""
@@ -1118,6 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": _q_ngram_counts,
         "line_dedup": _q_line_dedup,
         "contamination": _q_contamination,
+        "heavy_hitters": _q_heavy_hitters,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,
@@ -1181,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_counts": sm.NGRAM_COUNTS_SQL,
         "line_dedup": sm.LINE_DEDUP_SQL,
         "contamination": sm.CONTAMINATION_SQL,
+        "heavy_hitters": sm.HEAVY_HITTERS_SQL,
         "dedup_exact": sm.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": sm.MINHASH_PAIRS_SQL,
         "dedup_simhash_pairs": sm.SIMHASH_PAIRS_SQL,

@@ -74,3 +74,55 @@ def test_hll_merge_associative():
         merged.sort_values("bucket", ignore_index=True),
         whole.sort_values("bucket", ignore_index=True),
     )
+
+
+def test_cms_estimate_never_underestimates(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.sketch import _cms_slots, cms_build
+
+    rng = np.random.default_rng(7)
+    keys = [f"k{int(i)}" for i in rng.zipf(1.5, 5000) % 300]
+    df = pd.DataFrame({"k": keys})
+    cms = cms_build(rd.from_pandas(df).repartition(6), "k", width=64, depth=3)
+    true = df["k"].value_counts()
+    ks = pd.Series(true.index)
+    est = np.full(len(ks), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(3):
+        est = np.minimum(est, cms[j, _cms_slots(ks, j, 64)])
+    assert (est >= true.to_numpy()).all()
+    # total mass per row equals the stream length
+    assert (cms.sum(axis=1) == len(df)).all()
+
+
+def test_heavy_hitters_exact_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.sketch import heavy_hitters
+
+    df = pd.DataFrame({"k": ["a"] * 50 + ["b"] * 49 + ["c"] * 10 + [f"u{i}" for i in range(200)]})
+    # tiny sketch forces collisions: output must STILL be exact
+    for blocks in (1, 7):
+        out = (
+            heavy_hitters(rd.from_pandas(df).repartition(blocks), "k",
+                          threshold=49, width=8, depth=2)
+            .to_pandas().sort_values("k", ignore_index=True)
+        )
+        assert list(out.k) == ["a", "b"]
+        assert list(out.n) == [50, 49]
+
+
+def test_heavy_hitters_empty_result_keeps_schema(ray_session):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.sketch import heavy_hitters
+
+    df = pd.DataFrame({"k": [f"u{i}" for i in range(100)]})
+    out = heavy_hitters(rd.from_pandas(df), "k", threshold=5)
+    # the sentinel keeps the exchange schema-stable: the DATASET knows
+    # its columns even with zero surviving rows (Ray's to_pandas drops
+    # columns on an all-empty dataset, so pin the schema on the
+    # Dataset itself)
+    assert sorted(out.schema().names) == ["k", "n"]
+    assert out.count() == 0

@@ -765,6 +765,23 @@ SELECT ngram, CAST(count(*) AS BIGINT) AS n
 FROM g GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20
 """
 
+# Heavy hitters: the CMS two-pass filter's output is EXACT (a
+# count-min estimate is always >= the true count, so no true heavy
+# hitter is pruned; the final exact recount removes false positives),
+# so the oracle is a plain GROUP BY ... HAVING.
+HEAVY_HITTERS_SQL = r"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(0, nw - 1),
+                i -> array_to_string(list_slice(ws, i + 1, i + 2), ' '))) AS ngram
+  FROM t WHERE nw >= 2
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY ngram HAVING count(*) >= 40
+"""
+
 # C4-style line dedup over deterministic 8-word "lines": a line
 # survives only at its min (doc_id, line_idx) occurrence; docs rebuild
 # from surviving lines in order (docs losing every line disappear —

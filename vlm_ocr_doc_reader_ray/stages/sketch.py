@@ -95,3 +95,114 @@ def distinct_count_hll(ds: rd.Dataset, col: str, p: int = 9) -> float:
     """End-to-end approximate COUNT(DISTINCT col)."""
     regs = hll_registers(ds, col, p).to_pandas()
     return hll_estimate(regs, p)
+
+
+def _cms_slots(keys: pd.Series, j: int, width: int) -> np.ndarray:
+    """Row ``j``'s slot for each key — vectorized siphash via
+    ``hash_pandas_object`` with a per-row 16-byte key. The CMS
+    guarantee (estimate >= true count) holds for ANY hash family, so
+    exactness of :func:`heavy_hitters` does not depend on this
+    choice — only the candidate-set size does."""
+    hk = f"cms{j:012d}!"
+    h = pd.util.hash_pandas_object(keys, index=False, hash_key=hk).to_numpy()
+    return (h % np.uint64(width)).astype(np.int64)
+
+
+def cms_build(
+    ds: rd.Dataset, col: str, width: int = 2048, depth: int = 4
+) -> np.ndarray:
+    """Merged count-min sketch of ``ds[col]`` as a dense
+    ``(depth, width)`` int64 matrix on the driver.
+
+    Each batch collapses to its local value counts, scatters them into
+    ≤ ``depth × width`` sparse ``(j, slot, n)`` residue rows (a
+    combiner — bounded by the SKETCH size, not the data), and the
+    global merge is a pre-aggregated sum over those residues. The
+    driver receives at most ``depth × width`` rows regardless of
+    corpus size — that bounded footprint is the point of a sketch."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = batch[col].value_counts()
+        keys = pd.Series(counts.index)
+        n = counts.to_numpy().astype("int64")
+        rows = []
+        for j in range(depth):
+            dfj = pd.DataFrame(
+                {"j": np.int64(j), "slot": _cms_slots(keys, j, width), "n": n}
+            )
+            rows.append(dfj.groupby(["j", "slot"], as_index=False)["n"].sum())
+        if not rows:
+            return pd.DataFrame(
+                {"j": pd.Series([], dtype="int64"),
+                 "slot": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = grouped_sums(partials, ["j", "slot"], ["n"]).to_pandas()
+    dense = np.zeros((depth, width), dtype=np.int64)
+    dense[merged["j"].to_numpy(), merged["slot"].to_numpy()] = merged["n"].to_numpy()
+    return dense
+
+
+def heavy_hitters(
+    ds: rd.Dataset,
+    col: str,
+    threshold: int,
+    width: int = 2048,
+    depth: int = 4,
+    alias: str = "n",
+) -> rd.Dataset:
+    """EXACT keys with global count >= ``threshold`` via the classic
+    two-pass count-min filter.
+
+    Pass 1 builds the merged CMS (bounded driver footprint, see
+    :func:`cms_build`) and broadcasts it once with ``ray.put``. Pass 2
+    re-reads the stream, keeps only keys whose CMS estimate clears the
+    threshold (no false negatives: a CMS estimate is always >= the
+    true count, so every true heavy hitter survives), and exact-counts
+    just those candidates with a pre-aggregated groupby. The final
+    filter removes CMS false positives, so the output is exactly
+    ``GROUP BY col HAVING count(*) >= threshold`` — but only the
+    candidate residues ever shuffle, never the stream.
+
+    ``threshold`` must be >= 1 (a zero-count sentinel row keeps the
+    residue exchange schema-stable when no candidates exist)."""
+    import ray
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    cms_ref = ray.put(cms_build(ds, col, width, depth))
+
+    def candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        cms = ray.get(cms_ref)
+        counts = batch[col].value_counts()
+        keys = pd.Series(counts.index)
+        if len(keys) == 0:
+            return pd.DataFrame(
+                {col: pd.Series([], dtype="object"),
+                 alias: pd.Series([], dtype="int64")}
+            )
+        est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(depth):
+            est = np.minimum(est, cms[j, _cms_slots(keys, j, width)])
+        keep = est >= threshold
+        return pd.DataFrame(
+            {col: keys[keep].to_numpy(),
+             alias: counts.to_numpy().astype("int64")[keep]}
+        )
+
+    residues = ds.map_batches(candidates, batch_format="pandas")
+    # sentinel keeps the groupby schema-stable even with 0 candidates;
+    # it adds 0 to one key's sum, so it can never change the output
+    sentinel = rd.from_pandas(pd.DataFrame({col: [""], alias: [0]}))
+    totals = grouped_sums(residues.union(sentinel), [col], [alias])
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[alias] >= threshold]
+
+    return totals.map_batches(final, batch_format="pandas")
