@@ -291,6 +291,21 @@ def _q_dedup_clusters(sf_dir: str):
     return cluster_pairs(pairs)
 
 
+def _q_dedup_keep(sf_dir: str):
+    """End-to-end fuzzy dedup: keep exactly one representative (min
+    doc_id) per simhash near-dup cluster + every unclustered doc —
+    connected components + one distributed left join."""
+    from vlm_ocr_doc_reader_ray.stages.dedup import (
+        keep_canonical,
+        simhash_candidates,
+    )
+
+    pairs = simhash_candidates(_docs(sf_dir), id_col="doc_id").select_columns(
+        ["id_a", "id_b"]
+    )
+    return keep_canonical(_docs(sf_dir), pairs)
+
+
 def _q_similarity_topk(sf_dir: str):
     import ray.data as rd
 
@@ -1144,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_canonical": _q_dedup_keep,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
@@ -1208,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": sm.MINHASH_PAIRS_SQL,
         "dedup_simhash_pairs": sm.SIMHASH_PAIRS_SQL,
         "dedup_clusters": sm.DEDUP_CLUSTERS_SQL,
+        "dedup_keep_canonical": sm.KEEP_CANONICAL_SQL,
         "similarity_lsh": sm.similarity_lsh_sql(),
         "similarity_ivf": sm.similarity_ivf_sql(),
         "similarity_ivf_indexed": sm.similarity_ivf_sql(),

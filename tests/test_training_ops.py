@@ -742,3 +742,40 @@ def test_stratified_sample_rates_and_partition_invariance(ray_session):
     ).to_pandas()
     hs = hash_sample(rd.from_pandas(df), "doc_id", 0.2).to_pandas()
     assert sorted(uni.doc_id) == sorted(hs.doc_id)
+
+
+def test_keep_canonical_min_id_survives(ray_session):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.dedup import keep_canonical
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": range(10)}))
+    # components {1,2,3} and {7,9}; 0,4,5,6,8 unclustered
+    pairs = rd.from_pandas(
+        pd.DataFrame({"id_a": [2, 3, 9], "id_b": [1, 2, 7]})
+    )
+    out = (
+        keep_canonical(docs, pairs)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out.doc_id) == list(range(10))
+    assert list(out.keep) == [
+        True, True, False, False, True, True, True, True, True, False
+    ]
+
+
+def test_keep_canonical_empty_pairs_keeps_everything(ray_session):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.dedup import keep_canonical
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": range(5)}))
+    pairs = rd.from_pandas(
+        pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                      "id_b": pd.Series([], dtype="int64")})
+    )
+    out = (
+        keep_canonical(docs, pairs)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert out.keep.all() and len(out) == 5

@@ -355,6 +355,15 @@ SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster
 FROM reach GROUP BY a
 """
 
+# End-to-end fuzzy dedup: keep = "is the cluster's min id" for
+# clustered docs, TRUE for everything else; reuses the recursive
+# closure above as a derived table.
+KEEP_CANONICAL_SQL = (
+    "SELECT d.doc_id, coalesce(c.cluster = d.doc_id, TRUE) AS keep\n"
+    "FROM documents d\n"
+    "LEFT JOIN (" + DEDUP_CLUSTERS_SQL + ") c ON c.doc_id = d.doc_id\n"
+)
+
 # Planted-twin predicate for embedding near-dup recovery: the exact
 # >=0.95 answer over the planted set IS exactly the twin pairs
 # (measured margin at sf0.1: twins >=0.99995, max non-twin 0.60), and

@@ -691,3 +691,54 @@ def cluster_pairs(
         lambda b: b.rename(columns={"id": "doc_id", "label": "cluster"}),
         batch_format="pandas",
     )
+
+
+def keep_canonical(
+    docs: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id"
+) -> rd.Dataset:
+    """End-to-end fuzzy-dedup decision: one ``(id, keep)`` row per
+    document, keeping exactly one representative per near-dup cluster
+    (its min id — the :func:`cluster_pairs` label) plus every
+    unclustered document.
+
+    The SlimPajama/FineWeb-style "drop the near-dups" step as one
+    composable operator: connected components over the pair graph,
+    then ONE distributed left join of the corpus ids against the
+    cluster labels (docs absent from every pair keep by default).
+    Nothing touches the driver; the join is Ray's hash-partitioned
+    ``Dataset.join``."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import native_hash_join
+
+    clusters = cluster_pairs(pairs)
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "__cid": batch["doc_id"].astype("int64"),
+                "keep_flag": (batch["doc_id"] == batch["cluster"]),
+            }
+        )
+
+    flags = clusters.map_batches(flag, batch_format="pandas")
+    ids = docs.select_columns([id_col])
+    # labels are already materialized by the superstep loop, so this
+    # count is a cheap rename pass — and joining an EMPTY right side
+    # loses schema in this Ray version (pyarrow FieldRef errors)
+    if flags.count() == 0:
+        return ids.map_batches(
+            lambda b: pd.DataFrame(
+                {id_col: b[id_col].astype("int64"), "keep": True}
+            ),
+            batch_format="pandas",
+        )
+    joined = native_hash_join(
+        ids, flags, id_col, "__cid", join_type="left_outer"
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["keep_flag"].astype("boolean").fillna(True).astype(bool)
+        return pd.DataFrame({id_col: batch[id_col].astype("int64"), "keep": keep})
+
+    return joined.map_batches(finish, batch_format="pandas")
