@@ -425,6 +425,20 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(docs, "doc_id", rate=0.1)
 
 
+def _q_salient_terms(sf_dir: str):
+    """Per-doc keyword extraction: max-tf word, rarest-df tiebreak —
+    the integer-exact tf-idf shape (explode + df residues + bucketed
+    join + partitioned argmax)."""
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import salient_terms
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return salient_terms(docs)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Language-rebalanced deterministic sample: en kept at 30%,
     zh at 10%, everything else at 2% — per-stratum md5 thresholds,
@@ -1146,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis": _q_text_analysis,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
+        "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
         "pii_scrub": _q_pii_scrub,
         "hll_registers": _q_hll_registers,
@@ -1211,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": sm.TEXT_ANALYSIS_SQL,
         "hash_sample": sm.HASH_SAMPLE_SQL,
         "stratified_sample": sm.STRATIFIED_SAMPLE_SQL,
+        "salient_terms": sm.SALIENT_TERMS_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,
         "pii_scrub": sm.PII_SCRUB_SQL,
         "hll_registers": sm.HLL_REGISTERS_SQL,

@@ -779,3 +779,30 @@ def test_keep_canonical_empty_pairs_keeps_everything(ray_session):
         .to_pandas().sort_values("doc_id", ignore_index=True)
     )
     assert out.keep.all() and len(out) == 5
+
+
+def test_salient_terms_integer_tfidf_order(ray_session):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import salient_terms
+
+    # doc 0: 'rare' and 'common' both tf=2 -> df breaks the tie toward
+    # 'rare' (df 1 vs 3). docs 1/2: all tf=1 -> rarest word wins
+    # ('solo', df 2, beats 'common'/'filler', df 3).
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "rare common rare common filler",
+                "common solo filler",
+                "common filler solo",
+            ],
+        }
+    )
+    out = (
+        salient_terms(rd.from_pandas(df).repartition(3))
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out.term) == ["rare", "solo", "solo"]
+    assert list(out.tf) == [2, 1, 1]
+    assert list(out.df) == [1, 2, 2]

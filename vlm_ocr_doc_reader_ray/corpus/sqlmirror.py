@@ -506,6 +506,28 @@ WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS 
       % 1000000 < 100000
 """
 
+# Per-doc salient term: argmax by (tf desc, df asc, word asc) — the
+# tf-idf ranking with a pure-integer total order, so it hash-compares
+# exactly (empty-text docs still emit one empty-string "word", same
+# as split(' ') on '' both engines).
+SALIENT_TERMS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM w GROUP BY 1, 2
+), df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY 1
+)
+SELECT doc_id, word AS term, tf, df FROM (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.word ASC) AS rn
+  FROM tf JOIN df USING (word)
+) WHERE rn = 1
+"""
+
 # Stratified deterministic sampling: per-language keep rates, same
 # md5-threshold membership rule as HASH_SAMPLE_SQL (seed 'strata').
 STRATIFIED_SAMPLE_SQL = r"""

@@ -198,6 +198,83 @@ def hash_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def salient_terms(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Per-document salient term: the word with the highest term
+    frequency, tie-broken toward the RAREST word corpus-wide (lowest
+    document frequency), then lexicographically.
+
+    The tf-idf keyword-extraction shape with a pure-integer total
+    order — ``(tf desc, df asc, word asc)`` ranks like
+    ``tf·log(N/df)`` at equal tf but stays bit-exact against the SQL
+    mirror (no float log). Fully distributed: per-batch vectorized
+    (doc, word, tf) explode (each doc lives in one row, so per-batch
+    tf is exact), document frequencies via pre-aggregated residues,
+    one bucketed hash join tf⋈df on the word, and a hash-partitioned
+    vectorized argmax per document. Output:
+    ``(id_col, term, tf, df)``."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        grouped_sums,
+        partitioned_apply,
+    )
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+    from vlm_ocr_doc_reader_ray.stages.scrub import _batch_word_ngrams
+
+    def explode_tf(batch: pd.DataFrame) -> pd.DataFrame:
+        words, doc_idx = _batch_word_ngrams(batch[text_col], 1)
+        if len(words) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "word": pd.Series([], dtype="object"),
+                 "tf": pd.Series([], dtype="int64")}
+            )
+        tmp = pd.DataFrame({"di": doc_idx, "word": words})
+        counts = tmp.groupby(["di", "word"], sort=False).size()
+        di = counts.index.get_level_values(0).to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy()[di],
+                "word": counts.index.get_level_values(1).to_numpy(),
+                "tf": counts.to_numpy().astype("int64"),
+            }
+        )
+
+    tf = ds.map_batches(explode_tf, batch_format="pandas")
+
+    # document frequency: tf rows ARE the distinct (doc, word) pairs,
+    # so per-batch word counts over them are exact partial df residues
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["word"].value_counts()
+        return pd.DataFrame(
+            {"word": c.index.to_numpy(), "df": c.to_numpy().astype("int64")}
+        )
+
+    df_tbl = grouped_sums(
+        tf.map_batches(df_partial, batch_format="pandas"), ["word"], ["df"]
+    )
+
+    joined = partitioned_hash_join(tf, df_tbl, "word", "word")
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [id_col, "tf", "df", "word"],
+            ascending=[True, False, True, True],
+        ).drop_duplicates(id_col, keep="first")
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].astype("int64").to_numpy(),
+                "term": g["word"].to_numpy(),
+                "tf": g["tf"].astype("int64").to_numpy(),
+                "df": g["df"].astype("int64").to_numpy(),
+            }
+        )
+
+    return partitioned_apply(joined, [id_col], argmax)
+
+
 def stratified_sample(
     ds: rd.Dataset,
     key_col: str,
