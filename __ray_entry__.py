@@ -425,6 +425,19 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(docs, "doc_id", rate=0.1)
 
 
+def _q_stratified_top_k(sf_dir: str):
+    """Fixed-budget per-language sample: exactly 20 docs per lang by
+    md5 order (local top-k combiner + one stratum-hash shuffle)."""
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import stratified_top_k
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    return stratified_top_k(docs, "doc_id", "lang", k=20)
+
+
 def _q_salient_terms(sf_dir: str):
     """Per-doc keyword extraction: max-tf word, rarest-df tiebreak —
     the integer-exact tf-idf shape (explode + df residues + bucketed
@@ -1160,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis": _q_text_analysis,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
+        "stratified_top_k": _q_stratified_top_k,
         "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
         "pii_scrub": _q_pii_scrub,
@@ -1226,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": sm.TEXT_ANALYSIS_SQL,
         "hash_sample": sm.HASH_SAMPLE_SQL,
         "stratified_sample": sm.STRATIFIED_SAMPLE_SQL,
+        "stratified_top_k": sm.STRATIFIED_TOP_K_SQL,
         "salient_terms": sm.SALIENT_TERMS_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,
         "pii_scrub": sm.PII_SCRUB_SQL,

@@ -150,6 +150,31 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     queries["dedup_exact"] = round(time.time() - t0, 3)
     log_extra["n_unique_texts"] = n_unique
 
+    # q6: corpus bigram census (vectorized shifted-join explode +
+    # per-batch combiner + residue shuffle + local-k merge)
+    from vlm_ocr_doc_reader_ray.stages.scrub import ngram_counts
+
+    t0 = time.time()
+    ngram_counts(_corpus(["text"]), n=2, top_k=20).to_pandas()
+    queries["ngram_census"] = round(time.time() - t0, 3)
+
+    # q7: exact heavy hitters over the corpus bigram stream via the
+    # two-pass count-min filter (threshold tracks reps so selectivity
+    # matches the sf-level oracle query)
+    from vlm_ocr_doc_reader_ray.stages.scrub import _batch_word_ngrams
+    from vlm_ocr_doc_reader_ray.stages.sketch import heavy_hitters
+
+    def _explode_bigrams(batch):
+        import pandas as pd
+
+        grams, _ = _batch_word_ngrams(batch["text"], 2)
+        return pd.DataFrame({"ngram": pd.Series(grams, dtype="object")})
+
+    t0 = time.time()
+    stream = _corpus(["text"]).map_batches(_explode_bigrams, batch_format="pandas")
+    heavy_hitters(stream, "ngram", threshold=40 * reps).to_pandas()
+    queries["heavy_hitters"] = round(time.time() - t0, 3)
+
     n_docs = rd.read_parquet(corpus_path).count()
     headline = queries["extract_full_write"]
     result = {

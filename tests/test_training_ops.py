@@ -806,3 +806,29 @@ def test_salient_terms_integer_tfidf_order(ray_session):
     assert list(out.term) == ["rare", "solo", "solo"]
     assert list(out.tf) == [2, 1, 1]
     assert list(out.df) == [1, 2, 2]
+
+
+def test_stratified_top_k_exact_budget_and_invariance(ray_session):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import stratified_top_k
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "lang": (["en"] * 2 + ["zh"]) * 100,
+        }
+    )
+    df.loc[df.index > 290, "lang"] = "rare"  # stratum smaller than k
+    a = (
+        stratified_top_k(rd.from_pandas(df).repartition(9), "doc_id", "lang", k=15)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    by = a.groupby("lang").size()
+    assert by["en"] == 15 and by["zh"] == 15
+    assert by["rare"] == (df.lang == "rare").sum()  # clamped, not padded
+    b = (
+        stratified_top_k(rd.from_pandas(df), "doc_id", "lang", k=15)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -506,6 +506,19 @@ WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS 
       % 1000000 < 100000
 """
 
+# Fixed-budget stratified sample: exactly k=20 rows per language by
+# md5 hex order of the key (ties -> key order), seed 'stratak'.
+STRATIFIED_TOP_K_SQL = r"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5('stratak:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
 # Per-doc salient term: argmax by (tf desc, df asc, word asc) — the
 # tf-idf ranking with a pure-integer total order, so it hash-compares
 # exactly (empty-text docs still emit one empty-string "word", same

@@ -322,6 +322,57 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def stratified_top_k(
+    ds: rd.Dataset,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    seed: str = "stratak",
+) -> rd.Dataset:
+    """Exactly ``min(k, stratum size)`` rows per stratum, chosen by
+    md5 order of the key — the fixed-BUDGET companion to
+    :func:`stratified_sample`'s fixed-RATE sampling (e.g. "200k docs
+    per language for the eval slice").
+
+    Deterministic: the md5 hex string gives a uniform, key-pure total
+    order (ties broken by the key itself), so the selected set is
+    identical at any parallelism and stable under corpus growth
+    EXCEPT at the boundary (a new doc hashing into the top k evicts
+    exactly one). One hash shuffle by stratum, then a vectorized
+    sort+head per partition; per-batch local top-k first, so at most
+    ``k × blocks`` rows per stratum ever shuffle."""
+    import hashlib
+
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    def ranked(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__rk"] = [
+            hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()
+            for v in batch[key_col]
+        ]
+        # local combiner: only each batch's per-stratum top k survive
+        return (
+            batch.sort_values(["__rk", key_col])
+            .groupby(strata_col, sort=False, group_keys=False)
+            .head(k)
+        )
+
+    local = ds.map_batches(ranked, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.sort_values(["__rk", key_col])
+            .groupby(strata_col, sort=False, group_keys=False)
+            .head(k)
+        )
+        return out.drop(columns="__rk")
+
+    return partitioned_apply(local, [strata_col], merge)
+
+
 def analyze(ds: rd.Dataset, text_col: str = "text", concurrency: int | None = None) -> rd.Dataset:
     kwargs = dict(batch_format="pyarrow", batch_size=1024)
     if concurrency is None:
