@@ -532,20 +532,20 @@ def _q_heavy_hitters(sf_dir: str):
     """Exact bigrams with corpus count >= 40 via the two-pass
     count-min filter: sketch build (bounded residues) + broadcast +
     candidate-only exact recount — the bigram stream never shuffles."""
-    import pandas as pd
+    import pyarrow as pa
 
     import ray.data as rd
 
-    from vlm_ocr_doc_reader_ray.stages.scrub import _batch_word_ngrams
+    from vlm_ocr_doc_reader_ray.stages.scrub import arrow_word_ngrams
     from vlm_ocr_doc_reader_ray.stages.sketch import heavy_hitters
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        grams, _ = _batch_word_ngrams(batch["text"], 2)
-        return pd.DataFrame({"ngram": pd.Series(grams, dtype="object")})
+    def explode(batch: pa.Table) -> pa.Table:
+        grams, _ = arrow_word_ngrams(batch.column("text"), 2)
+        return pa.table({"ngram": grams})
 
     stream = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["text"]
-    ).map_batches(explode, batch_format="pandas")
+    ).map_batches(explode, batch_format="pyarrow")
     return heavy_hitters(stream, "ngram", threshold=40)
 
 

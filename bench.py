@@ -161,17 +161,17 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     # q7: exact heavy hitters over the corpus bigram stream via the
     # two-pass count-min filter (threshold tracks reps so selectivity
     # matches the sf-level oracle query)
-    from vlm_ocr_doc_reader_ray.stages.scrub import _batch_word_ngrams
+    from vlm_ocr_doc_reader_ray.stages.scrub import arrow_word_ngrams
     from vlm_ocr_doc_reader_ray.stages.sketch import heavy_hitters
 
     def _explode_bigrams(batch):
-        import pandas as pd
+        import pyarrow as pa
 
-        grams, _ = _batch_word_ngrams(batch["text"], 2)
-        return pd.DataFrame({"ngram": pd.Series(grams, dtype="object")})
+        grams, _ = arrow_word_ngrams(batch.column("text"), 2)
+        return pa.table({"ngram": grams})
 
     t0 = time.time()
-    stream = _corpus(["text"]).map_batches(_explode_bigrams, batch_format="pandas")
+    stream = _corpus(["text"]).map_batches(_explode_bigrams, batch_format="pyarrow")
     heavy_hitters(stream, "ngram", threshold=40 * reps).to_pandas()
     queries["heavy_hitters"] = round(time.time() - t0, 3)
 

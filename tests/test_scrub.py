@@ -204,3 +204,22 @@ def test_contamination_partition_invariance(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert a.contaminated.all()
+
+
+def test_arrow_ngrams_equals_pandas_ngrams():
+    import pyarrow as pa
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import (
+        _batch_word_ngrams,
+        arrow_word_ngrams,
+    )
+
+    texts = [
+        "a b c d", "", "x  y", "solo", "one two", "t",
+        "double  space  run", " lead and trail ",
+    ]
+    for n in (1, 2, 3):
+        pg, pdi = _batch_word_ngrams(pd.Series(texts), n)
+        ag, adi = arrow_word_ngrams(pa.array(texts), n)
+        assert list(pg) == ag.to_pylist()
+        assert list(pdi) == list(adi)

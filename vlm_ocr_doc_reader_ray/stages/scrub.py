@@ -143,6 +143,61 @@ def _batch_word_ngrams(texts: pd.Series, n: int):
     return grams.to_numpy(), doc_idx.astype(np.int64)
 
 
+def arrow_word_ngrams(texts, n: int):
+    """Arrow-native word n-gram builder: ``split_pattern`` →
+    ``list_flatten`` → shifted ``binary_join_element_wise`` — every
+    step a C kernel, no Python string objects (measured ~4× the
+    pandas :func:`_batch_word_ngrams` on the 500k-doc census).
+
+    ``texts`` is a pyarrow String(Chunked)Array; returns
+    ``(grams, doc_idx)``: a pyarrow StringArray of the n-grams (doc
+    boundary windows masked out, same contract as the pandas twin —
+    ``split_pattern(' ')`` matches Python ``split(' ')`` including
+    empty-token runs) and the int64 batch-position of each gram's
+    document."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    empty = (
+        pa.array([], type=pa.string()),
+        np.array([], dtype=np.int64),
+    )
+    if len(texts) == 0:
+        return empty
+    words = pc.split_pattern(texts, " ")
+    lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(words)
+    n_windows = len(flat) - n + 1
+    if n_windows <= 0:
+        return empty
+    valid = np.ones(n_windows, dtype=bool)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    bounds = starts[1:]
+    for off in range(1, n):
+        cross = bounds - off
+        cross = cross[(cross >= 0) & (cross < n_windows)]
+        valid[cross] = False
+    if n == 1:
+        grams = flat
+    else:
+        parts = [flat.slice(off, n_windows) for off in range(n)]
+        # separator type must match the data (parquet reads come in
+        # as large_string; a plain " " python arg binds as string and
+        # has no mixed kernel)
+        sep = pa.scalar(" ", type=flat.type)
+        grams = pc.binary_join_element_wise(*parts, sep)
+    win_starts = np.nonzero(valid)[0]
+    doc_idx = np.searchsorted(starts, win_starts, side="right") - 1
+    mask = pa.array(valid)
+    grams = grams if valid.all() else pc.array_filter(grams, mask)
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    return grams, doc_idx.astype(np.int64)
+
+
 def ngram_counts(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -156,17 +211,20 @@ def ngram_counts(
     (combiner), the global sum is a pre-aggregated groupby over those
     residues, and the final top-k uses the local-k merge — the corpus
     itself never shuffles. Total order: count desc, n-gram asc."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from vlm_ocr_doc_reader_ray.stages.relational import top_k as _top_k
 
-    def explode_count(batch: pd.DataFrame) -> pd.DataFrame:
-        grams, _ = _batch_word_ngrams(batch[text_col], n)
-        counts = pd.Series(grams).value_counts()
-        return pd.DataFrame(
-            {"ngram": counts.index.to_numpy(),
-             "n": counts.to_numpy().astype("int64")}
+    def explode_count(batch: pa.Table) -> pa.Table:
+        grams, _ = arrow_word_ngrams(batch.column(text_col), n)
+        vc = pc.value_counts(grams)
+        return pa.table(
+            {"ngram": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
-    partials = ds.map_batches(explode_count, batch_format="pandas")
+    partials = ds.map_batches(explode_count, batch_format="pyarrow")
 
     from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
 

@@ -122,10 +122,14 @@ def cms_build(
     corpus size — that bounded footprint is the point of a sketch."""
     from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        counts = batch[col].value_counts()
-        keys = pd.Series(counts.index)
-        n = counts.to_numpy().astype("int64")
+    def partial(batch) -> pd.DataFrame:
+        # arrow value_counts first: only the batch's DISTINCT keys are
+        # ever materialized as Python-side objects for hashing
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(batch.column(col))
+        keys = vc.field("values").to_pandas()
+        n = vc.field("counts").to_numpy().astype("int64")
         rows = []
         for j in range(depth):
             dfj = pd.DataFrame(
@@ -140,7 +144,7 @@ def cms_build(
             )
         return pd.concat(rows, ignore_index=True)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     merged = grouped_sums(partials, ["j", "slot"], ["n"]).to_pandas()
     dense = np.zeros((depth, width), dtype=np.int64)
     dense[merged["j"].to_numpy(), merged["slot"].to_numpy()] = merged["n"].to_numpy()
@@ -178,10 +182,12 @@ def heavy_hitters(
         raise ValueError("threshold must be >= 1")
     cms_ref = ray.put(cms_build(ds, col, width, depth))
 
-    def candidates(batch: pd.DataFrame) -> pd.DataFrame:
+    def candidates(batch) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
         cms = ray.get(cms_ref)
-        counts = batch[col].value_counts()
-        keys = pd.Series(counts.index)
+        vc = pc.value_counts(batch.column(col))
+        keys = vc.field("values").to_pandas()
         if len(keys) == 0:
             return pd.DataFrame(
                 {col: pd.Series([], dtype="object"),
@@ -193,10 +199,10 @@ def heavy_hitters(
         keep = est >= threshold
         return pd.DataFrame(
             {col: keys[keep].to_numpy(),
-             alias: counts.to_numpy().astype("int64")[keep]}
+             alias: vc.field("counts").to_numpy().astype("int64")[keep]}
         )
 
-    residues = ds.map_batches(candidates, batch_format="pandas")
+    residues = ds.map_batches(candidates, batch_format="pyarrow")
     # sentinel keeps the groupby schema-stable even with 0 candidates;
     # it adds 0 to one key's sum, so it can never change the output
     sentinel = rd.from_pandas(pd.DataFrame({col: [""], alias: [0]}))
