@@ -425,6 +425,42 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(docs, "doc_id", rate=0.1)
 
 
+def _q_word_count_quantiles(sf_dir: str):
+    """Exact p25/p50/p90/p99 of per-doc word counts via the
+    distributed counting histogram (no global sort)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import exact_quantiles
+
+    def nw(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        return pa.table(
+            {"nw": pc.cast(pc.list_value_length(words), pa.int64())}
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(nw, batch_format="pyarrow")
+    return exact_quantiles(docs, "nw", [0.25, 0.5, 0.9, 0.99])
+
+
+def _q_deterministic_shuffle(sf_dir: str):
+    """Training-order randomization: every doc's 0-based rank in
+    md5-of-key order (range-partitioned by hash prefix + broadcast
+    offsets — the zipWithIndex shape, no global sort)."""
+    from vlm_ocr_doc_reader_ray.stages.relational import global_sorted_rank
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return global_sorted_rank(docs, "doc_id")
+
+
 def _q_stratified_top_k(sf_dir: str):
     """Fixed-budget per-language sample: exactly 20 docs per lang by
     md5 order (local top-k combiner + one stratum-hash shuffle)."""
@@ -1174,6 +1210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
         "stratified_top_k": _q_stratified_top_k,
+        "word_count_quantiles": _q_word_count_quantiles,
+        "deterministic_shuffle": _q_deterministic_shuffle,
         "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
         "pii_scrub": _q_pii_scrub,
@@ -1241,6 +1279,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": sm.HASH_SAMPLE_SQL,
         "stratified_sample": sm.STRATIFIED_SAMPLE_SQL,
         "stratified_top_k": sm.STRATIFIED_TOP_K_SQL,
+        "word_count_quantiles": sm.WORD_COUNT_QUANTILES_SQL,
+        "deterministic_shuffle": sm.DETERMINISTIC_SHUFFLE_SQL,
         "salient_terms": sm.SALIENT_TERMS_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,
         "pii_scrub": sm.PII_SCRUB_SQL,

@@ -832,3 +832,59 @@ def test_stratified_top_k_exact_budget_and_invariance(ray_session):
         .to_pandas().sort_values("doc_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_exact_quantiles_matches_quantile_disc(ray_session):
+    """Pin the histogram quantile rule to DuckDB quantile_disc:
+    element at 1-based index max(ceil(q*n), 1) of the sorted column,
+    including the q=0 clamp and q=1 max."""
+    import duckdb
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import exact_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 40, size=501)  # odd n, heavy duplication
+    qs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = exact_quantiles(
+        rd.from_pandas(pd.DataFrame({"x": vals})).repartition(7), "x", qs
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": vals}))
+    want = con.sql(
+        "SELECT unnest(?::DOUBLE[]) AS q, "
+        "unnest(quantile_disc(x, ?::DOUBLE[])) AS value FROM t",
+        params=[qs, qs],
+    ).df()
+    assert list(got["value"].astype("int64")) == list(want["value"].astype("int64"))
+
+
+def test_global_sorted_rank_permutation_and_invariance(ray_session):
+    """rank must be the 0..n-1 permutation given by md5-of-key order,
+    identical at any block layout (training-order determinism)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import global_sorted_rank
+
+    df = pd.DataFrame({"doc_id": [f"d{i:04d}" for i in range(500)],
+                       "payload": np.arange(500)})
+
+    def run(nblocks):
+        out = global_sorted_rank(
+            rd.from_pandas(df).repartition(nblocks), "doc_id"
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        return out
+
+    a, b = run(1), run(11)
+    pd.testing.assert_frame_equal(a, b)
+    assert sorted(a["rank"]) == list(range(500))
+    want = df.assign(
+        rk=[hashlib.md5(f"shuffle:{k}".encode()).hexdigest() for k in df.doc_id]
+    ).sort_values(["rk", "doc_id"], ignore_index=True)
+    want["rank"] = np.arange(500, dtype="int64")
+    want = want.drop(columns="rk").sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a[["doc_id", "payload", "rank"]],
+                                  want[["doc_id", "payload", "rank"]],
+                                  check_dtype=False)

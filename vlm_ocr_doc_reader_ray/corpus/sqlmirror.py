@@ -506,6 +506,29 @@ WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS 
       % 1000000 < 100000
 """
 
+# Exact discrete quantiles of per-doc word counts; engine rule
+# (1-based index max(ceil(q*n),1) over the counting histogram) is
+# pinned equal to quantile_disc by test.
+WORD_COUNT_QUANTILES_SQL = r"""
+WITH t AS (
+  SELECT len(string_split(text, ' ')) AS nw FROM documents
+)
+SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q,
+       unnest(quantile_disc(nw, [0.25, 0.5, 0.9, 0.99])) AS value
+FROM t
+"""
+
+# Deterministic global shuffle rank: md5-of-key total order, seed
+# 'shuffle' (ties impossible short of an md5 collision; doc_id breaks
+# them anyway, matching the engine's (rk, key) sort).
+DETERMINISTIC_SHUFFLE_SQL = r"""
+SELECT doc_id, lang,
+       row_number() OVER (
+           ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS rank
+FROM documents
+"""
+
 # Fixed-budget stratified sample: exactly k=20 rows per language by
 # md5 hex order of the key (ties -> key order), seed 'stratak'.
 STRATIFIED_TOP_K_SQL = r"""

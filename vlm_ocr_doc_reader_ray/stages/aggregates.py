@@ -184,6 +184,50 @@ def grouped_sums(
     return partials.groupby(key_list[0] if len(key_list) == 1 else key_list).aggregate(*aggs)
 
 
+def exact_quantiles(
+    ds: rd.Dataset, col: str, qs: Sequence[float]
+) -> pd.DataFrame:
+    """EXACT discrete quantiles of an integer-like column via a
+    distributed counting histogram.
+
+    The corpus never sorts: each batch collapses to (value, count)
+    residues, the global histogram is a pre-aggregated sum, and the
+    quantile is read off the cumulative histogram. Contract: ``col``
+    has bounded distinct cardinality (lengths, counts, scores — the
+    usual quantile targets), so the histogram fits the driver by
+    construction. Quantile rule matches DuckDB ``quantile_disc``:
+    element at 1-based index ``max(ceil(q*n), 1)`` of the sorted
+    column (pinned by test). Returns a small pandas DataFrame
+    ``(q, value)``."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(batch.column(col))
+        return pa.table(
+            {"v": vc.field("values"),
+             "c": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("v", ignore_index=True)
+    )
+    n = int(hist["c"].sum())
+    cum = hist["c"].cumsum()
+    out = []
+    for q in qs:
+        # 1-based target index, same float expression DuckDB evaluates
+        target = max(math.ceil(q * n), 1)
+        idx = int((cum >= target).idxmax())
+        out.append((q, hist["v"].iloc[idx]))
+    return pd.DataFrame({"q": [o[0] for o in out], "value": [o[1] for o in out]})
+
+
 def grouped_min_max(
     ds: rd.Dataset, keys: str | Sequence[str], col: str
 ) -> rd.Dataset:

@@ -887,3 +887,54 @@ def grouped_rolling_sum(
         return g
 
     return partitioned_apply(ds, key_list, roll, num_parts=num_parts)
+
+
+def global_sorted_rank(
+    ds: rd.Dataset, key_col: str, seed: str = "shuffle"
+) -> rd.Dataset:
+    """Deterministic global shuffle rank: every row gets its 0-based
+    position in md5-of-key order — the training-order randomization
+    pass (a corpus written sorted by this rank is "shuffled", and the
+    shuffle is a pure function of the keys: identical at any
+    parallelism, resumable, and stable across re-runs).
+
+    The zipWithIndex shape Ray Data lacks, built scale-safe: the md5
+    hex prefix range-partitions rows (uniform by construction, 256
+    ordered buckets), a first pass collects ONLY the 256 per-bucket
+    counts (residues, not rows), their prefix sums broadcast in the
+    task closure, and the ranking pass sorts each bucket locally and
+    adds its offset. One shuffle of the rows, one residue pass —
+    nothing global ever sorts."""
+    import hashlib
+
+    import pandas as pd
+
+    def add_rk(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__rk"] = [
+            hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()
+            for v in batch[key_col]
+        ]
+        batch["__bucket"] = [int(h[:2], 16) for h in batch["__rk"]]
+        return batch
+
+    keyed = ds.map_batches(add_rk, batch_format="pandas")
+
+    counts = (
+        grouped_sums(keyed, ["__bucket"], [], count_alias="c")
+        .to_pandas()
+        .sort_values("__bucket", ignore_index=True)
+    )
+    offsets = counts["c"].cumsum().shift(fill_value=0)
+    offset_map = dict(zip(counts["__bucket"], offsets.astype("int64")))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__bucket"].iloc[0])
+        g = g.sort_values(["__rk", key_col], ignore_index=True)
+        g["rank"] = offset_map[b] + g.index.to_numpy()
+        g["rank"] = g["rank"].astype("int64")
+        return g.drop(columns=["__rk", "__bucket"])
+
+    return keyed.groupby("__bucket").map_groups(
+        rank_bucket, batch_format="pandas"
+    )
