@@ -109,7 +109,11 @@ def _cms_slots(keys: pd.Series, j: int, width: int) -> np.ndarray:
 
 
 def cms_build(
-    ds: rd.Dataset, col: str, width: int = 2048, depth: int = 4
+    ds: rd.Dataset,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+    weight_col: str | None = None,
 ) -> np.ndarray:
     """Merged count-min sketch of ``ds[col]`` as a dense
     ``(depth, width)`` int64 matrix on the driver.
@@ -119,7 +123,11 @@ def cms_build(
     combiner — bounded by the SKETCH size, not the data), and the
     global merge is a pre-aggregated sum over those residues. The
     driver receives at most ``depth × width`` rows regardless of
-    corpus size — that bounded footprint is the point of a sketch."""
+    corpus size — that bounded footprint is the point of a sketch.
+
+    With ``weight_col`` the input is already a (key, count) residue
+    table and each key contributes its count instead of 1 — the shape
+    :func:`heavy_hitters` feeds after its single collapse pass."""
     from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
 
     def partial(batch) -> pd.DataFrame:
@@ -127,9 +135,13 @@ def cms_build(
         # ever materialized as Python-side objects for hashing
         import pyarrow.compute as pc
 
-        vc = pc.value_counts(batch.column(col))
-        keys = vc.field("values").to_pandas()
-        n = vc.field("counts").to_numpy().astype("int64")
+        if weight_col is None:
+            vc = pc.value_counts(batch.column(col))
+            keys = vc.field("values").to_pandas()
+            n = vc.field("counts").to_numpy().astype("int64")
+        else:
+            keys = batch.column(col).to_pandas()
+            n = batch.column(weight_col).to_numpy().astype("int64")
         rows = []
         for j in range(depth):
             dfj = pd.DataFrame(
@@ -162,15 +174,20 @@ def heavy_hitters(
     """EXACT keys with global count >= ``threshold`` via the classic
     two-pass count-min filter.
 
-    Pass 1 builds the merged CMS (bounded driver footprint, see
+    Pass 0 — the ONLY pass over the stream — collapses every batch to
+    its local ``(key, count)`` value-count residues and materializes
+    them, so an expensive upstream lineage (n-gram explode, extraction)
+    executes once, not once per CMS pass. Pass 1 builds the merged CMS
+    over the weighted residues (bounded driver footprint, see
     :func:`cms_build`) and broadcasts it once with ``ray.put``. Pass 2
-    re-reads the stream, keeps only keys whose CMS estimate clears the
-    threshold (no false negatives: a CMS estimate is always >= the
+    re-reads the residues, keeps only keys whose CMS estimate clears
+    the threshold (no false negatives: a CMS estimate is always >= the
     true count, so every true heavy hitter survives), and exact-counts
     just those candidates with a pre-aggregated groupby. The final
     filter removes CMS false positives, so the output is exactly
-    ``GROUP BY col HAVING count(*) >= threshold`` — but only the
-    candidate residues ever shuffle, never the stream.
+    ``GROUP BY col HAVING count(*) >= threshold`` — but only residues
+    ever shuffle or materialize, never the stream (the residue table is
+    distinct-keys-per-block, object-store-resident, free to spill).
 
     ``threshold`` must be >= 1 (a zero-count sentinel row keeps the
     residue exchange schema-stable when no candidates exist)."""
@@ -180,35 +197,42 @@ def heavy_hitters(
 
     if threshold < 1:
         raise ValueError("threshold must be >= 1")
-    cms_ref = ray.put(cms_build(ds, col, width, depth))
 
-    def candidates(batch) -> pd.DataFrame:
+    def collapse(batch) -> pd.DataFrame:
         import pyarrow.compute as pc
 
-        cms = ray.get(cms_ref)
         vc = pc.value_counts(batch.column(col))
-        keys = vc.field("values").to_pandas()
-        if len(keys) == 0:
-            return pd.DataFrame(
-                {col: pd.Series([], dtype="object"),
-                 alias: pd.Series([], dtype="int64")}
-            )
-        est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
-        for j in range(depth):
-            est = np.minimum(est, cms[j, _cms_slots(keys, j, width)])
-        keep = est >= threshold
         return pd.DataFrame(
-            {col: keys[keep].to_numpy(),
-             alias: vc.field("counts").to_numpy().astype("int64")[keep]}
+            {col: pd.Series(vc.field("values").to_pandas().to_numpy(),
+                            dtype="object"),
+             alias: vc.field("counts").to_numpy().astype("int64")}
         )
 
-    residues = ds.map_batches(candidates, batch_format="pyarrow")
+    local_counts = ds.map_batches(collapse, batch_format="pyarrow").materialize()
+    cms_ref = ray.put(
+        cms_build(local_counts, col, width, depth, weight_col=alias)
+    )
+
+    def candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        cms = ray.get(cms_ref)
+        if len(batch) == 0:
+            return batch
+        est = np.full(len(batch), np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(depth):
+            est = np.minimum(est, cms[j, _cms_slots(batch[col], j, width)])
+        return batch[est >= threshold]
+
+    residues = local_counts.map_batches(candidates, batch_format="pandas")
     # sentinel keeps the groupby schema-stable even with 0 candidates;
     # it adds 0 to one key's sum, so it can never change the output
     sentinel = rd.from_pandas(pd.DataFrame({col: [""], alias: [0]}))
     totals = grouped_sums(residues.union(sentinel), [col], [alias])
 
-    def final(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch[alias] >= threshold]
+    def final(batch):
+        # arrow filter: empty outputs keep a sized schema (pandas
+        # object-dtype empties trip Ray's block-size estimator)
+        import pyarrow.compute as pc
 
-    return totals.map_batches(final, batch_format="pandas")
+        return batch.filter(pc.greater_equal(batch.column(alias), threshold))
+
+    return totals.map_batches(final, batch_format="pyarrow")
