@@ -461,6 +461,30 @@ def _q_deterministic_shuffle(sf_dir: str):
     return global_sorted_rank(docs, "doc_id")
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing at seq_len=512 over per-doc
+    word counts, deterministic md5 training order (one row per
+    doc×sequence overlap segment)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import pack_sequences
+
+    def nw(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "nw": pc.cast(pc.list_value_length(words), pa.int64())}
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(nw, batch_format="pyarrow")
+    return pack_sequences(docs, "doc_id", "nw", seq_len=512)
+
+
 def _q_stratified_top_k(sf_dir: str):
     """Fixed-budget per-language sample: exactly 20 docs per lang by
     md5 order (local top-k combiner + one stratum-hash shuffle)."""
@@ -1212,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_top_k": _q_stratified_top_k,
         "word_count_quantiles": _q_word_count_quantiles,
         "deterministic_shuffle": _q_deterministic_shuffle,
+        "pack_sequences": _q_pack_sequences,
         "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
         "pii_scrub": _q_pii_scrub,
@@ -1281,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_top_k": sm.STRATIFIED_TOP_K_SQL,
         "word_count_quantiles": sm.WORD_COUNT_QUANTILES_SQL,
         "deterministic_shuffle": sm.DETERMINISTIC_SHUFFLE_SQL,
+        "pack_sequences": sm.PACK_SEQUENCES_SQL,
         "salient_terms": sm.SALIENT_TERMS_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,
         "pii_scrub": sm.PII_SCRUB_SQL,

@@ -888,3 +888,47 @@ def test_global_sorted_rank_permutation_and_invariance(ray_session):
     pd.testing.assert_frame_equal(a[["doc_id", "payload", "rank"]],
                                   want[["doc_id", "payload", "rank"]],
                                   check_dtype=False)
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Packing must conserve tokens (per-doc segment sums == doc
+    length), fill every sequence but the last to exactly seq_len,
+    split long docs across sequences, and be block-layout invariant."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import pack_sequences
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {"doc_id": range(200), "nw": rng.randint(1, 50, size=200)}
+    )
+    df.loc[7, "nw"] = 300   # straddles many 64-token sequences
+    df.loc[9, "nw"] = 0     # dropped
+    L = 64
+
+    def run(nblocks):
+        return (
+            pack_sequences(rd.from_pandas(df).repartition(nblocks),
+                           "doc_id", "nw", seq_len=L)
+            .to_pandas()
+            .sort_values(["seq_id", "off_in_seq"], ignore_index=True)
+        )
+
+    a, b = run(1), run(13)
+    pd.testing.assert_frame_equal(a, b)
+
+    per_doc = a.groupby("doc_id")["n_tokens"].sum()
+    want = df[df.nw > 0].set_index("doc_id")["nw"]
+    assert per_doc.sort_index().equals(want.sort_index().astype("int64"))
+    assert 9 not in set(a.doc_id)
+    assert (a[a.doc_id == 7].groupby("doc_id").size() >= 5).all()
+
+    per_seq = a.groupby("seq_id")["n_tokens"].sum()
+    full, last = per_seq.iloc[:-1], per_seq.iloc[-1]
+    assert (full == L).all() and 0 < last <= L
+    # segments within a sequence tile it contiguously from offset 0
+    for _, g in a.groupby("seq_id"):
+        g = g.sort_values("off_in_seq")
+        assert g["off_in_seq"].iloc[0] == 0
+        ends = (g["off_in_seq"] + g["n_tokens"]).to_numpy()
+        assert (ends[:-1] == g["off_in_seq"].to_numpy()[1:]).all()

@@ -529,6 +529,35 @@ SELECT doc_id, lang,
 FROM documents
 """
 
+# Concat-and-chunk sequence packing at seq_len=512: docs laid
+# end-to-end in md5('pack:'||key) order, exact global token offsets
+# via a window sum, one row per doc×sequence overlap segment. Engine
+# twin: stages/text_analysis.py::pack_sequences (256-bucket prefix
+# sum — same total order, same arithmetic).
+PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS nw,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+), o AS (
+  SELECT doc_id, nw,
+         CAST(COALESCE(SUM(nw) OVER (
+             ORDER BY rk, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS s
+  FROM t
+), e AS (
+  SELECT doc_id, nw, s,
+         unnest(generate_series(s // 512, (s + nw - 1) // 512)) AS seq_id
+  FROM o WHERE nw > 0
+)
+SELECT doc_id, seq_id,
+       greatest(s, seq_id * 512) - seq_id * 512 AS off_in_seq,
+       greatest(s, seq_id * 512) - s AS off_in_doc,
+       least(s + nw, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS n_tokens
+FROM e
+"""
+
 # Fixed-budget stratified sample: exactly k=20 rows per language by
 # md5 hex order of the key (ties -> key order), seed 'stratak'.
 STRATIFIED_TOP_K_SQL = r"""

@@ -905,6 +905,27 @@ def global_sorted_rank(
     task closure, and the ranking pass sorts each bucket locally and
     adds its offset. One shuffle of the rows, one residue pass —
     nothing global ever sorts."""
+    return global_ordered_prefix_sum(
+        ds, key_col, val_col=None, seed=seed, out_col="rank"
+    )
+
+
+def global_ordered_prefix_sum(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str | None = None,
+    seed: str = "shuffle",
+    out_col: str = "start",
+) -> rd.Dataset:
+    """Running int64 sum of ``val_col`` BEFORE each row, rows taken in
+    md5-of-key order — the scan primitive behind deterministic
+    shuffling (``val_col=None`` → prefix COUNT, i.e. the 0-based
+    rank) and sequence packing (``val_col`` = token count → each
+    doc's global token offset).
+
+    Same plan as :func:`global_sorted_rank`: 256 md5-hex-prefix range
+    buckets, one residue pass for per-bucket sums, broadcast offsets,
+    local sort + cumsum per bucket. One row shuffle, no global sort."""
     import hashlib
 
     import pandas as pd
@@ -920,21 +941,26 @@ def global_sorted_rank(
 
     keyed = ds.map_batches(add_rk, batch_format="pandas")
 
-    counts = (
-        grouped_sums(keyed, ["__bucket"], [], count_alias="c")
-        .to_pandas()
-        .sort_values("__bucket", ignore_index=True)
-    )
-    offsets = counts["c"].cumsum().shift(fill_value=0)
+    if val_col is None:
+        counts = grouped_sums(keyed, ["__bucket"], [], count_alias="__c")
+    else:
+        counts = grouped_sums(keyed, ["__bucket"], [val_col])
+    counts = counts.to_pandas().sort_values("__bucket", ignore_index=True)
+    sums = counts["__c" if val_col is None else val_col]
+    offsets = sums.cumsum().shift(fill_value=0)
     offset_map = dict(zip(counts["__bucket"], offsets.astype("int64")))
 
-    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["__bucket"].iloc[0])
         g = g.sort_values(["__rk", key_col], ignore_index=True)
-        g["rank"] = offset_map[b] + g.index.to_numpy()
-        g["rank"] = g["rank"].astype("int64")
+        if val_col is None:
+            before = g.index.to_numpy(dtype="int64")
+        else:
+            v = g[val_col].to_numpy(dtype="int64")
+            before = v.cumsum() - v
+        g[out_col] = (offset_map[b] + before).astype("int64")
         return g.drop(columns=["__rk", "__bucket"])
 
     return keyed.groupby("__bucket").map_groups(
-        rank_bucket, batch_format="pandas"
+        scan_bucket, batch_format="pandas"
     )

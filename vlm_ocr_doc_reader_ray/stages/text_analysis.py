@@ -383,3 +383,70 @@ def analyze(ds: rd.Dataset, text_col: str = "text", concurrency: int | None = No
         concurrency=concurrency,
         **kwargs,
     )
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    key_col: str,
+    len_col: str,
+    seq_len: int,
+    seed: str = "pack",
+) -> rd.Dataset:
+    """Concat-and-chunk sequence packing: lay every document's tokens
+    end-to-end in deterministic md5-of-key order and cut the stream
+    into fixed ``seq_len`` windows — the GPT-style packing pass that
+    turns a deduped corpus into training sequences with zero padding.
+
+    Emits one row per (document, sequence) overlap segment:
+    ``(key, seq_id, off_in_seq, off_in_doc, n_tokens)`` — enough for a
+    loader to assemble any sequence from its source docs (and for
+    attribution the other way). A document longer than ``seq_len``
+    spans several rows; sequence boundaries never shift with
+    parallelism because the layout is a pure function of the keys
+    (md5 order + exact global prefix sums via
+    :func:`~vlm_ocr_doc_reader_ray.stages.relational.global_ordered_prefix_sum`).
+    Rows with a non-positive token count are dropped.
+
+    The explode is vectorized (``np.repeat`` over per-doc span
+    counts); nothing materializes beyond the 256-bucket residue pass
+    inside the prefix sum."""
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import (
+        global_ordered_prefix_sum,
+    )
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+
+    started = global_ordered_prefix_sum(
+        ds, key_col, val_col=len_col, seed=seed, out_col="__start"
+    )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        nw_all = batch[len_col].to_numpy(dtype="int64")
+        keep = nw_all > 0
+        start = batch["__start"].to_numpy(dtype="int64")[keep]
+        nw = nw_all[keep]
+        keys = batch.loc[keep, key_col].to_numpy()
+        first = start // seq_len
+        last = (start + nw - 1) // seq_len
+        spans = last - first + 1
+        idx = np.repeat(np.arange(len(nw), dtype=np.int64), spans)
+        span_starts = np.concatenate(([0], np.cumsum(spans)[:-1]))
+        pos = np.arange(len(idx), dtype=np.int64) - span_starts[idx]
+        seq_id = first[idx] + pos
+        seg_lo = np.maximum(start[idx], seq_id * seq_len)
+        seg_hi = np.minimum(start[idx] + nw[idx], (seq_id + 1) * seq_len)
+        return pd.DataFrame(
+            {
+                key_col: keys[idx],
+                "seq_id": seq_id,
+                "off_in_seq": seg_lo - seq_id * seq_len,
+                "off_in_doc": seg_lo - start[idx],
+                "n_tokens": seg_hi - seg_lo,
+            }
+        )
+
+    return started.map_batches(explode, batch_format="pandas")
