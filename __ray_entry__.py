@@ -461,6 +461,31 @@ def _q_deterministic_shuffle(sf_dir: str):
     return global_sorted_rank(docs, "doc_id")
 
 
+def _q_lang_word_count_quantiles(sf_dir: str):
+    """Per-language exact p50/p90 of per-doc word counts via grouped
+    counting histograms (one residue shuffle, no per-key dispatch)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        grouped_exact_quantiles,
+    )
+
+    def nw(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        return pa.table(
+            {"lang": batch.column("lang"),
+             "nw": pc.cast(pc.list_value_length(words), pa.int64())}
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    ).map_batches(nw, batch_format="pyarrow")
+    return grouped_exact_quantiles(docs, "lang", "nw", [0.5, 0.9])
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing at seq_len=512 over per-doc
     word counts, deterministic md5 training order (one row per
@@ -1237,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count_quantiles": _q_word_count_quantiles,
         "deterministic_shuffle": _q_deterministic_shuffle,
         "pack_sequences": _q_pack_sequences,
+        "lang_word_count_quantiles": _q_lang_word_count_quantiles,
         "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
         "pii_scrub": _q_pii_scrub,
@@ -1307,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
         "word_count_quantiles": sm.WORD_COUNT_QUANTILES_SQL,
         "deterministic_shuffle": sm.DETERMINISTIC_SHUFFLE_SQL,
         "pack_sequences": sm.PACK_SEQUENCES_SQL,
+        "lang_word_count_quantiles": sm.LANG_WORD_COUNT_QUANTILES_SQL,
         "salient_terms": sm.SALIENT_TERMS_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,
         "pii_scrub": sm.PII_SCRUB_SQL,

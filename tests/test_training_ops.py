@@ -932,3 +932,45 @@ def test_pack_sequences_invariants(ray_session):
         assert g["off_in_seq"].iloc[0] == 0
         ends = (g["off_in_seq"] + g["n_tokens"]).to_numpy()
         assert (ends[:-1] == g["off_in_seq"].to_numpy()[1:]).all()
+
+
+def test_write_training_shards_balanced_deterministic_resumable(
+    ray_session, tmp_path
+):
+    """Shards must be balanced (docs_per_shard everywhere, short
+    tail), byte-identical across block layouts and re-runs, and a
+    re-run must skip finished shards (idempotent resume)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.pipelines.shards import write_training_shards
+
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(103)],
+                       "text": [f"t{i}" for i in range(103)]})
+
+    def digest(d):
+        return {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in sorted(d.iterdir())
+        }
+
+    out_a = tmp_path / "a"
+    m1 = write_training_shards(
+        rd.from_pandas(df).repartition(7), "doc_id", str(out_a), 20
+    )
+    assert list(m1["rows"]) == [20, 20, 20, 20, 20, 3]
+    assert not m1["skipped"].any()
+
+    out_b = tmp_path / "b"
+    write_training_shards(rd.from_pandas(df), "doc_id", str(out_b), 20)
+    assert digest(out_a) == digest(out_b)  # layout-independent bytes
+
+    # delete one shard, re-run: only that shard rewrites, bytes equal
+    (out_a / "shard-00002.parquet").unlink()
+    m2 = write_training_shards(
+        rd.from_pandas(df).repartition(3), "doc_id", str(out_a), 20
+    )
+    assert m2["skipped"].sum() == 5 and len(m2) == 6
+    assert not m2.loc[m2["shard"] == 2, "skipped"].any()
+    assert digest(out_a) == digest(out_b)

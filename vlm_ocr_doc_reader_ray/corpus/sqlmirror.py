@@ -529,6 +529,19 @@ SELECT doc_id, lang,
 FROM documents
 """
 
+# Per-language exact discrete quantiles of per-doc word counts;
+# engine twin reads them off grouped counting histograms with the
+# same quantile_disc index rule.
+LANG_WORD_COUNT_QUANTILES_SQL = r"""
+WITH t AS (
+  SELECT lang, len(string_split(text, ' ')) AS nw FROM documents
+)
+SELECT lang,
+       unnest([0.5, 0.9]) AS q,
+       unnest(quantile_disc(nw, [0.5, 0.9])) AS value
+FROM t GROUP BY lang
+"""
+
 # Concat-and-chunk sequence packing at seq_len=512: docs laid
 # end-to-end in md5('pack:'||key) order, exact global token offsets
 # via a window sum, one row per doc×sequence overlap segment. Engine
