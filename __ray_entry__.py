@@ -461,6 +461,48 @@ def _q_deterministic_shuffle(sf_dir: str):
     return global_sorted_rank(docs, "doc_id")
 
 
+MIX_WEIGHTS = {"en": 0.5, "zh": 2.5, "fr": 1.25, "es": 2.0}
+
+
+def _q_lang_rebalance(sf_dir: str):
+    """Deterministic mixture rebalancing: downsample en 0.5x, upsample
+    zh 2.5x / es 2x / fr 1.25x via md5-threshold replication (pure
+    function of doc_id — no RNG, no shuffle)."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import mixture_rebalance
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return mixture_rebalance(docs, "doc_id", "lang", MIX_WEIGHTS)
+
+
+def _q_token_budget_head(sf_dir: str):
+    """First 15k tokens of the md5-shuffled corpus: distributed prefix
+    sum + filter; the straddling doc is truncated, kept token counts
+    sum to min(budget, corpus)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import token_budget_head
+
+    def nw(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "lang": batch.column("lang"),
+             "nw": pc.cast(pc.list_value_length(words), pa.int64())}
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).map_batches(nw, batch_format="pyarrow")
+    return token_budget_head(docs, "doc_id", "nw", budget=15000)
+
+
 def _q_lang_word_count_quantiles(sf_dir: str):
     """Per-language exact p50/p90 of per-doc word counts via grouped
     counting histograms (one residue shuffle, no per-key dispatch)."""
@@ -1263,6 +1305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shuffle": _q_deterministic_shuffle,
         "pack_sequences": _q_pack_sequences,
         "lang_word_count_quantiles": _q_lang_word_count_quantiles,
+        "lang_rebalance": _q_lang_rebalance,
+        "token_budget_head": _q_token_budget_head,
         "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
         "pii_scrub": _q_pii_scrub,
@@ -1334,6 +1378,8 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_shuffle": sm.DETERMINISTIC_SHUFFLE_SQL,
         "pack_sequences": sm.PACK_SEQUENCES_SQL,
         "lang_word_count_quantiles": sm.LANG_WORD_COUNT_QUANTILES_SQL,
+        "lang_rebalance": sm.LANG_REBALANCE_SQL,
+        "token_budget_head": sm.TOKEN_BUDGET_HEAD_SQL,
         "salient_terms": sm.SALIENT_TERMS_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,
         "pii_scrub": sm.PII_SCRUB_SQL,

@@ -974,3 +974,77 @@ def test_write_training_shards_balanced_deterministic_resumable(
     assert m2["skipped"].sum() == 5 and len(m2) == 6
     assert not m2.loc[m2["shard"] == 2, "skipped"].any()
     assert digest(out_a) == digest(out_b)
+
+
+def test_mixture_rebalance_counts_and_invariance(ray_session):
+    """Replication must hit floor(w)/ceil(w) per row with the md5
+    fraction deciding the extra copy (≈frac(w) of rows), default to
+    1.0 for unknown groups, and be block-layout invariant."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import mixture_rebalance
+
+    df = pd.DataFrame(
+        {"doc_id": [f"d{i}" for i in range(2000)],
+         "grp": (["a"] * 2 + ["b"] + ["c"])  * 500}
+    )
+    w = {"a": 2.5, "b": 0.25}
+
+    def run(nblocks):
+        return (
+            mixture_rebalance(rd.from_pandas(df).repartition(nblocks),
+                              "doc_id", "grp", w)
+            .to_pandas()
+            .sort_values(["doc_id", "rep"], ignore_index=True)
+        )
+
+    a, b = run(1), run(9)
+    pd.testing.assert_frame_equal(a, b)
+
+    per_row = a.groupby(["doc_id", "grp"], as_index=False).size()
+    by_grp = per_row.groupby("grp")["size"]
+    assert set(by_grp.unique()["a"]) <= {2, 3}
+    assert set(by_grp.unique()["b"]) <= {1}  # 0-copy rows vanish
+    assert (by_grp.unique()["c"] == [1]).all()  # default weight 1.0
+    # the fractional extra lands near frac(w) of the group
+    n_a = (df.grp == "a").sum()
+    extra = (per_row[per_row.grp == "a"]["size"] == 3).sum()
+    assert abs(extra / n_a - 0.5) < 0.1
+    n_b_kept = (a.grp == "b").sum()
+    assert abs(n_b_kept / (df.grp == "b").sum() - 0.25) < 0.1
+    # rep indexes are 0..reps-1 per row
+    assert (a.groupby("doc_id")["rep"].max() + 1).equals(
+        a.groupby("doc_id")["rep"].size()
+    )
+
+
+def test_token_budget_head_exact_and_prefix_of_packing(ray_session):
+    """Kept tokens must sum to exactly the budget, exactly one doc is
+    truncated, and the head is the same corpus prefix pack_sequences
+    lays out first under the same seed."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        pack_sequences,
+        token_budget_head,
+    )
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({"doc_id": range(300),
+                       "nw": rng.randint(1, 40, size=300)})
+    B = 1000
+    head = token_budget_head(
+        rd.from_pandas(df).repartition(5), "doc_id", "nw", budget=B
+    ).to_pandas()
+    assert head["n_tokens"].sum() == B
+    assert head["truncated"].sum() == 1
+    full = head[~head.truncated]
+    assert (full["n_tokens"] == full["nw"]).all()
+
+    # same seed => the packed token interval [0, B) covers exactly the
+    # head's docs
+    packed = pack_sequences(
+        rd.from_pandas(df), "doc_id", "nw", seq_len=B, seed="shuffle"
+    ).to_pandas()
+    first_seq_docs = set(packed[packed.seq_id == 0].doc_id)
+    assert first_seq_docs == set(head.doc_id)

@@ -529,6 +529,52 @@ SELECT doc_id, lang,
 FROM documents
 """
 
+# Deterministic mixture rebalancing: floor(w) copies per row plus one
+# iff md5('mix:'||key) mod 1e6 < round(frac(w)*1e6) — same membership
+# rule as HASH_SAMPLE_SQL. Weights are dyadic floats so DOUBLE
+# arithmetic is exact on both sides.
+LANG_REBALANCE_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.5
+                        WHEN 'fr' THEN 1.25 WHEN 'es' THEN 2.0
+                        ELSE 1.0 END AS DOUBLE) AS w
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         CAST(floor(w) AS BIGINT)
+         + CASE WHEN CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                     % 1000000
+                     < CAST(floor((w - floor(w)) * 1000000 + 0.5) AS BIGINT)
+                THEN 1 ELSE 0 END AS reps
+  FROM w
+)
+SELECT doc_id, lang, unnest(generate_series(0, reps - 1)) AS rep
+FROM r WHERE reps > 0
+"""
+
+# First 15k tokens of the md5-shuffled corpus; straddling doc
+# truncated. Same total order + prefix-sum arithmetic as the engine's
+# token_budget_head (seed 'shuffle').
+TOKEN_BUDGET_HEAD_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS nw,
+         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+), o AS (
+  SELECT doc_id, lang, nw,
+         CAST(COALESCE(SUM(nw) OVER (
+             ORDER BY rk, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS s
+  FROM t
+)
+SELECT doc_id, lang, nw,
+       least(nw, 15000 - s) AS n_tokens,
+       least(nw, 15000 - s) < nw AS truncated
+FROM o WHERE s < 15000 AND nw > 0
+"""
+
 # Per-language exact discrete quantiles of per-doc word counts;
 # engine twin reads them off grouped counting histograms with the
 # same quantile_disc index rule.

@@ -450,3 +450,100 @@ def pack_sequences(
         )
 
     return started.map_batches(explode, batch_format="pandas")
+
+
+def mixture_rebalance(
+    ds: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    weights: dict,
+    seed: str = "mix",
+) -> rd.Dataset:
+    """Deterministic data-mixing: replicate each row ``w`` times where
+    ``w`` is its group's target weight — the temperature-sampling /
+    language-rebalancing pass of an LM data pipeline (upsample rare
+    languages, downsample the head) without any RNG state.
+
+    A row with weight ``w`` gets ``floor(w)`` copies plus one more iff
+    ``md5(seed:key) mod 1e6 < round(frac(w)*1e6)`` — the same
+    md5-threshold membership rule as :func:`hash_sample`, so the
+    expansion is a pure function of the keys: identical at any
+    parallelism, composable, and exactly SQL-mirrorable. Weights
+    absent from the dict default to 1.0 (pass-through). Adds ``rep``
+    (0-based copy index). Pure per-batch flat-map — no shuffle; the
+    expansion is vectorized (``np.repeat``)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            batch[group_col]
+            .map(weights)
+            .fillna(1.0)
+            .to_numpy(dtype="float64")
+        )
+        base = np.floor(w).astype("int64")
+        thresh = np.floor((w - base) * 1_000_000 + 0.5).astype("int64")
+        u = np.array(
+            [
+                int(hashlib.md5(f"{seed}:{k}".encode("utf-8")).hexdigest()[:8], 16)
+                % 1_000_000
+                for k in batch[key_col]
+            ],
+            dtype="int64",
+        )
+        reps = base + (u < thresh)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        out = batch.iloc[idx].reset_index(drop=True)
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        out["rep"] = np.arange(len(idx), dtype="int64") - np.repeat(starts, reps)
+        return out
+
+    return ds.map_batches(expand, batch_format="pandas")
+
+
+def token_budget_head(
+    ds: rd.Dataset,
+    key_col: str,
+    len_col: str,
+    budget: int,
+    seed: str = "shuffle",
+) -> rd.Dataset:
+    """Cut the corpus at exactly ``budget`` tokens in deterministic
+    md5-of-key shuffle order — "give me the first N tokens of the
+    (shuffled) corpus" as a distributed filter, not a driver scan.
+
+    Each doc's global token offset comes from the distributed prefix
+    sum; docs starting past the budget drop, the straddling doc is
+    truncated (``truncated`` flag, ``n_tokens`` = kept tokens), and
+    the kept token counts sum to ``min(budget, corpus_tokens)``
+    exactly. Layout is a pure function of the keys — the head is the
+    same corpus prefix :func:`pack_sequences` would pack first under
+    the same seed."""
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import (
+        global_ordered_prefix_sum,
+    )
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+
+    started = global_ordered_prefix_sum(
+        ds, key_col, val_col=len_col, seed=seed, out_col="__start"
+    )
+
+    def head(batch: pd.DataFrame) -> pd.DataFrame:
+        start = batch["__start"].to_numpy(dtype="int64")
+        nw = batch[len_col].to_numpy(dtype="int64")
+        keep = (start < budget) & (nw > 0)
+        out = batch.loc[keep].reset_index(drop=True)
+        kept = np.minimum(nw[keep], budget - start[keep])
+        out["n_tokens"] = kept
+        out["truncated"] = kept < nw[keep]
+        return out.drop(columns=["__start"])
+
+    return started.map_batches(head, batch_format="pandas")
