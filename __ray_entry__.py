@@ -461,6 +461,20 @@ def _q_deterministic_shuffle(sf_dir: str):
     return global_sorted_rank(docs, "doc_id")
 
 
+def _q_boilerplate_overlap(sf_dir: str):
+    """Per-doc overlap with corpus-frequent bigrams (count >= 40):
+    exact heavy-hitter set via the count-min filter, broadcast once,
+    Arrow is_in + bincount scoring."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import boilerplate_overlap
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return boilerplate_overlap(docs, min_count=40)
+
+
 MIX_WEIGHTS = {"en": 0.5, "zh": 2.5, "fr": 1.25, "es": 2.0}
 
 
@@ -1306,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "lang_word_count_quantiles": _q_lang_word_count_quantiles,
         "lang_rebalance": _q_lang_rebalance,
+        "boilerplate_overlap": _q_boilerplate_overlap,
         "token_budget_head": _q_token_budget_head,
         "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
@@ -1379,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": sm.PACK_SEQUENCES_SQL,
         "lang_word_count_quantiles": sm.LANG_WORD_COUNT_QUANTILES_SQL,
         "lang_rebalance": sm.LANG_REBALANCE_SQL,
+        "boilerplate_overlap": sm.BOILERPLATE_OVERLAP_SQL,
         "token_budget_head": sm.TOKEN_BUDGET_HEAD_SQL,
         "salient_terms": sm.SALIENT_TERMS_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,

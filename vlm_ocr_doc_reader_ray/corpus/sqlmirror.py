@@ -529,6 +529,32 @@ SELECT doc_id, lang,
 FROM documents
 """
 
+# Per-doc overlap with corpus-frequent bigrams (count >= 40); docs
+# with fewer than 2 words score 0/0. Same bigram explode as
+# HEAVY_HITTERS_SQL.
+BOILERPLATE_OVERLAP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, nw - 1),
+                i -> array_to_string(list_slice(ws, i + 1, i + 2), ' '))) AS ngram
+  FROM t WHERE nw >= 2
+), hh AS (
+  SELECT ngram FROM g GROUP BY ngram HAVING count(*) >= 40
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS ngrams,
+         CAST(sum(CASE WHEN ngram IN (SELECT ngram FROM hh)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM g GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(per.ngrams, 0) AS ngrams,
+       COALESCE(per.hits, 0) AS hits
+FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+"""
+
 # Deterministic mixture rebalancing: floor(w) copies per row plus one
 # iff md5('mix:'||key) mod 1e6 < round(frac(w)*1e6) — same membership
 # rule as HASH_SAMPLE_SQL. Weights are dyadic floats so DOUBLE

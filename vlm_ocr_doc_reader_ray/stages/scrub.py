@@ -375,3 +375,65 @@ def contamination_check(
         )
 
     return ds.map_batches(scan, batch_format="pandas")
+
+
+def boilerplate_overlap(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_count: int = 40,
+) -> rd.Dataset:
+    """Per-document overlap with corpus-frequent n-grams — the
+    boilerplate detector (docs dominated by site-wide navigation /
+    footer n-grams score high and get filtered before training).
+
+    Two composed stages, both scale-bounded: the EXACT heavy-hitter
+    set (count >= ``min_count``) comes from the two-pass count-min
+    filter (:func:`~vlm_ocr_doc_reader_ray.stages.sketch.heavy_hitters`
+    — only residues shuffle), is broadcast ONCE with ``ray.put`` (its
+    size is bounded by corpus_ngrams / min_count by pigeonhole), and a
+    second pass scores every doc with Arrow C kernels
+    (:func:`arrow_word_ngrams` + ``is_in`` + ``bincount``). Output:
+    one ``(id, ngrams, hits)`` row per doc (integer-exact; docs with
+    fewer than ``n`` words score 0/0) — downstream filters on
+    ``hits/ngrams`` at whatever ratio suits the corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from vlm_ocr_doc_reader_ray.stages.sketch import heavy_hitters
+
+    def explode(batch: pa.Table) -> pa.Table:
+        grams, _ = arrow_word_ngrams(batch.column(text_col), n)
+        return pa.table({"__ngram": grams})
+
+    stream = ds.select_columns([text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    hitters = heavy_hitters(stream, "__ngram", threshold=min_count).to_pandas()
+    hit_ref = ray.put(pa.array(hitters["__ngram"], type=pa.string()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        grams, doc_idx = arrow_word_ngrams(batch.column(text_col), n)
+        total = np.bincount(doc_idx, minlength=len(batch)).astype(np.int64)
+        hit_set = ray.get(hit_ref)
+        if len(grams) and len(hit_set):
+            m = pc.is_in(grams, value_set=hit_set)
+            hits = np.bincount(
+                doc_idx[m.to_numpy(zero_copy_only=False)],
+                minlength=len(batch),
+            ).astype(np.int64)
+        else:
+            hits = np.zeros(len(batch), dtype=np.int64)
+        return pa.table(
+            {id_col: batch.column(id_col),
+             "ngrams": pa.array(total),
+             "hits": pa.array(hits)}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
