@@ -175,6 +175,27 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     heavy_hitters(stream, "ngram", threshold=40 * reps).to_pandas()
     queries["heavy_hitters"] = round(time.time() - t0, 3)
 
+    # q8: sequence packing over the corpus (distributed md5-order
+    # prefix sum + vectorized segment explode), consumed by count()
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import pack_sequences
+
+    def _word_counts(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        words = pc.split_pattern(batch.column("text"), " ")
+        return pa.table(
+            {"url": batch.column("url"),
+             "nw": pc.cast(pc.list_value_length(words), pa.int64())}
+        )
+
+    t0 = time.time()
+    counted = _corpus(["url", "text"]).map_batches(
+        _word_counts, batch_format="pyarrow"
+    )
+    pack_sequences(counted, "url", "nw", seq_len=2048).count()
+    queries["pack_sequences"] = round(time.time() - t0, 3)
+
     n_docs = rd.read_parquet(corpus_path).count()
     headline = queries["extract_full_write"]
     result = {
