@@ -461,6 +461,26 @@ def _q_deterministic_shuffle(sf_dir: str):
     return global_sorted_rank(docs, "doc_id")
 
 
+def _q_jsonl_extract_text(sf_dir: str):
+    """Extraction fed from .jsonl.gz shards (the third source format:
+    newline-delimited JSON, whole-file gzip) — verified against the
+    SAME golden SQL as extract_text, so the JSONL write→read
+    round-trip must preserve url/lang/html bit-for-bit."""
+    import os
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import extract
+    from vlm_ocr_doc_reader_ray.sources.jsonl import corpus_jsonl, read_jsonl
+
+    shard_dir = corpus_jsonl(sf_dir, shards=4)
+    paths = sorted(
+        os.path.join(shard_dir, p) for p in os.listdir(shard_dir)
+    )
+    corpus = read_jsonl(paths)
+    return extract(corpus, emit_spans=False, emit_registry=False).select_columns(
+        EXTRACT_COLUMNS
+    )
+
+
 def _q_boilerplate_overlap(sf_dir: str):
     """Per-doc overlap with corpus-frequent bigrams (count >= 40):
     exact heavy-hitter set via the count-min filter, broadcast once,
@@ -1345,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "warc_extract_text": _q_warc_extract_text,
+        "jsonl_extract_text": _q_jsonl_extract_text,
         "wet_text_analysis": _q_wet_text_analysis,
         # relational layer
         "pricing_summary": _q_pricing_summary,
@@ -1419,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": sm.MEDIA_FRAMES_SQL,
         "media_resize": sm.MEDIA_RESIZE_SQL,
         "warc_extract_text": sm.EXTRACT_TEXT_SQL,
+        "jsonl_extract_text": sm.EXTRACT_TEXT_SQL,
         "wet_text_analysis": sm.TEXT_ANALYSIS_SQL,
         "pricing_summary": sm.PRICING_SUMMARY_SQL,
         "mktsegment_revenue": sm.MKTSEGMENT_REVENUE_SQL,

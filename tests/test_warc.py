@@ -137,3 +137,55 @@ def test_wet_roundtrip_and_dataset(ray_session, tmp_path):
     df = read_wet([path]).to_pandas().sort_values("url", ignore_index=True)
     assert list(df.text) == texts  # url sort == write order here
     assert list(df.columns) == ["url", "warc_ts", "text"]
+
+
+def test_jsonl_reader_plain_string_fields_and_tail(ray_session, tmp_path):
+    """Plain (uncompressed) .jsonl, 'html' as UTF-8 string, missing
+    warc_ts/lang defaults, and an unterminated tail line must all
+    parse; schema matches the WARC reader's."""
+    import json
+
+    from vlm_ocr_doc_reader_ray.sources.jsonl import read_jsonl
+
+    p = tmp_path / "shard-00000.jsonl"
+    lines = [
+        json.dumps({"url": "http://a/1", "html": "<p>hello</p>",
+                    "lang": "en", "warc_ts": "2024-03-04T05:06:07Z"}),
+        json.dumps({"url": "http://a/2", "html": "<p>wörld</p>"}),
+    ]
+    # second line unterminated on purpose
+    p.write_bytes((lines[0] + "\n" + lines[1]).encode("utf-8"))
+    df = read_jsonl([str(p)]).to_pandas().sort_values("url", ignore_index=True)
+    assert list(df.columns) == ["url", "warc_ts", "html", "lang"]
+    assert len(df) == 2
+    assert bytes(df.html[0]) == b"<p>hello</p>"
+    assert bytes(df.html[1]).decode("utf-8") == "<p>wörld</p>"
+    assert df.lang[0] == "en" and df.lang[1] == ""
+    assert str(df.warc_ts[0]).startswith("2024-03-04 05:06:07")
+
+
+def test_jsonl_corpus_roundtrip_identity(ray_session, sf_small, tmp_path):
+    """corpus_jsonl -> read_jsonl must reproduce the synthetic corpus
+    rows bit-for-bit (url/lang/html/warc_ts)."""
+    import os
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import synth_corpus
+    from vlm_ocr_doc_reader_ray.sources.jsonl import corpus_jsonl, read_jsonl
+
+    shard_dir = corpus_jsonl(sf_small, shards=3, cache_root=str(tmp_path))
+    paths = sorted(os.path.join(shard_dir, p) for p in os.listdir(shard_dir))
+    assert len(paths) == 3
+    got = (
+        read_jsonl(paths).to_pandas().sort_values("url", ignore_index=True)
+    )
+    want = (
+        synth_corpus(sf_small)
+        .select_columns(["url", "warc_ts", "html", "lang"])
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert len(got) == len(want)
+    assert (got.url == want.url).all()
+    assert (got.lang == want.lang).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(got.html, want.html))
+    assert (got.warc_ts == want.warc_ts).all()

@@ -25,6 +25,7 @@ def register_for_workers() -> None:
     import vlm_ocr_doc_reader_ray.stages.multimodal  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.registry_stage  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.relational  # noqa: F401
+    import vlm_ocr_doc_reader_ray.sources.jsonl  # noqa: F401
     import vlm_ocr_doc_reader_ray.sources.warc  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.scrub  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.sketch  # noqa: F401
