@@ -950,17 +950,26 @@ def global_ordered_prefix_sum(
     offsets = sums.cumsum().shift(fill_value=0)
     offset_map = dict(zip(counts["__bucket"], offsets.astype("int64")))
 
-    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        b = int(g["__bucket"].iloc[0])
-        g = g.sort_values(["__rk", key_col], ignore_index=True)
+    def scan_part(part: pd.DataFrame) -> pd.DataFrame:
+        # a hash partition may hold several whole buckets; scan each
+        # with one vectorized pass (sort + cumsum), offset from the
+        # broadcast residue table. partitioned_apply (task-based, one
+        # shuffle) instead of groupby().map_groups: Ray's sort-based
+        # groupby re-executes the upstream lineage for boundary
+        # sampling, which would recompute every row's md5.
+        part = part.sort_values(["__bucket", "__rk", key_col], ignore_index=True)
         if val_col is None:
-            before = g.index.to_numpy(dtype="int64")
+            v = np.ones(len(part), dtype=np.int64)
         else:
-            v = g[val_col].to_numpy(dtype="int64")
-            before = v.cumsum() - v
-        g[out_col] = (offset_map[b] + before).astype("int64")
-        return g.drop(columns=["__rk", "__bucket"])
+            v = part[val_col].to_numpy(dtype="int64")
+        within = (
+            pd.Series(v).groupby(part["__bucket"].to_numpy()).cumsum().to_numpy()
+            - v
+        )
+        offs = part["__bucket"].map(offset_map).to_numpy(dtype="int64")
+        part[out_col] = offs + within
+        return part.drop(columns=["__rk", "__bucket"])
 
-    return keyed.groupby("__bucket").map_groups(
-        scan_bucket, batch_format="pandas"
-    )
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    return partitioned_apply(keyed, ["__bucket"], scan_part)
