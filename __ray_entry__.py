@@ -347,6 +347,20 @@ def _q_similarity_ivf(sf_dir: str):
     return ann_ivf(emb, mat, ids, centroids=fixed_codebook(mat.shape[1], 16), k=5, nprobe=4)
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (class centroids) — integer-quantized
+    component sums so the distributed float mean is exact and
+    order-independent."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import grouped_centroids
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return grouped_centroids(emb)
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1361,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_lsh": _q_similarity_lsh,
         "similarity_ivf": _q_similarity_ivf,
         "similarity_ivf_indexed": _q_similarity_ivf_indexed,
+        "label_centroids": _q_label_centroids,
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
@@ -1435,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": sm.similarity_lsh_sql(),
         "similarity_ivf": sm.similarity_ivf_sql(),
         "similarity_ivf_indexed": sm.similarity_ivf_sql(),
+        "label_centroids": sm.LABEL_CENTROIDS_SQL,
         "similarity_topk": sm.SIMILARITY_TOPK_SQL,
         "media_decode": sm.MEDIA_DECODE_SQL,
         "media_frames": sm.MEDIA_FRAMES_SQL,

@@ -529,6 +529,24 @@ SELECT doc_id, lang,
 FROM documents
 """
 
+# Per-label mean embedding, exact: components quantized to int64
+# (floor(v*1e6 + 0.5) — the engine's float convention) and summed as
+# integers, mean divided back out with the same two-step expression
+# the engine evaluates (s / 1e6 / n in DOUBLE).
+LABEL_CENTROIDS_SQL = r"""
+WITH e AS (
+  SELECT label,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                i -> struct_pack(idx := i,
+                                 q := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                                 * 1000000 + 0.5) AS BIGINT)))) AS u
+  FROM embeddings
+)
+SELECT label, CAST(u.idx AS BIGINT) AS idx,
+       CAST(sum(u.q) AS DOUBLE) / 1000000 / count(*) AS mean
+FROM e GROUP BY label, u.idx
+"""
+
 # Per-doc overlap with corpus-frequent bigrams (count >= 40); docs
 # with fewer than 2 words score 0/0. Same bigram explode as
 # HEAVY_HITTERS_SQL.

@@ -490,3 +490,69 @@ def ann_lsh_bucketed(
     )
 
     return _merge_topk(partials, k, ["query_id", "rank", "vec_id", "score"])
+
+
+def grouped_centroids(
+    ds: rd.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """Per-group mean embedding (class/domain centroids) — the
+    "domain embedding" aggregate of a curation pipeline, exact and
+    order-independent at any parallelism.
+
+    Float summation is not associative, so a naive distributed sum of
+    float32 vectors hashes differently per block layout. Each
+    component is therefore quantized once (``floor(v*scale + 0.5)``,
+    int64 — the engine's established exact-float convention) and
+    summed as INTEGERS: per batch a vectorized matrix reduction
+    collapses to ``groups × dim`` residue rows, the global sum is a
+    pre-aggregated groupby, and the mean divides back out at the end
+    with one fixed expression (``s / scale / n``). Output: one
+    ``(label, idx, mean)`` row per group × dimension (bounded by
+    groups × dim, never by data)."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"label": pd.Series([], dtype="int64"),
+                 "idx": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        m = _batch_matrix(batch, vec_col)
+        q = np.floor(m * scale + 0.5).astype(np.int64)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        dim = m.shape[1] if len(m) else 0
+        df = pd.DataFrame({"label": labels})
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k = len(uniq)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(uniq, dim),
+                "idx": np.tile(np.arange(1, dim + 1, dtype=np.int64), k),
+                "s": sums.reshape(-1),
+                "n": np.repeat(counts, dim),
+            }
+        )
+
+    partials = ds.select_columns([label_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    totals = grouped_sums(partials, ["label", "idx"], ["s", "n"])
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["label", "idx"]].copy()
+        out["mean"] = (
+            g["s"].to_numpy(dtype="float64") / scale / g["n"].to_numpy(dtype="float64")
+        )
+        return out
+
+    return totals.map_batches(finish, batch_format="pandas")
