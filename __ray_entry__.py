@@ -551,6 +551,19 @@ def _q_token_budget_head(sf_dir: str):
     return token_budget_head(docs, "doc_id", "nw", budget=15000)
 
 
+def _q_term_postings(sf_dir: str):
+    """Inverted index over documents: distinct (term, doc_id)
+    postings with exact per-term document frequency, min_df=3."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import term_postings
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return term_postings(docs, min_df=3)
+
+
 def _q_lang_word_count_quantiles(sf_dir: str):
     """Per-language exact p50/p90 of per-doc word counts via grouped
     counting histograms (one residue shuffle, no per-key dispatch)."""
@@ -1355,6 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_word_count_quantiles": _q_lang_word_count_quantiles,
         "lang_rebalance": _q_lang_rebalance,
         "boilerplate_overlap": _q_boilerplate_overlap,
+        "term_postings": _q_term_postings,
         "token_budget_head": _q_token_budget_head,
         "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
@@ -1431,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_word_count_quantiles": sm.LANG_WORD_COUNT_QUANTILES_SQL,
         "lang_rebalance": sm.LANG_REBALANCE_SQL,
         "boilerplate_overlap": sm.BOILERPLATE_OVERLAP_SQL,
+        "term_postings": sm.TERM_POSTINGS_SQL,
         "token_budget_head": sm.TOKEN_BUDGET_HEAD_SQL,
         "salient_terms": sm.SALIENT_TERMS_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,

@@ -529,6 +529,21 @@ SELECT doc_id, lang,
 FROM documents
 """
 
+# Inverted index: distinct (term, doc) postings + exact per-term
+# document frequency, min_df = 3. Same split(' ') tokenization as
+# every mirrored text op.
+TERM_POSTINGS_SQL = r"""
+WITH e AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
+  FROM documents
+), d AS (
+  SELECT term, doc_id,
+         CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+  FROM e
+)
+SELECT term, doc_id, df FROM d WHERE df >= 3
+"""
+
 # Per-label mean embedding, exact: components quantized to int64
 # (floor(v*1e6 + 0.5) — the engine's float convention) and summed as
 # integers, mean divided back out with the same two-step expression

@@ -547,3 +547,46 @@ def token_budget_head(
         return out.drop(columns=["__start"])
 
     return started.map_batches(head, batch_format="pandas")
+
+
+def term_postings(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> rd.Dataset:
+    """Inverted index: globally-distinct ``(term, doc)`` postings with
+    each term's document frequency attached — the build step for
+    keyword search / decontamination lookups over the corpus.
+
+    Per-batch Arrow explode + LOCAL distinct collapses every batch to
+    its unique (term, doc) pairs before anything moves; one
+    hash-partition by term then finishes the global distinct AND the
+    df count in the same vectorized pass (the partition holds every
+    occurrence of its terms, so df is exact partition-locally — no
+    second shuffle, no join). ``min_df`` prunes hapax noise at the
+    source. Output: ``(term, id_col, df)``, naturally partitioned by
+    term — ready to write partitioned-by-term-hash for point
+    lookups."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+    from vlm_ocr_doc_reader_ray.stages.scrub import arrow_word_ngrams
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        grams, doc_idx = arrow_word_ngrams(batch.column(text_col), 1)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[doc_idx]
+        df = pd.DataFrame({"term": grams.to_pandas(), id_col: ids})
+        return df.drop_duplicates(ignore_index=True)
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(ignore_index=True)
+        part["df"] = part.groupby("term", sort=False)["term"].transform("size").astype("int64")
+        return part[part["df"] >= min_df].reset_index(drop=True)
+
+    return partitioned_apply(pairs, ["term"], finish)
