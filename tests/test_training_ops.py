@@ -1048,3 +1048,38 @@ def test_token_budget_head_exact_and_prefix_of_packing(ray_session):
     ).to_pandas()
     first_seq_docs = set(packed[packed.seq_id == 0].doc_id)
     assert first_seq_docs == set(head.doc_id)
+
+
+def test_approx_quantiles_error_bound_and_determinism(ray_session):
+    """Approximate quantiles must land within one bin width of the
+    exact quantile (any distribution incl. heavy skew), be identical
+    across block layouts, and collapse exactly for constant columns."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import approx_quantiles
+
+    rng = np.random.RandomState(5)
+    vals = np.concatenate([
+        rng.lognormal(0, 2, size=20000),          # heavy right skew
+        np.full(5000, 3.0),                       # a huge spike
+    ])
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+
+    def run(nblocks):
+        return approx_quantiles(
+            rd.from_pandas(pd.DataFrame({"x": vals})).repartition(nblocks),
+            "x", qs, bins=4096,
+        )
+
+    a, b = run(3), run(17)
+    pd.testing.assert_frame_equal(a, b)
+    width = (vals.max() - vals.min()) / 4096
+    for q, got, err in a.itertuples(index=False):
+        exact = np.sort(vals)[max(int(np.ceil(q * len(vals))), 1) - 1]
+        assert err == width
+        assert abs(got - exact) <= width + 1e-12, (q, got, exact)
+
+    const = approx_quantiles(
+        rd.from_pandas(pd.DataFrame({"x": np.full(100, 7.5)})), "x", qs
+    )
+    assert (const["value"] == 7.5).all() and (const["err"] == 0).all()

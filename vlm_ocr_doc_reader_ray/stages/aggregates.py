@@ -228,6 +228,64 @@ def exact_quantiles(
     return pd.DataFrame({"q": [o[0] for o in out], "value": [o[1] for o in out]})
 
 
+def approx_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs: Sequence[float],
+    bins: int = 8192,
+) -> pd.DataFrame:
+    """Approximate quantiles of an UNBOUNDED-cardinality numeric
+    column — the companion to :func:`exact_quantiles`, whose counting
+    histogram requires bounded distinct values.
+
+    Two residue-bounded passes: exact global (min, max) via per-batch
+    combiners, then an exact count per fixed-width bin (per-batch
+    ``np.bincount`` residues, pre-aggregated sum — at most ``bins``
+    rows ever reach the driver). The returned value is the lower edge
+    of the bin holding the q-th element, so the value error is
+    bounded by ONE bin width ``(max-min)/bins`` regardless of data
+    size or skew, and the result is fully deterministic (no sampling,
+    unlike t-digest/GK sketches). Returns a small (q, value, err)
+    pandas DataFrame, ``err`` = the bin width."""
+    import math
+
+    import numpy as np
+
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    mm = ds.aggregate(_Min(col, alias_name="lo"), _Max(col, alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if hi <= lo:
+        return pd.DataFrame({"q": list(qs), "value": [lo] * len(qs),
+                             "err": [0.0] * len(qs)})
+    width = (hi - lo) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip(((v - lo) / (hi - lo) * bins).astype(np.int64), 0, bins - 1)
+        c = np.bincount(idx, minlength=bins)
+        nz = np.nonzero(c)[0]
+        return pa.table({"b": pa.array(nz, type=pa.int64()),
+                         "c": pa.array(c[nz], type=pa.int64())})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("b", ignore_index=True)
+    )
+    n = int(hist["c"].sum())
+    cum = hist["c"].cumsum()
+    out = []
+    for q in qs:
+        target = max(math.ceil(q * n), 1)
+        i = int((cum >= target).idxmax())
+        out.append((q, lo + hist["b"].iloc[i] * width, width))
+    return pd.DataFrame(out, columns=["q", "value", "err"])
+
+
 def grouped_exact_quantiles(
     ds: rd.Dataset,
     group_cols: str | Sequence[str],
