@@ -551,6 +551,20 @@ def _q_token_budget_head(sf_dir: str):
     return token_budget_head(docs, "doc_id", "nw", budget=15000)
 
 
+def _q_chars_quantiles_approx(sf_dir: str):
+    """Histogram-sketch quantiles of per-doc char counts (1024 fixed
+    bins between the exact global min/max) — deterministic, so even
+    the approximation is SQL-mirrorable bit-for-bit."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import approx_quantiles
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+    return approx_quantiles(docs, "n_chars", [0.25, 0.5, 0.9, 0.99], bins=1024)
+
+
 def _q_term_postings(sf_dir: str):
     """Inverted index over documents: distinct (term, doc_id)
     postings with exact per-term document frequency, min_df=3."""
@@ -1369,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_rebalance": _q_lang_rebalance,
         "boilerplate_overlap": _q_boilerplate_overlap,
         "term_postings": _q_term_postings,
+        "chars_quantiles_approx": _q_chars_quantiles_approx,
         "token_budget_head": _q_token_budget_head,
         "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
@@ -1446,6 +1461,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_rebalance": sm.LANG_REBALANCE_SQL,
         "boilerplate_overlap": sm.BOILERPLATE_OVERLAP_SQL,
         "term_postings": sm.TERM_POSTINGS_SQL,
+        "chars_quantiles_approx": sm.CHARS_QUANTILES_APPROX_SQL,
         "token_budget_head": sm.TOKEN_BUDGET_HEAD_SQL,
         "salient_terms": sm.SALIENT_TERMS_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,

@@ -529,6 +529,38 @@ SELECT doc_id, lang,
 FROM documents
 """
 
+# Histogram-sketch quantiles over n_chars, 1024 bins: deterministic,
+# so the mirror recomputes the identical double arithmetic
+# ((x-lo)/(hi-lo)*bins truncated, value = lo + bin*width). CAST of
+# DOUBLE to BIGINT rounds in DuckDB — floor() first, which equals the
+# engine's trunc since x >= lo.
+CHARS_QUANTILES_APPROX_SQL = r"""
+WITH v AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+), m AS (
+  SELECT min(x) AS lo, max(x) AS hi FROM v
+), b AS (
+  SELECT least(greatest(CAST(floor((x - lo) / (hi - lo) * 1024) AS BIGINT),
+               0), 1023) AS bin
+  FROM v, m
+), h AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM h
+), cum AS (
+  SELECT bin, sum(c) OVER (ORDER BY bin) AS cs FROM h
+), qs AS (
+  SELECT unnest([0.25, 0.5, 0.9, 0.99]::DOUBLE[]) AS q
+), sel AS (
+  SELECT q, min(bin) AS bin
+  FROM qs JOIN cum ON cum.cs >= greatest(ceil(q * (SELECT n FROM tot)), 1)
+  GROUP BY q
+)
+SELECT q, lo + bin * ((hi - lo) / 1024) AS value,
+       (hi - lo) / 1024 AS err
+FROM sel, m
+"""
+
 # Inverted index: distinct (term, doc) postings + exact per-term
 # document frequency, min_df = 3. Same split(' ') tokenization as
 # every mirrored text op.
