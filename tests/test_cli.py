@@ -138,3 +138,43 @@ def test_cli_full_subprocess(ray_session, sf_small):
     assert len(ex) == 500
     assert set(heads.columns) == {"url", "level", "title", "page"}
     assert (states["page_num"] == 1).all()  # --pages grammar applied
+
+
+def test_cli_shards_subprocess(ray_session, sf_small):
+    """`shards` writes balanced md5-order training shards; a second
+    invocation skips every finished shard and leaves bytes unchanged."""
+    import hashlib
+    import pathlib
+    import shutil
+    import subprocess
+    import sys
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import corpus_parquet
+
+    corpus = corpus_parquet(sf_small, reps=1)
+    out = "/tmp/cli_shards_test"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def run():
+        r = subprocess.run(
+            [sys.executable, "-m", "vlm_ocr_doc_reader_ray.cli",
+             "--num-cpus", "2", "shards", corpus, "-o", out,
+             "--docs-per-shard", "150"],
+            cwd="/root/repo", capture_output=True, text=True, timeout=240,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    out1 = run()
+    assert "wrote 4 shards, skipped 0" in out1
+    digests = {
+        p.name: hashlib.md5(p.read_bytes()).hexdigest()
+        for p in sorted(pathlib.Path(out).iterdir())
+    }
+    assert len(digests) == 4
+    out2 = run()
+    assert "wrote 0 shards, skipped 4" in out2
+    assert digests == {
+        p.name: hashlib.md5(p.read_bytes()).hexdigest()
+        for p in sorted(pathlib.Path(out).iterdir())
+    }

@@ -123,6 +123,18 @@ def main(argv: List[str] | None = None) -> int:
     p_res.add_argument("--pages", default=None)
     p_res.add_argument("--chunk-size", type=int, default=5)
 
+    p_sh = sub.add_parser(
+        "shards",
+        help="corpus → balanced training shards in deterministic "
+        "md5-shuffle order (byte-identical re-runs, skip-finished resume)",
+    )
+    p_sh.add_argument("corpus")
+    p_sh.add_argument("-o", "--output", required=True)
+    p_sh.add_argument("--docs-per-shard", type=int, default=10000)
+    p_sh.add_argument("--key", default="url",
+                      help="shuffle key column (default: url)")
+    p_sh.add_argument("--seed", default="shuffle")
+
     args = ap.parse_args(argv)
     from vlm_ocr_doc_reader_ray.runtime import register_for_workers
 
@@ -204,6 +216,23 @@ def main(argv: List[str] | None = None) -> int:
             print(
                 f"resolved {n_pending} pending entities; "
                 f"wrote merged registry to {args.output}"
+            )
+        elif args.cmd == "shards":
+            from vlm_ocr_doc_reader_ray.pipelines.shards import (
+                write_training_shards,
+            )
+
+            manifest = write_training_shards(
+                rd.read_parquet(args.corpus),
+                args.key,
+                args.output,
+                args.docs_per_shard,
+                seed=args.seed,
+            )
+            n_new = int((~manifest["skipped"]).sum())
+            print(
+                f"wrote {n_new} shards, skipped {len(manifest) - n_new} "
+                f"finished, {int(manifest['rows'].sum())} rows to {args.output}"
             )
         elif args.cmd == "run":
             from vlm_ocr_doc_reader_ray.pipelines.checkpoint import run_checkpointed
