@@ -67,3 +67,46 @@ def test_wide_rows_through_pipeline(ray_session):
     assert (out["parse_status"] == "ok").all()
     big = out[out["url"] == "https://big.example.com/0"].iloc[0]
     assert big["n_blocks_kept"] == 15_000
+
+
+def test_new_ops_empty_input_no_crash(ray_session):
+    """Ray groupby/aggregate on an EMPTY dataset loses schema (known
+    trap); every round-3 operator must degrade to an empty result,
+    never a KeyError/TypeError."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        approx_quantiles,
+        exact_quantiles,
+        grouped_exact_quantiles,
+    )
+    from vlm_ocr_doc_reader_ray.stages.relational import global_sorted_rank
+    from vlm_ocr_doc_reader_ray.stages.sketch import heavy_hitters
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        mixture_rebalance,
+        pack_sequences,
+        term_postings,
+        token_budget_head,
+    )
+
+    empty = rd.from_pandas(
+        pd.DataFrame({"k": pd.Series([], dtype="object"),
+                      "v": pd.Series([], dtype="int64"),
+                      "g": pd.Series([], dtype="object")})
+    )
+
+    def rows(out):
+        return len(out.to_pandas() if hasattr(out, "to_pandas") else out)
+
+    assert rows(exact_quantiles(empty, "v", [0.5])) == 0
+    assert rows(grouped_exact_quantiles(empty, "g", "v", [0.5])) == 0
+    assert rows(approx_quantiles(empty, "v", [0.5])) == 0
+    assert rows(global_sorted_rank(empty, "k")) == 0
+    assert rows(pack_sequences(empty, "k", "v", 64)) == 0
+    assert rows(token_budget_head(empty, "k", "v", 100)) == 0
+    assert rows(mixture_rebalance(empty, "k", "g", {"a": 2.0})) == 0
+    assert rows(heavy_hitters(empty.select_columns(["k"]), "k", 5)) == 0
+    assert rows(
+        term_postings(empty.rename_columns({"k": "text", "g": "doc_id"}), min_df=1)
+    ) == 0

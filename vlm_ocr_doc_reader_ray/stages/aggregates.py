@@ -215,8 +215,11 @@ def exact_quantiles(
         .groupby("v")
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()
-        .sort_values("v", ignore_index=True)
     )
+    if hist.empty:  # Ray groupby on an empty dataset loses the schema
+        return pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                             "value": pd.Series([], dtype="int64")})
+    hist = hist.sort_values("v", ignore_index=True)
     n = int(hist["c"].sum())
     cum = hist["c"].cumsum()
     out = []
@@ -255,6 +258,10 @@ def approx_quantiles(
     from ray.data.aggregate import Min as _Min
 
     mm = ds.aggregate(_Min(col, alias_name="lo"), _Max(col, alias_name="hi"))
+    if not mm or mm.get("lo") is None:  # empty input → empty result
+        return pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                             "value": pd.Series([], dtype="float64"),
+                             "err": pd.Series([], dtype="float64")})
     lo, hi = float(mm["lo"]), float(mm["hi"])
     if hi <= lo:
         return pd.DataFrame({"q": list(qs), "value": [lo] * len(qs),

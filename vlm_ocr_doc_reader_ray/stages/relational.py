@@ -945,7 +945,15 @@ def global_ordered_prefix_sum(
         counts = grouped_sums(keyed, ["__bucket"], [], count_alias="__c")
     else:
         counts = grouped_sums(keyed, ["__bucket"], [val_col])
-    counts = counts.to_pandas().sort_values("__bucket", ignore_index=True)
+    counts = counts.to_pandas()
+    if counts.empty:  # empty input: emit the schema + out_col, 0 rows
+        def empty_scan(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop(columns=["__rk", "__bucket"])
+            df[out_col] = pd.Series([], dtype="int64")
+            return df
+
+        return keyed.map_batches(empty_scan, batch_format="pandas")
+    counts = counts.sort_values("__bucket", ignore_index=True)
     sums = counts["__c" if val_col is None else val_col]
     offsets = sums.cumsum().shift(fill_value=0)
     offset_map = dict(zip(counts["__bucket"], offsets.astype("int64")))

@@ -159,7 +159,8 @@ def cms_build(
     partials = ds.map_batches(partial, batch_format="pyarrow")
     merged = grouped_sums(partials, ["j", "slot"], ["n"]).to_pandas()
     dense = np.zeros((depth, width), dtype=np.int64)
-    dense[merged["j"].to_numpy(), merged["slot"].to_numpy()] = merged["n"].to_numpy()
+    if len(merged):  # empty input → all-zero sketch (schema is lost)
+        dense[merged["j"].to_numpy(), merged["slot"].to_numpy()] = merged["n"].to_numpy()
     return dense
 
 
