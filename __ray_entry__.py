@@ -551,6 +551,20 @@ def _q_token_budget_head(sf_dir: str):
     return token_budget_head(docs, "doc_id", "nw", budget=15000)
 
 
+def _q_curate(sf_dir: str):
+    """End-to-end curation: quality gate → exact dedup → mixture
+    rebalance → seq_len=512 packing, as ONE composed pipeline — gated
+    by one chained DuckDB CTE, not a rows-only check."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.pipelines.curation import curate
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return curate(docs, MIX_WEIGHTS, seq_len=512)
+
+
 def _q_chars_quantiles_approx(sf_dir: str):
     """Histogram-sketch quantiles of per-doc char counts (1024 fixed
     bins between the exact global min/max) — deterministic, so even
@@ -1384,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_overlap": _q_boilerplate_overlap,
         "term_postings": _q_term_postings,
         "chars_quantiles_approx": _q_chars_quantiles_approx,
+        "curate": _q_curate,
         "token_budget_head": _q_token_budget_head,
         "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
@@ -1462,6 +1477,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_overlap": sm.BOILERPLATE_OVERLAP_SQL,
         "term_postings": sm.TERM_POSTINGS_SQL,
         "chars_quantiles_approx": sm.CHARS_QUANTILES_APPROX_SQL,
+        "curate": sm.CURATE_SQL,
         "token_budget_head": sm.TOKEN_BUDGET_HEAD_SQL,
         "salient_terms": sm.SALIENT_TERMS_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,

@@ -231,6 +231,64 @@ FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """
 
+# End-to-end curation mirror: the quality gate, min-id exact dedup,
+# md5-threshold mixture rebalance and seq_len=512 packing CTEs chained
+# exactly as pipelines/curation.py composes the operators. Weights
+# must stay in lockstep with __ray_entry__.MIX_WEIGHTS.
+CURATE_SQL = (
+    "WITH qf AS (" + QUALITY_FILTER_SQL + """),
+keep AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+  WHERE qf.quality_pass
+),
+ded AS (
+  SELECT doc_id, text, lang FROM keep
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+w AS (
+  SELECT doc_id, text,
+         CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.5
+                        WHEN 'fr' THEN 1.25 WHEN 'es' THEN 2.0
+                        ELSE 1.0 END AS DOUBLE) AS w
+  FROM ded
+),
+r AS (
+  SELECT doc_id, text,
+         CAST(floor(w) AS BIGINT)
+         + CASE WHEN CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                     % 1000000
+                     < CAST(floor((w - floor(w)) * 1000000 + 0.5) AS BIGINT)
+                THEN 1 ELSE 0 END AS reps
+  FROM w
+),
+reb AS (
+  SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR) AS key,
+         len(string_split(text, ' ')) AS nw
+  FROM (SELECT doc_id, text, unnest(generate_series(0, reps - 1)) AS rep
+        FROM r WHERE reps > 0)
+),
+o AS (
+  SELECT key, nw,
+         CAST(COALESCE(SUM(nw) OVER (
+             ORDER BY md5('pack:' || key), key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS s
+  FROM reb
+),
+e AS (
+  SELECT key, nw, s,
+         unnest(generate_series(s // 512, (s + nw - 1) // 512)) AS seq_id
+  FROM o WHERE nw > 0
+)
+SELECT key, seq_id,
+       greatest(s, seq_id * 512) - seq_id * 512 AS off_in_seq,
+       greatest(s, seq_id * 512) - s AS off_in_doc,
+       least(s + nw, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS n_tokens
+FROM e
+"""
+)
+
 SIMILARITY_TOPK_SQL = r"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -18,6 +18,7 @@ def register_for_workers() -> None:
     import vlm_ocr_doc_reader_ray.cli  # noqa: F401
     import vlm_ocr_doc_reader_ray.pipelines.checkpoint  # noqa: F401
     import vlm_ocr_doc_reader_ray.pipelines.extraction  # noqa: F401
+    import vlm_ocr_doc_reader_ray.pipelines.curation  # noqa: F401
     import vlm_ocr_doc_reader_ray.pipelines.shards  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.aggregates  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.dedup  # noqa: F401
