@@ -196,6 +196,27 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     pack_sequences(counted, "url", "nw", seq_len=2048).count()
     queries["pack_sequences"] = round(time.time() - t0, 3)
 
+    # q9: end-to-end curation (quality gate → exact dedup → mixture
+    # rebalance → packing) over the corpus, consumed by count()
+    from vlm_ocr_doc_reader_ray.pipelines.curation import curate
+
+    def _as_docs(batch):
+        import pyarrow as pa
+
+        return pa.table(
+            {"doc_id": batch.column("url"),
+             "text": batch.column("text"),
+             "lang": batch.column("lang")}
+        )
+
+    t0 = time.time()
+    docs9 = _corpus(["url", "text", "lang"]).map_batches(
+        _as_docs, batch_format="pyarrow"
+    )
+    curate(docs9, {"en": 0.5, "zh": 2.5, "fr": 1.25, "es": 2.0},
+           seq_len=2048).count()
+    queries["curate"] = round(time.time() - t0, 3)
+
     n_docs = rd.read_parquet(corpus_path).count()
     headline = queries["extract_full_write"]
     result = {

@@ -48,7 +48,12 @@ def curate(
         kept = batch.filter(batch.column("quality_pass"))
         return kept.select(["doc_id", "text", "lang"])
 
-    gated = flagged.map_batches(keep, batch_format="pyarrow")
+    # pipeline breaker: the gate's analyzer is the expensive stage and
+    # the dedup exchange downstream would re-execute it per shuffle
+    # pass (Ray sort-groupby samples + shuffles the lineage). Pinning
+    # the gated stream once = the analyzer runs exactly once; at scale
+    # this is the natural point a real pipeline would persist anyway.
+    gated = flagged.map_batches(keep, batch_format="pyarrow").materialize()
     deduped = dedup_exact(gated, text_col="text", id_col="doc_id")
     replicated = mixture_rebalance(
         deduped, "doc_id", "lang", weights, seed=mix_seed

@@ -939,7 +939,12 @@ def global_ordered_prefix_sum(
         batch["__bucket"] = [int(h[:2], 16) for h in batch["__rk"]]
         return batch
 
-    keyed = ds.map_batches(add_rk, batch_format="pandas")
+    # TWO consumers read `keyed` (the residue pass and the scan), so
+    # pin it in the object store — otherwise the whole upstream
+    # lineage (possibly an extraction/analysis pipeline) re-executes
+    # per consumer. Bounded: input + md5 hex + bucket int per row;
+    # blocks spill under pressure.
+    keyed = ds.map_batches(add_rk, batch_format="pandas").materialize()
 
     if val_col is None:
         counts = grouped_sums(keyed, ["__bucket"], [], count_alias="__c")
