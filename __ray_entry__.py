@@ -442,22 +442,19 @@ def _q_hash_sample(sf_dir: str):
 def _q_word_count_quantiles(sf_dir: str):
     """Exact p25/p50/p90/p99 of per-doc word counts via the
     distributed counting histogram (no global sort)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    import functools
 
     import ray.data as rd
 
     from vlm_ocr_doc_reader_ray.stages.aggregates import exact_quantiles
-
-    def nw(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch.column("text"), " ")
-        return pa.table(
-            {"nw": pc.cast(pc.list_value_length(words), pa.int64())}
-        )
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import word_count_table
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["text"]
-    ).map_batches(nw, batch_format="pyarrow")
+    ).map_batches(
+        functools.partial(word_count_table, keep_cols=[]),
+        batch_format="pyarrow",
+    )
     return exact_quantiles(docs, "nw", [0.25, 0.5, 0.9, 0.99])
 
 
@@ -509,7 +506,8 @@ def _q_boilerplate_overlap(sf_dir: str):
     return boilerplate_overlap(docs, min_count=40)
 
 
-MIX_WEIGHTS = {"en": 0.5, "zh": 2.5, "fr": 1.25, "es": 2.0}
+# canonical weights live next to their SQL mirror — one source of truth
+from vlm_ocr_doc_reader_ray.corpus.sqlmirror import MIX_WEIGHTS
 
 
 def _q_lang_rebalance(sf_dir: str):
@@ -530,24 +528,21 @@ def _q_token_budget_head(sf_dir: str):
     """First 15k tokens of the md5-shuffled corpus: distributed prefix
     sum + filter; the straddling doc is truncated, kept token counts
     sum to min(budget, corpus)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    import functools
 
     import ray.data as rd
 
-    from vlm_ocr_doc_reader_ray.stages.text_analysis import token_budget_head
-
-    def nw(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch.column("text"), " ")
-        return pa.table(
-            {"doc_id": batch.column("doc_id"),
-             "lang": batch.column("lang"),
-             "nw": pc.cast(pc.list_value_length(words), pa.int64())}
-        )
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        token_budget_head,
+        word_count_table,
+    )
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
-    ).map_batches(nw, batch_format="pyarrow")
+    ).map_batches(
+        functools.partial(word_count_table, keep_cols=["doc_id", "lang"]),
+        batch_format="pyarrow",
+    )
     return token_budget_head(docs, "doc_id", "nw", budget=15000)
 
 
@@ -595,25 +590,21 @@ def _q_term_postings(sf_dir: str):
 def _q_lang_word_count_quantiles(sf_dir: str):
     """Per-language exact p50/p90 of per-doc word counts via grouped
     counting histograms (one residue shuffle, no per-key dispatch)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    import functools
 
     import ray.data as rd
 
     from vlm_ocr_doc_reader_ray.stages.aggregates import (
         grouped_exact_quantiles,
     )
-
-    def nw(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch.column("text"), " ")
-        return pa.table(
-            {"lang": batch.column("lang"),
-             "nw": pc.cast(pc.list_value_length(words), pa.int64())}
-        )
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import word_count_table
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "text"]
-    ).map_batches(nw, batch_format="pyarrow")
+    ).map_batches(
+        functools.partial(word_count_table, keep_cols=["lang"]),
+        batch_format="pyarrow",
+    )
     return grouped_exact_quantiles(docs, "lang", "nw", [0.5, 0.9])
 
 
@@ -621,23 +612,21 @@ def _q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing at seq_len=512 over per-doc
     word counts, deterministic md5 training order (one row per
     doc×sequence overlap segment)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    import functools
 
     import ray.data as rd
 
-    from vlm_ocr_doc_reader_ray.stages.text_analysis import pack_sequences
-
-    def nw(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch.column("text"), " ")
-        return pa.table(
-            {"doc_id": batch.column("doc_id"),
-             "nw": pc.cast(pc.list_value_length(words), pa.int64())}
-        )
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        pack_sequences,
+        word_count_table,
+    )
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(nw, batch_format="pyarrow")
+    ).map_batches(
+        functools.partial(word_count_table, keep_cols=["doc_id"]),
+        batch_format="pyarrow",
+    )
     return pack_sequences(docs, "doc_id", "nw", seq_len=512)
 
 

@@ -179,25 +179,21 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     # prefix sum + vectorized segment explode), consumed by count()
     from vlm_ocr_doc_reader_ray.stages.text_analysis import pack_sequences
 
-    def _word_counts(batch):
-        import pyarrow as pa
-        import pyarrow.compute as pc
+    import functools
 
-        words = pc.split_pattern(batch.column("text"), " ")
-        return pa.table(
-            {"url": batch.column("url"),
-             "nw": pc.cast(pc.list_value_length(words), pa.int64())}
-        )
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import word_count_table
 
     t0 = time.time()
     counted = _corpus(["url", "text"]).map_batches(
-        _word_counts, batch_format="pyarrow"
+        functools.partial(word_count_table, keep_cols=["url"]),
+        batch_format="pyarrow",
     )
     pack_sequences(counted, "url", "nw", seq_len=2048).count()
     queries["pack_sequences"] = round(time.time() - t0, 3)
 
     # q9: end-to-end curation (quality gate → exact dedup → mixture
     # rebalance → packing) over the corpus, consumed by count()
+    from vlm_ocr_doc_reader_ray.corpus.sqlmirror import MIX_WEIGHTS
     from vlm_ocr_doc_reader_ray.pipelines.curation import curate
 
     def _as_docs(batch):
@@ -213,8 +209,7 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     docs9 = _corpus(["url", "text", "lang"]).map_batches(
         _as_docs, batch_format="pyarrow"
     )
-    curate(docs9, {"en": 0.5, "zh": 2.5, "fr": 1.25, "es": 2.0},
-           seq_len=2048).count()
+    curate(docs9, MIX_WEIGHTS, seq_len=2048).count()
     queries["curate"] = round(time.time() - t0, 3)
 
     n_docs = rd.read_parquet(corpus_path).count()

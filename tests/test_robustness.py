@@ -110,3 +110,11 @@ def test_new_ops_empty_input_no_crash(ray_session):
     assert rows(
         term_postings(empty.rename_columns({"k": "text", "g": "doc_id"}), min_df=1)
     ) == 0
+
+    import tempfile
+
+    from vlm_ocr_doc_reader_ray.pipelines.shards import write_training_shards
+
+    with tempfile.TemporaryDirectory() as d:
+        m = write_training_shards(empty, "k", d, 10)
+        assert len(m) == 0 and list(m.columns) == ["shard", "rows", "path", "skipped"]

@@ -1083,3 +1083,43 @@ def test_approx_quantiles_error_bound_and_determinism(ray_session):
         rd.from_pandas(pd.DataFrame({"x": np.full(100, 7.5)})), "x", qs
     )
     assert (const["value"] == 7.5).all() and (const["err"] == 0).all()
+
+
+def test_quantiles_ignore_nulls(ray_session):
+    """SQL quantile aggregates ignore NULLs; the histogram paths must
+    too (regression: NaN bin indexes used to land in bin 0 and skew
+    every quantile toward the minimum)."""
+    import duckdb
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        approx_quantiles,
+        exact_quantiles,
+        grouped_exact_quantiles,
+    )
+
+    df = pd.DataFrame({
+        "x": [None] * 90 + list(range(100, 110)),
+        "g": ["a"] * 50 + ["b"] * 50,
+    })
+    df["x"] = df["x"].astype("Int64")
+    ds = rd.from_pandas(df).repartition(4)
+
+    got = exact_quantiles(ds, "x", [0.5])
+    want = duckdb.sql(
+        "SELECT quantile_disc(x, 0.5) FROM df"
+    ).fetchone()[0]
+    assert int(got["value"].iloc[0]) == int(want)
+
+    ap = approx_quantiles(ds, "x", [0.5], bins=4096)
+    assert abs(float(ap["value"].iloc[0]) - float(want)) <= float(ap["err"].iloc[0]) + 1e-9
+
+    # contract: a group with NO non-null values is omitted (SQL emits
+    # a NULL-quantile row for it); groups with data must match exactly
+    g = grouped_exact_quantiles(ds, "g", "x", [0.5]).to_pandas()
+    gw = duckdb.sql(
+        "SELECT g, quantile_disc(x, 0.5) v FROM df GROUP BY g ORDER BY g"
+    ).df().dropna(subset=["v"])
+    got_by_g = g.sort_values("g", ignore_index=True)
+    assert list(got_by_g["g"]) == list(gw["g"])
+    assert list(got_by_g["value"].astype("int64")) == list(gw["v"].astype("int64"))

@@ -235,6 +235,20 @@ QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 # md5-threshold mixture rebalance and seq_len=512 packing CTEs chained
 # exactly as pipelines/curation.py composes the operators. Weights
 # must stay in lockstep with __ray_entry__.MIX_WEIGHTS.
+# Canonical mixture weights — the ONE place they live. The engine
+# (__ray_entry__.MIX_WEIGHTS, bench q9) and every SQL mirror below
+# derive from this dict, so a weight change cannot silently diverge.
+MIX_WEIGHTS = {"en": 0.5, "zh": 2.5, "fr": 1.25, "es": 2.0}
+
+
+def mix_weights_case_sql(weights: dict = MIX_WEIGHTS) -> str:
+    """``CAST(CASE lang ... END AS DOUBLE)`` for a weights dict."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(weights.items())
+    )
+    return f"CAST(CASE lang {cases} ELSE 1.0 END AS DOUBLE)"
+
+
 CURATE_SQL = (
     "WITH qf AS (" + QUALITY_FILTER_SQL + """),
 keep AS (
@@ -248,9 +262,7 @@ ded AS (
 ),
 w AS (
   SELECT doc_id, text,
-         CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.5
-                        WHEN 'fr' THEN 1.25 WHEN 'es' THEN 2.0
-                        ELSE 1.0 END AS DOUBLE) AS w
+         __MIX_CASE__ AS w
   FROM ded
 ),
 r AS (
@@ -685,9 +697,7 @@ FROM t LEFT JOIN per ON t.doc_id = per.doc_id
 LANG_REBALANCE_SQL = r"""
 WITH w AS (
   SELECT doc_id, lang,
-         CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.5
-                        WHEN 'fr' THEN 1.25 WHEN 'es' THEN 2.0
-                        ELSE 1.0 END AS DOUBLE) AS w
+         __MIX_CASE__ AS w
   FROM documents
 ), r AS (
   SELECT doc_id, lang,
@@ -1301,3 +1311,9 @@ SELECT o_orderkey, o_custkey,
            AS moving_cents
 FROM orders
 """
+
+
+CURATE_SQL = CURATE_SQL.replace("__MIX_CASE__", mix_weights_case_sql())
+LANG_REBALANCE_SQL = LANG_REBALANCE_SQL.replace(
+    "__MIX_CASE__", mix_weights_case_sql()
+)

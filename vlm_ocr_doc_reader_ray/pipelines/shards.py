@@ -83,4 +83,11 @@ def write_training_shards(
         ).astype({"shard": "int64", "rows": "int64"})
 
     manifest = partitioned_apply(sharded, ["__shard"], write_part).to_pandas()
+    if manifest.empty:  # empty input: schema-stable empty manifest
+        return pd.DataFrame(
+            {"shard": pd.Series([], dtype="int64"),
+             "rows": pd.Series([], dtype="int64"),
+             "path": pd.Series([], dtype="object"),
+             "skipped": pd.Series([], dtype="bool")}
+        )
     return manifest.sort_values("shard", ignore_index=True)

@@ -204,7 +204,8 @@ def exact_quantiles(
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        vc = pc.value_counts(batch.column(col))
+        # SQL quantile functions ignore NULLs — so do we
+        vc = pc.value_counts(pc.drop_null(batch.column(col)))
         return pa.table(
             {"v": vc.field("values"),
              "c": pc.cast(vc.field("counts"), pa.int64())}
@@ -270,6 +271,7 @@ def approx_quantiles(
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]  # SQL quantiles ignore NULLs — so do we
         idx = np.clip(((v - lo) / (hi - lo) * bins).astype(np.int64), 0, bins - 1)
         c = np.bincount(idx, minlength=bins)
         nz = np.nonzero(c)[0]
@@ -307,12 +309,25 @@ def grouped_exact_quantiles(
     hash partition reads its groups' quantiles off cumulative sums
     with ONE vectorized pandas pass (no per-key dispatch). Same
     ``quantile_disc`` index rule (1-based ``max(ceil(q*n), 1)``).
-    Contract: distinct (group, value) pairs bound the shuffle, not
-    the data. Output: one ``(group…, q, value)`` row per group × q."""
+    NULL values are ignored (the SQL aggregate convention); a group
+    whose values are ALL null is omitted entirely (SQL would emit a
+    NULL-quantile row for it — pinned by test). Contract: distinct
+    (group, value) pairs bound the shuffle, not the data. Output: one
+    ``(group…, q, value)`` row per group × q."""
     import numpy as np
 
     key_list = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    hist = value_counts(ds.select_columns(key_list + [col]), key_list + [col], alias="__c")
+
+    def drop_null_vals(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # SQL quantile aggregates ignore NULL values (not NULL groups)
+        return batch.filter(pc.is_valid(batch.column(col)))
+
+    cleaned = ds.select_columns(key_list + [col]).map_batches(
+        drop_null_vals, batch_format="pyarrow"
+    )
+    hist = value_counts(cleaned, key_list + [col], alias="__c")
 
     def qpart(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(key_list + [col], ignore_index=True)

@@ -528,7 +528,6 @@ def grouped_centroids(
         q = np.floor(m * scale + 0.5).astype(np.int64)
         labels = batch.column(label_col).to_numpy(zero_copy_only=False)
         dim = m.shape[1] if len(m) else 0
-        df = pd.DataFrame({"label": labels})
         uniq, inv = np.unique(labels, return_inverse=True)
         sums = np.zeros((len(uniq), dim), dtype=np.int64)
         np.add.at(sums, inv, q)

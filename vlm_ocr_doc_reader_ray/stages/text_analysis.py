@@ -590,3 +590,17 @@ def term_postings(
         return part[part["df"] >= min_df].reset_index(drop=True)
 
     return partitioned_apply(pairs, ["term"], finish)
+
+
+def word_count_table(batch: pa.Table, keep_cols, text_col: str = "text",
+                     out_col: str = "nw") -> pa.Table:
+    """The engine-wide word-count projection — ``split(' ')`` length
+    as int64, matching DuckDB ``len(string_split(text, ' '))``
+    bit-for-bit. ONE definition so every consumer (quantiles, packing,
+    token budget, bench) tokenizes identically to the SQL mirrors."""
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(batch.column(text_col), " ")
+    cols = {c: batch.column(c) for c in keep_cols}
+    cols[out_col] = pc.cast(pc.list_value_length(words), pa.int64())
+    return pa.table(cols)
