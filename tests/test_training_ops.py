@@ -1123,3 +1123,83 @@ def test_quantiles_ignore_nulls(ray_session):
     got_by_g = g.sort_values("g", ignore_index=True)
     assert list(got_by_g["g"]) == list(gw["g"])
     assert list(got_by_g["value"].astype("int64")) == list(gw["v"].astype("int64"))
+
+
+def _naive_bpe(freqs, num_merges):
+    """Textbook Sennrich Algorithm 1: recount all pairs each round."""
+    from collections import Counter
+
+    from vlm_ocr_doc_reader_ray.stages.bpe import END
+
+    vocab = {}
+    for w, n in zip(freqs["word"], freqs["n"]):
+        key = tuple(w) + (END,)
+        vocab[key] = vocab.get(key, 0) + int(n)
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for sym, n in vocab.items():
+            for p in zip(sym, sym[1:]):
+                pairs[p] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = {}
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1]); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_training_matches_naive_reference(ray_session):
+    """Incremental pair bookkeeping must learn the EXACT merge list
+    the textbook recount-everything algorithm learns, and the
+    distributed word-count pass must be partitioning-invariant."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.bpe import (
+        bpe_encode,
+        bpe_segment,
+        train_bpe,
+        train_bpe_from_frequencies,
+        word_frequencies,
+    )
+
+    rng = np.random.RandomState(13)
+    words = ["low", "lower", "lowest", "new", "newer", "wide", "wider",
+             "widest", "news", "newt"]
+    docs = pd.DataFrame({
+        "doc_id": range(120),
+        "text": [" ".join(rng.choice(words, size=rng.randint(3, 12)))
+                 for _ in range(120)],
+    })
+
+    freqs_a = word_frequencies(rd.from_pandas(docs).repartition(7))
+    freqs_b = word_frequencies(rd.from_pandas(docs))
+    pd.testing.assert_frame_equal(
+        freqs_a.sort_values("word", ignore_index=True),
+        freqs_b.sort_values("word", ignore_index=True),
+    )
+
+    got = train_bpe_from_frequencies(freqs_a, 30)
+    want = _naive_bpe(freqs_a, 30)
+    assert got == want
+
+    merges = train_bpe(rd.from_pandas(docs).repartition(5), 30)
+    assert merges == want
+
+    # encoding: every learned merge applied greedily by rank; token
+    # counts via the actor stage equal a sequential re-encode
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    enc = bpe_encode(rd.from_pandas(docs), merges).to_pandas()
+    enc = enc.sort_values("doc_id", ignore_index=True)
+    for _, row in docs.head(20).iterrows():
+        n = sum(len(bpe_segment(w, ranks)) for w in row.text.split(" ") if w)
+        assert int(enc.loc[enc.doc_id == row.doc_id, "bpe_len"].iloc[0]) == n

@@ -21,6 +21,7 @@ def register_for_workers() -> None:
     import vlm_ocr_doc_reader_ray.pipelines.curation  # noqa: F401
     import vlm_ocr_doc_reader_ray.pipelines.shards  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.aggregates  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.bpe  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.dedup  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.host_stats  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.multimodal  # noqa: F401
