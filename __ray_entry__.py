@@ -546,6 +546,23 @@ def _q_token_budget_head(sf_dir: str):
     return token_budget_head(docs, "doc_id", "nw", budget=15000)
 
 
+def _q_bpe_token_lengths(sf_dir: str):
+    """Train a 200-merge BPE tokenizer on the documents table
+    (distributed word-frequency pass + driver merge loop) and encode
+    the same corpus with it — per-doc token counts. Iterative merge
+    training is not SQL-expressible (rows-only gate); the merge
+    algorithm itself is pytest-pinned to the textbook reference."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.bpe import bpe_encode, train_bpe
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = train_bpe(docs, num_merges=200)
+    return bpe_encode(docs, merges)
+
+
 def _q_curate(sf_dir: str):
     """End-to-end curation: quality gate → exact dedup → mixture
     rebalance → seq_len=512 packing, as ONE composed pipeline — gated
@@ -1388,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_postings": _q_term_postings,
         "chars_quantiles_approx": _q_chars_quantiles_approx,
         "curate": _q_curate,
+        "bpe_token_lengths": _q_bpe_token_lengths,
         "token_budget_head": _q_token_budget_head,
         "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
