@@ -546,6 +546,40 @@ def _q_token_budget_head(sf_dir: str):
     return token_budget_head(docs, "doc_id", "nw", budget=15000)
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Versioned-corpus delta: v2 drops doc_id%11==5 and edits
+    doc_id%7==3; the diff classifies every key added/removed/changed/
+    unchanged from (id, sha256) residues — texts never shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import corpus_diff
+
+    old = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def v2(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % 11 != 5))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        edited = pc.if_else(
+            pa.array(ids % 7 == 3),
+            pc.binary_join_element_wise(t.column("text"), "v2", " "),
+            t.column("text"),
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": edited})
+
+    new = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(v2, batch_format="pyarrow")
+    return corpus_diff(old, new)
+
+
 def _q_bpe_token_lengths(sf_dir: str):
     """Train a 200-merge BPE tokenizer on the documents table
     (distributed word-frequency pass + driver merge loop) and encode
@@ -1406,6 +1440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_quantiles_approx": _q_chars_quantiles_approx,
         "curate": _q_curate,
         "bpe_token_lengths": _q_bpe_token_lengths,
+        "corpus_diff": _q_corpus_diff,
         "token_budget_head": _q_token_budget_head,
         "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
@@ -1485,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
         "term_postings": sm.TERM_POSTINGS_SQL,
         "chars_quantiles_approx": sm.CHARS_QUANTILES_APPROX_SQL,
         "curate": sm.CURATE_SQL,
+        "corpus_diff": sm.CORPUS_DIFF_SQL,
         "token_budget_head": sm.TOKEN_BUDGET_HEAD_SQL,
         "salient_terms": sm.SALIENT_TERMS_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,

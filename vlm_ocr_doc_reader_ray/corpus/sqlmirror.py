@@ -1317,3 +1317,24 @@ CURATE_SQL = CURATE_SQL.replace("__MIX_CASE__", mix_weights_case_sql())
 LANG_REBALANCE_SQL = LANG_REBALANCE_SQL.replace(
     "__MIX_CASE__", mix_weights_case_sql()
 )
+
+# Versioned-corpus diff: v2 drops doc_id%11==5 and appends ' v2' to
+# doc_id%7==3 texts; FULL OUTER JOIN of the (id, sha256) residues
+# classifies every key. Engine twin: relational.py::corpus_diff.
+CORPUS_DIFF_SQL = r"""
+WITH old AS (
+  SELECT doc_id, sha256(text) AS h FROM documents
+), new AS (
+  SELECT doc_id,
+         sha256(CASE WHEN doc_id % 7 = 3 THEN text || ' ' || 'v2'
+                     ELSE text END) AS h
+  FROM documents WHERE doc_id % 11 <> 5
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.h AS old_hash, n.h AS new_hash
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""

@@ -986,3 +986,63 @@ def global_ordered_prefix_sum(
     from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
 
     return partitioned_apply(keyed, ["__bucket"], scan_part)
+
+
+def corpus_diff(
+    old: rd.Dataset,
+    new: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Incremental-corpus diff: one row per key with status
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` plus both
+    content hashes — the delta a versioned 100-TB corpus pipeline
+    reprocesses instead of the whole corpus.
+
+    Both sides collapse to ``(id, sha256(text))`` residues in-map (the
+    texts themselves never shuffle), union with a side tag, and ONE
+    hash partition by id classifies every key with a vectorized pivot
+    (a key's two sides always co-locate). Assumes ``id_col`` is unique
+    per side (corpus primary key)."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+    from vlm_ocr_doc_reader_ray.stages.dedup import with_text_hash
+
+    def residue(side: str):
+        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[[id_col, "text_hash"]].copy()
+            out["__side"] = side
+            return out
+
+        return tag
+
+    o = with_text_hash(old.select_columns([id_col, text_col]), text_col).map_batches(
+        residue("old"), batch_format="pandas"
+    )
+    n = with_text_hash(new.select_columns([id_col, text_col]), text_col).map_batches(
+        residue("new"), batch_format="pandas"
+    )
+
+    def classify(part: pd.DataFrame) -> pd.DataFrame:
+        w = part.pivot_table(
+            index=id_col, columns="__side", values="text_hash",
+            aggfunc="first",
+        )
+        for c in ("old", "new"):
+            if c not in w.columns:
+                w[c] = None
+        w = w.reset_index()
+        has_o, has_n = w["old"].notna(), w["new"].notna()
+        status = pd.Series("unchanged", index=w.index, dtype="object")
+        status[has_n & ~has_o] = "added"
+        status[has_o & ~has_n] = "removed"
+        status[has_o & has_n & (w["old"] != w["new"])] = "changed"
+        return pd.DataFrame(
+            {id_col: w[id_col], "status": status,
+             # None (not NaN) for the absent side: SQL-null parity
+             "old_hash": w["old"].astype(object).where(has_o, None),
+             "new_hash": w["new"].astype(object).where(has_n, None)}
+        )
+
+    return partitioned_apply(o.union(n), [id_col], classify)
