@@ -231,10 +231,6 @@ FROM documents
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """
 
-# End-to-end curation mirror: the quality gate, min-id exact dedup,
-# md5-threshold mixture rebalance and seq_len=512 packing CTEs chained
-# exactly as pipelines/curation.py composes the operators. Weights
-# must stay in lockstep with __ray_entry__.MIX_WEIGHTS.
 # Canonical mixture weights — the ONE place they live. The engine
 # (__ray_entry__.MIX_WEIGHTS, bench q9) and every SQL mirror below
 # derive from this dict, so a weight change cannot silently diverge.
@@ -249,6 +245,10 @@ def mix_weights_case_sql(weights: dict = MIX_WEIGHTS) -> str:
     return f"CAST(CASE lang {cases} ELSE 1.0 END AS DOUBLE)"
 
 
+# End-to-end curation mirror: the quality gate, min-id exact dedup,
+# md5-threshold mixture rebalance and seq_len=512 packing CTEs chained
+# exactly as pipelines/curation.py composes the operators (weights
+# substitute from MIX_WEIGHTS immediately below the definition).
 CURATE_SQL = (
     "WITH qf AS (" + QUALITY_FILTER_SQL + """),
 keep AS (
@@ -300,6 +300,7 @@ SELECT key, seq_id,
 FROM e
 """
 )
+CURATE_SQL = CURATE_SQL.replace("__MIX_CASE__", mix_weights_case_sql())
 
 SIMILARITY_TOPK_SQL = r"""
 WITH q AS (
@@ -711,6 +712,9 @@ WITH w AS (
 SELECT doc_id, lang, unnest(generate_series(0, reps - 1)) AS rep
 FROM r WHERE reps > 0
 """
+LANG_REBALANCE_SQL = LANG_REBALANCE_SQL.replace(
+    "__MIX_CASE__", mix_weights_case_sql()
+)
 
 # First 15k tokens of the md5-shuffled corpus; straddling doc
 # truncated. Same total order + prefix-sum arithmetic as the engine's
@@ -1311,12 +1315,6 @@ SELECT o_orderkey, o_custkey,
            AS moving_cents
 FROM orders
 """
-
-
-CURATE_SQL = CURATE_SQL.replace("__MIX_CASE__", mix_weights_case_sql())
-LANG_REBALANCE_SQL = LANG_REBALANCE_SQL.replace(
-    "__MIX_CASE__", mix_weights_case_sql()
-)
 
 # Versioned-corpus diff: v2 drops doc_id%11==5 and appends ' v2' to
 # doc_id%7==3 texts; FULL OUTER JOIN of the (id, sha256) residues

@@ -23,6 +23,11 @@ import os
 import pandas as pd
 import ray.data as rd
 
+# manifest schema — ONE definition shared by the per-partition writer
+# and the empty-input fallback so the two can't drift
+_MANIFEST_COLS = {"shard": "int64", "rows": "int64",
+                  "path": "object", "skipped": "bool"}
+
 
 def write_training_shards(
     ds: rd.Dataset,
@@ -79,15 +84,12 @@ def write_training_shards(
             os.replace(tmp, path)
             rows.append((shard, len(sg), path, False))
         return pd.DataFrame(
-            rows, columns=["shard", "rows", "path", "skipped"]
+            rows, columns=list(_MANIFEST_COLS)
         ).astype({"shard": "int64", "rows": "int64"})
 
     manifest = partitioned_apply(sharded, ["__shard"], write_part).to_pandas()
     if manifest.empty:  # empty input: schema-stable empty manifest
         return pd.DataFrame(
-            {"shard": pd.Series([], dtype="int64"),
-             "rows": pd.Series([], dtype="int64"),
-             "path": pd.Series([], dtype="object"),
-             "skipped": pd.Series([], dtype="bool")}
+            {c: pd.Series([], dtype=dt) for c, dt in _MANIFEST_COLS.items()}
         )
     return manifest.sort_values("shard", ignore_index=True)

@@ -198,13 +198,16 @@ def bpe_encode(
     import ray
 
     ref = ray.put(list(merges))
+    # autoscaling pool sized to the CLUSTER (min 1 so other stages
+    # can't starve — the fixed-size-pool deadlock trap), not a magic 8
+    max_actors = max(2, int(ray.cluster_resources().get("CPU", 8)))
     return ds.select_columns([id_col, text_col]).map_batches(
         BpeEncoder,
         fn_constructor_kwargs=dict(
             merges=ref, id_col=id_col, text_col=text_col,
             emit_tokens=emit_tokens,
         ),
-        concurrency=(1, 8),
+        concurrency=(1, max_actors),
         batch_size=1024,
         batch_format="pyarrow",
     )
