@@ -1203,3 +1203,29 @@ def test_bpe_training_matches_naive_reference(ray_session):
     for _, row in docs.head(20).iterrows():
         n = sum(len(bpe_segment(w, ranks)) for w in row.text.split(" ") if w)
         assert int(enc.loc[enc.doc_id == row.doc_id, "bpe_len"].iloc[0]) == n
+
+
+def test_bpe_edge_cases(ray_session):
+    """Empty corpus trains zero merges; encoding with zero merges
+    falls back to characters + end marker; single-word corpora
+    terminate before num_merges."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.bpe import (
+        END,
+        bpe_encode,
+        bpe_segment,
+        train_bpe,
+    )
+
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                         "text": pd.Series([], dtype="object")}))
+    assert train_bpe(empty, 10) == []
+
+    assert bpe_segment("abc", {}) == ["a", "b", "c", END]
+
+    one = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["aa aa"]}))
+    merges = train_bpe(one, 50)  # exhausts pairs long before 50
+    assert 0 < len(merges) < 50
+    enc = bpe_encode(one, merges).to_pandas()
+    assert int(enc.bpe_len.iloc[0]) == 2  # each 'aa</w>' fully merged

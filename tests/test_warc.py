@@ -189,3 +189,17 @@ def test_jsonl_corpus_roundtrip_identity(ray_session, sf_small, tmp_path):
     assert (got.lang == want.lang).all()
     assert all(bytes(a) == bytes(b) for a, b in zip(got.html, want.html))
     assert (got.warc_ts == want.warc_ts).all()
+
+
+def test_jsonl_malformed_line_fails_loudly(ray_session, tmp_path):
+    """A syntactically broken JSON line must fail the read task, not
+    silently drop rows."""
+    import pytest
+    from ray.exceptions import RayTaskError
+
+    from vlm_ocr_doc_reader_ray.sources.jsonl import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"url": "http://a/1", "html": "x"}\n{not json}\n')
+    with pytest.raises((RayTaskError, Exception)):
+        read_jsonl([str(p)]).to_pandas()
