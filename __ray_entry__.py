@@ -546,6 +546,33 @@ def _q_token_budget_head(sf_dir: str):
     return token_budget_head(docs, "doc_id", "nw", budget=15000)
 
 
+def _q_word_freq_score(sf_dir: str):
+    """Per-doc mean corpus word frequency (the exact-verifiable
+    perplexity-filter analogue): distributed counts + one broadcast,
+    integer-exact up to the final division."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import word_freq_score
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return word_freq_score(docs)
+
+
+def _q_source_blocklist(sf_dir: str):
+    """C4-style banned-source gate: drop docs from blocked sources
+    (broadcast set + one is_in kernel per batch)."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import blocklist_filter
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+    return blocklist_filter(docs, "source", {"src3", "src7", "src13"})
+
+
 def _q_corpus_diff(sf_dir: str):
     """Versioned-corpus delta: v2 drops doc_id%11==5 and edits
     doc_id%7==3; the diff classifies every key added/removed/changed/
@@ -1441,6 +1468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,
         "bpe_token_lengths": _q_bpe_token_lengths,
         "corpus_diff": _q_corpus_diff,
+        "word_freq_score": _q_word_freq_score,
+        "source_blocklist": _q_source_blocklist,
         "token_budget_head": _q_token_budget_head,
         "salient_terms": _q_salient_terms,
         "quality_filter": _q_quality_filter,
@@ -1521,6 +1550,8 @@ def oracle_sql() -> dict[str, str]:
         "chars_quantiles_approx": sm.CHARS_QUANTILES_APPROX_SQL,
         "curate": sm.CURATE_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
+        "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
+        "source_blocklist": sm.SOURCE_BLOCKLIST_SQL,
         "token_budget_head": sm.TOKEN_BUDGET_HEAD_SQL,
         "salient_terms": sm.SALIENT_TERMS_SQL,
         "quality_filter": sm.QUALITY_FILTER_SQL,

@@ -1229,3 +1229,27 @@ def test_bpe_edge_cases(ray_session):
     assert 0 < len(merges) < 50
     enc = bpe_encode(one, merges).to_pandas()
     assert int(enc.bpe_len.iloc[0]) == 2  # each 'aa</w>' fully merged
+
+
+def test_word_freq_score_top_vocab_cap(ray_session):
+    """Capping the broadcast vocabulary zeroes out-of-table words but
+    never changes in-table contributions; uncapped equals pandas."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import word_freq_score
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a a a b", "a b rare1 rare2", "rare1 rare2 rare3 rare4"],
+    })
+    full = word_freq_score(rd.from_pandas(df).repartition(2)).to_pandas()
+    full = full.sort_values("doc_id", ignore_index=True)
+    # doc 0: a(4 corpus-wide)x3 + b(2) = 14 over 4 words; doc 1:
+    # a4+b2+rare1(2)+rare2(2)=10; doc 2: 2+2+1+1=6
+    assert list(full.freq_sum) == [14, 10, 6]
+    assert full.mean_freq.iloc[0] == 14 / 4
+
+    capped = word_freq_score(
+        rd.from_pandas(df), top_vocab=2  # keeps 'a'(4) and 'b'(2)
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert list(capped.freq_sum) == [14, 6, 0]

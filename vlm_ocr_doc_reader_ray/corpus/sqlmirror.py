@@ -1336,3 +1336,33 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
        o.h AS old_hash, n.h AS new_hash
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
+
+# Per-doc mean corpus word frequency (CCNet-style fluency proxy):
+# integer count sums per doc, one final DOUBLE division — both sides
+# evaluate CAST(freq_sum AS DOUBLE) / nw. Empty-string tokens from
+# split(' ') count like any token on BOTH sides.
+WORD_FREQ_SCORE_SQL = r"""
+WITH c AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+), t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS nw,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), per AS (
+  SELECT doc_id, any_value(nw) AS nw,
+         CAST(sum(c.n) AS BIGINT) AS freq_sum
+  FROM t JOIN c USING (w)
+  GROUP BY doc_id
+)
+SELECT doc_id, nw, freq_sum,
+       CAST(freq_sum AS DOUBLE) / nw AS mean_freq
+FROM per
+"""
+
+# Banned-source gate (set membership, broadcast on the engine side).
+SOURCE_BLOCKLIST_SQL = r"""
+SELECT doc_id, source, lang FROM documents
+WHERE source NOT IN ('src3', 'src7', 'src13')
+"""

@@ -437,3 +437,28 @@ def boilerplate_overlap(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def blocklist_filter(
+    ds: rd.Dataset,
+    col: str,
+    blocked,
+    invert: bool = False,
+) -> rd.Dataset:
+    """Domain/source blocklist gate (the C4-style banned-domains
+    step): drop rows whose ``col`` value is in ``blocked``. The list
+    ships ONCE via ``ray.put`` and membership is one Arrow ``is_in``
+    kernel per batch — no shuffle, no per-row Python.
+    ``invert=True`` keeps ONLY blocked rows (the audit stream)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    ref = ray.put(pa.array(sorted(set(blocked)), type=pa.string()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column(col), value_set=ray.get(ref))
+        return batch.filter(m if invert else pc.invert(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -604,3 +604,73 @@ def word_count_table(batch: pa.Table, keep_cols, text_col: str = "text",
     cols = {c: batch.column(c) for c in keep_cols}
     cols[out_col] = pc.cast(pc.list_value_length(words), pa.int64())
     return pa.table(cols)
+
+
+def word_freq_score(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int | None = None,
+) -> rd.Dataset:
+    """CCNet-shape fluency scoring with an exactly-verifiable
+    statistic: each document's mean corpus frequency of its words
+    (gibberish and boilerplate-free rare-token soup score LOW, fluent
+    common prose scores HIGH — the same ordering an LM-perplexity
+    filter produces, but integer-exact up to one final division, so
+    the DuckDB oracle can gate it bit-for-bit).
+
+    Pass 1: global word counts via per-batch Arrow ``value_counts``
+    residues + pre-aggregated sum (bounded by vocabulary).
+    ``top_vocab`` caps the broadcast table to the most frequent words
+    (ties → lexicographic) when the vocabulary itself is too big to
+    ship — out-of-table words then contribute frequency 0, which only
+    sharpens the filter. Pass 2 broadcasts the table once (``ray.put``)
+    and scores per batch with a vectorized map + ``bincount``.
+    Output: ``(id, nw, freq_sum, mean_freq)``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column(text_col), " "))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"w": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts = grouped_sums(
+        ds.select_columns([text_col]).map_batches(
+            count_partial, batch_format="pyarrow"
+        ),
+        ["w"], ["n"],
+    ).to_pandas()
+    if top_vocab is not None and len(counts) > top_vocab:
+        counts = counts.sort_values(
+            ["n", "w"], ascending=[False, True], ignore_index=True
+        ).head(top_vocab)
+    table_ref = ray.put(dict(zip(counts["w"], counts["n"].astype("int64"))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column(text_col), " ")
+        nw = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(words).to_pandas()
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), nw)
+        freqs = flat.map(ray.get(table_ref)).fillna(0).to_numpy(dtype="int64")
+        fsum = np.bincount(doc_idx, weights=freqs, minlength=len(batch)).astype(
+            np.int64
+        )
+        return pa.table(
+            {id_col: batch.column(id_col),
+             "nw": pa.array(nw),
+             "freq_sum": pa.array(fsum),
+             "mean_freq": pa.array(fsum.astype(np.float64) / nw)}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
