@@ -118,3 +118,10 @@ def test_new_ops_empty_input_no_crash(ray_session):
     with tempfile.TemporaryDirectory() as d:
         m = write_training_shards(empty, "k", d, 10)
         assert len(m) == 0 and list(m.columns) == ["shard", "rows", "path", "skipped"]
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import blocklist_filter
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import word_freq_score
+
+    wf = empty.rename_columns({"k": "text", "g": "doc_id"})
+    assert rows(word_freq_score(wf)) == 0
+    assert rows(blocklist_filter(empty, "g", {"x"})) == 0

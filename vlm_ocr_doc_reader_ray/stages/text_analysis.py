@@ -649,6 +649,9 @@ def word_freq_score(
         ),
         ["w"], ["n"],
     ).to_pandas()
+    if counts.empty:  # empty input loses the groupby schema
+        counts = pd.DataFrame({"w": pd.Series([], dtype="object"),
+                               "n": pd.Series([], dtype="int64")})
     if top_vocab is not None and len(counts) > top_vocab:
         counts = counts.sort_values(
             ["n", "w"], ascending=[False, True], ignore_index=True
