@@ -546,6 +546,37 @@ def _q_token_budget_head(sf_dir: str):
     return token_budget_head(docs, "doc_id", "nw", budget=15000)
 
 
+def _q_normalize_text(sf_dir: str):
+    """Canonical normalization (NFC + whitespace collapse + trim),
+    verified via sha256 of the normalized text."""
+    import hashlib
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import normalize_text
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.sha256(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text_norm").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "norm_len": pa.array(
+                 [len(t) for t in batch.column("text_norm").to_pylist()],
+                 type=pa.int64()),
+             "norm_hash": pa.array(h, type=pa.string())}
+        )
+
+    return normalize_text(docs).map_batches(hashed, batch_format="pyarrow")
+
+
 def _q_word_freq_score(sf_dir: str):
     """Per-doc mean corpus word frequency (the exact-verifiable
     perplexity-filter analogue): distributed counts + one broadcast,
@@ -1469,6 +1500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_lengths": _q_bpe_token_lengths,
         "corpus_diff": _q_corpus_diff,
         "word_freq_score": _q_word_freq_score,
+        "normalize_text": _q_normalize_text,
         "source_blocklist": _q_source_blocklist,
         "token_budget_head": _q_token_budget_head,
         "salient_terms": _q_salient_terms,
@@ -1551,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "curate": sm.CURATE_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
+        "normalize_text": sm.NORMALIZE_TEXT_SQL,
         "source_blocklist": sm.SOURCE_BLOCKLIST_SQL,
         "token_budget_head": sm.TOKEN_BUDGET_HEAD_SQL,
         "salient_terms": sm.SALIENT_TERMS_SQL,

@@ -223,3 +223,33 @@ def test_arrow_ngrams_equals_pandas_ngrams():
         ag, adi = arrow_word_ngrams(pa.array(texts), n)
         assert list(pg) == ag.to_pylist()
         assert list(pdi) == list(adi)
+
+
+def test_normalize_text_unicode_and_ws(ray_session):
+    """NFC + whitespace collapse must match DuckDB's
+    nfc_normalize/regexp_replace/trim on decomposed unicode, tabs,
+    newlines and edge whitespace."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import normalize_text
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["Café  x", "\t a \n b \r\n", "", "   ", "é́",
+                 "plain text"],
+    })
+    got = (
+        normalize_text(rd.from_pandas(df))
+        .to_pandas().sort_values("doc_id", ignore_index=True)["text_norm"]
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "SELECT trim(regexp_replace(nfc_normalize(text), "
+        "'[ ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11) || ']+',"
+        " ' ', 'g')) AS n FROM t ORDER BY doc_id"
+    ).df()["n"]
+    assert list(got) == list(want)
+    assert got[0] == "Café x"

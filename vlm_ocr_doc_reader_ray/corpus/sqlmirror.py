@@ -1366,3 +1366,16 @@ SOURCE_BLOCKLIST_SQL = r"""
 SELECT doc_id, source, lang FROM documents
 WHERE source NOT IN ('src3', 'src7', 'src13')
 """
+
+# Canonical normalization: NFC, ASCII-whitespace runs -> one space,
+# edges trimmed; sha256 of the result gates the whole transformation.
+NORMALIZE_TEXT_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(nfc_normalize(text),
+              '[ ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11) || ']+',
+              ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id, len(t) AS norm_len, sha256(t) AS norm_hash FROM n
+"""

@@ -462,3 +462,31 @@ def blocklist_filter(
         return batch.filter(m if invert else pc.invert(m))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_WS_RUN = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def normalize_text(
+    ds: rd.Dataset, text_col: str = "text", out_col: str = "text_norm"
+) -> rd.Dataset:
+    """Canonical text normalization before hashing/dedup: Unicode NFC,
+    ASCII-whitespace runs collapsed to one space, edges trimmed — the
+    cleanup pass that makes byte-level dedup see through encoding and
+    spacing variance. Deliberately NO case folding: Unicode lowercasing
+    differs between Python and utf8proc (İ, ß), which would break the
+    engine↔SQL lockstep; casefold explicitly downstream if wanted.
+    Mirrored verbatim by ``trim(regexp_replace(nfc_normalize(x),
+    '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))``. Pure per-batch projection."""
+    import unicodedata
+
+    import pyarrow as pa
+
+    def norm(batch: pa.Table) -> pa.Table:
+        out = [
+            _WS_RUN.sub(" ", unicodedata.normalize("NFC", t)).strip(" ")
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return batch.append_column(out_col, pa.array(out, type=pa.string()))
+
+    return ds.map_batches(norm, batch_format="pyarrow")
