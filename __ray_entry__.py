@@ -381,7 +381,13 @@ def _q_similarity_ivf_indexed(sf_dir: str):
 
     mat, ids = load_queries(sf_dir, n_queries=10)
     cents = fixed_codebook(mat.shape[1], 16)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # cache tag = path + CONTENT fingerprint (embeddings mtime/size +
+    # codebook shape): a regenerated corpus at the same path, or a
+    # changed codebook, rebuilds instead of serving a stale index.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|{cents.shape}"
+    tag = hashlib.md5(fp.encode()).hexdigest()[:10]
     index_dir = f"/tmp/vlm_ocr_ray_ivf_index/{tag}"
     if not os.path.isdir(index_dir) or not os.listdir(index_dir):
         emb = rd.read_parquet(
@@ -639,20 +645,22 @@ def _q_corpus_diff(sf_dir: str):
 
 
 def _q_bpe_token_lengths(sf_dir: str):
-    """Train a 200-merge BPE tokenizer on the documents table
-    (distributed word-frequency pass + driver merge loop) and encode
-    the same corpus with it — per-doc token counts. Iterative merge
-    training is not SQL-expressible (rows-only gate); the merge
-    algorithm itself is pytest-pinned to the textbook reference."""
+    """Distributed BPE ENCODE of the corpus with the fixed tokenizer
+    artifact (``stages.bpe.fixed_merges`` — the BPE analogue of the
+    fixed IVF codebook): per-doc token counts, SQL-gated by a
+    recursive-CTE mirror of the greedy lowest-rank merge
+    (``sqlmirror.BPE_TOKEN_LENGTHS_SQL``). Corpus-trained merges stay
+    covered separately: training is a pure function of the data and
+    is pytest-pinned against a textbook Sennrich recount
+    (tests/test_training_ops.py)."""
     import ray.data as rd
 
-    from vlm_ocr_doc_reader_ray.stages.bpe import bpe_encode, train_bpe
+    from vlm_ocr_doc_reader_ray.stages.bpe import bpe_encode, fixed_merges
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    merges = train_bpe(docs, num_merges=200)
-    return bpe_encode(docs, merges)
+    return bpe_encode(docs, fixed_merges())
 
 
 def _q_curate(sf_dir: str):
@@ -1581,6 +1589,7 @@ def oracle_sql() -> dict[str, str]:
         "term_postings": sm.TERM_POSTINGS_SQL,
         "chars_quantiles_approx": sm.CHARS_QUANTILES_APPROX_SQL,
         "curate": sm.CURATE_SQL,
+        "bpe_token_lengths": sm.BPE_TOKEN_LENGTHS_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

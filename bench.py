@@ -81,6 +81,12 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     # GRAFT_BENCH_OUT=/tmp/... away.
     out_dir = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/vlm_ocr_ray_bench_out")
     shutil.rmtree(out_dir, ignore_errors=True)
+    # curate()'s disk-persist checkpoint spills here too (same tmpfs
+    # rationale as the sink); fresh per run
+    spill_dir = os.environ.setdefault(
+        "GRAFT_SPILL_DIR", os.path.join(out_dir, "spill")
+    )
+    shutil.rmtree(spill_dir, ignore_errors=True)
 
     # untimed warmup: one full pass of the headline pipeline. Worker
     # process spawn + module import + allocator warm-up dominate the

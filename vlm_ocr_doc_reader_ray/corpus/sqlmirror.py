@@ -1379,3 +1379,73 @@ WITH n AS (
 )
 SELECT doc_id, len(t) AS norm_len, sha256(t) AS norm_hash FROM n
 """
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def bpe_token_lengths_sql() -> str:
+    """Exact mirror of ``bpe_encode(docs, fixed_merges())``.
+
+    The merge table is the FIXED tokenizer artifact
+    (``stages.bpe.fixed_merges`` — both sides read the same Python
+    constant, lockstep by construction). Encode semantics mirror
+    ``bpe_segment`` exactly: symbols = chars + '</w>', then repeatedly
+    merge the single LOWEST-RANK adjacent pair, leftmost occurrence
+    first (a recursive CTE splicing one occurrence per step — NOT the
+    Sennrich all-occurrences replace, which can diverge from greedy
+    lowest-rank on adversarial merge lists). Distinct words encode
+    once; per-doc lengths re-expand by word multiplicity."""
+    from vlm_ocr_doc_reader_ray.stages.bpe import fixed_merges
+
+    vals = ", ".join(
+        f"({_sql_quote(f' {l} {r} ')}, {_sql_quote(f' {l}{r} ')}, {i})"
+        for i, (l, r) in enumerate(fixed_merges())
+    )
+    return f"""
+WITH RECURSIVE
+bpe_merges(pat, rep, rank) AS (VALUES {vals}),
+doc_words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+words AS (SELECT DISTINCT w FROM doc_words),
+init AS (
+  SELECT w,
+         ' ' || array_to_string(
+             list_append(regexp_split_to_array(w, ''), '</w>'), ' ')
+             || ' ' AS s
+  FROM words
+),
+enc(w, s, i) AS (
+  SELECT w, s, 0 FROM init
+  UNION ALL
+  SELECT t.w,
+         substr(t.s, 1, strpos(t.s, m2.pat) - 1) || m2.rep
+           || substr(t.s, strpos(t.s, m2.pat) + length(m2.pat)),
+         t.i + 1
+  FROM (SELECT e.w, e.s, e.i,
+          (SELECT m.rank FROM bpe_merges m
+           WHERE strpos(e.s, m.pat) > 0
+           ORDER BY m.rank LIMIT 1) AS br
+        FROM enc e) t
+  JOIN bpe_merges m2 ON m2.rank = t.br
+),
+word_len AS (
+  SELECT w,
+         length(trim(arg_max(s, i)))
+           - length(replace(trim(arg_max(s, i)), ' ', '')) + 1 AS n_tok
+  FROM enc GROUP BY w
+)
+SELECT d.doc_id,
+       COALESCE(CAST(sum(wl.n_tok) AS BIGINT), 0) AS bpe_len
+FROM documents d
+LEFT JOIN doc_words dw ON dw.doc_id = d.doc_id
+LEFT JOIN word_len wl ON wl.w = dw.w
+GROUP BY d.doc_id
+"""
+
+
+BPE_TOKEN_LENGTHS_SQL = bpe_token_lengths_sql()

@@ -9,8 +9,11 @@ The production entry point for the 100 TB job:
 2. anti-joins against the manifest → only pending partitions run;
 3. each partition is ONE self-contained Ray Data sub-pipeline
    (read shard → extract → write to a tmp dir → atomic rename →
-   manifest row). Partitions stream through the cluster concurrently
-   as independent datasets with bounded driver-side concurrency.
+   manifest row). A bounded pool of ``max_concurrent`` partitions is
+   in flight at once (driver threads, each blocking on its own Ray
+   pipeline), so many-small-file corpora keep the cluster busy across
+   partition boundaries while K × partition footprint stays inside
+   the object-store budget.
 
 A crash mid-run loses at most the in-flight partitions; a re-run
 skips every completed one byte-exactly (the pipeline is
@@ -21,12 +24,18 @@ the input fingerprint.
 from __future__ import annotations
 
 import os
+from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 from typing import List, Optional, Sequence
 
 import ray.data as rd
 
 import vlm_ocr_doc_reader_ray as pkg
 from vlm_ocr_doc_reader_ray.config import DEFAULT_CONFIG, EngineConfig
+from vlm_ocr_doc_reader_ray.runtime import stabilize_fsspec_http
+
+# concurrent partition threads each resolve paths through Ray Data —
+# pin the thread-unsafe lazy fsspec import once, at import time
+stabilize_fsspec_http()
 from vlm_ocr_doc_reader_ray.pipelines.extraction import extract
 from vlm_ocr_doc_reader_ray.state.manifest import (
     PartitionManifest,
@@ -37,10 +46,105 @@ from vlm_ocr_doc_reader_ray.state.manifest import (
     write_manifest,
 )
 
+# default in-flight partitions: enough to hide per-partition fixed
+# cost (plan, read-back, rename) on many-small-file corpora without
+# letting K × partition_size outgrow the object-store budget — tune
+# up for small shards, down for WARC-segment-sized ones.
+DEFAULT_MAX_CONCURRENT = 4
+
 
 def plan_partitions(input_files: Sequence[str]) -> dict[int, List[str]]:
     """Deterministic partition plan: sorted files, one per partition."""
     return {i: [f] for i, f in enumerate(sorted(input_files))}
+
+
+def _run_partition(
+    pid: int,
+    files: List[str],
+    out_root: str,
+    fingerprint: str,
+    cfg: EngineConfig,
+) -> int:
+    """One partition end-to-end: extract → atomic dir → manifest row.
+
+    Safe to run from concurrent driver threads: every path it touches
+    is keyed by ``pid`` (tmp dir, final dir, manifest JSON), and the
+    manifest store is one file per partition by design."""
+    import pyarrow as pa
+
+    ds = extract(
+        rd.read_parquet(files),
+        cfg=cfg,
+        emit_spans=True,
+        emit_registry=True,
+    )
+    with atomic_partition_dir(out_root, pid) as ctx:
+        ds.write_parquet(os.path.join(ctx.tmp, "extracted"))
+        # derived tables from the already-written extraction (read
+        # back — never re-extract). ONE disk read: the read-back is
+        # materialized into the object store (spillable, partition-
+        # sized) and all three derived outputs — registry,
+        # page_states, metrics — project from those shared blocks
+        # instead of re-reading the partition from disk per output.
+        from vlm_ocr_doc_reader_ray.pipelines.extraction import (
+            page_states_table,
+            registry_table,
+        )
+
+        written = rd.read_parquet(os.path.join(ctx.tmp, "extracted")).materialize()
+        registry_table(written).write_parquet(os.path.join(ctx.tmp, "registry"))
+        page_states_table(written).write_parquet(
+            os.path.join(ctx.tmp, "page_states")
+        )
+        part = written.select_columns(
+            ["n_blocks_kept", "n_blocks_dropped", "parse_status"]
+        )
+
+        def metrics(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "rows": pa.array([len(batch)], type=pa.int64()),
+                    "kept": pa.array(
+                        [pc.sum(batch.column("n_blocks_kept")).as_py() or 0],
+                        type=pa.int64(),
+                    ),
+                    "dropped": pa.array(
+                        [pc.sum(batch.column("n_blocks_dropped")).as_py() or 0],
+                        type=pa.int64(),
+                    ),
+                    "failures": pa.array(
+                        [
+                            pc.sum(
+                                pc.cast(
+                                    pc.equal(batch.column("parse_status"), "failed"),
+                                    pa.int64(),
+                                )
+                            ).as_py()
+                            or 0
+                        ],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        mdf = part.map_batches(metrics, batch_format="pyarrow").to_pandas()
+        final_path = ctx.final
+    write_manifest(
+        out_root,
+        PartitionManifest(
+            partition_id=pid,
+            input_fingerprint=fingerprint,
+            row_count=int(mdf["rows"].sum()),
+            n_blocks_kept=int(mdf["kept"].sum()),
+            n_blocks_dropped=int(mdf["dropped"].sum()),
+            parse_failures=int(mdf["failures"].sum()),
+            output_path=final_path,
+            engine_version=pkg.__version__,
+        ),
+    )
+    return int(mdf["rows"].sum())
 
 
 def run_checkpointed(
@@ -49,99 +153,65 @@ def run_checkpointed(
     cfg: EngineConfig = DEFAULT_CONFIG,
     resume: bool = True,
     fail_partition: Optional[int] = None,
+    max_concurrent: Optional[int] = None,
 ) -> dict:
     """Run extraction over ``input_files`` with per-partition
     checkpoints. Returns run metrics (ran / skipped / rows).
 
-    ``fail_partition`` injects a crash after that partition completes
-    (test hook for the resume contract)."""
+    ``max_concurrent`` bounds the in-flight partitions (driver
+    threads, each owning one Ray sub-pipeline). ``fail_partition``
+    injects a crash after that partition completes (test hook for the
+    resume contract) — it forces sequential execution so the set of
+    completed partitions at crash time is deterministic."""
     plan = plan_partitions(input_files)
     fingerprints = {pid: partition_fingerprint(files) for pid, files in plan.items()}
     os.makedirs(out_root, exist_ok=True)
     done = completed_partitions(out_root, fingerprints) if resume else set()
 
-    ran, skipped, total_rows = [], sorted(done), 0
-    for pid in sorted(plan):
-        if pid in done:
-            continue
-        files = plan[pid]
-        ds = extract(
-            rd.read_parquet(files),
-            cfg=cfg,
-            emit_spans=True,
-            emit_registry=True,
-        )
-        with atomic_partition_dir(out_root, pid) as ctx:
-            ds.write_parquet(os.path.join(ctx.tmp, "extracted"))
-            # derived tables from the already-written extraction (read
-            # back — never re-extract). ONE disk read: the read-back is
-            # materialized into the object store (spillable, partition-
-            # sized) and all three derived outputs — registry,
-            # page_states, metrics — project from those shared blocks
-            # instead of re-reading the partition from disk per output.
-            from vlm_ocr_doc_reader_ray.pipelines.extraction import (
-                page_states_table,
-                registry_table,
+    pending = [pid for pid in sorted(plan) if pid not in done]
+    if max_concurrent is None:
+        max_concurrent = DEFAULT_MAX_CONCURRENT
+    if fail_partition is not None:
+        max_concurrent = 1
+    max_concurrent = max(1, min(max_concurrent, len(pending) or 1))
+
+    ran: list[int] = []
+    total_rows = 0
+    if max_concurrent == 1:
+        # sequential path: also the deterministic crash-injection mode
+        # (the completed set at crash time is exactly the prefix)
+        for pid in pending:
+            total_rows += _run_partition(
+                pid, plan[pid], out_root, fingerprints[pid], cfg
             )
-
-            written = rd.read_parquet(os.path.join(ctx.tmp, "extracted")).materialize()
-            registry_table(written).write_parquet(os.path.join(ctx.tmp, "registry"))
-            page_states_table(written).write_parquet(
-                os.path.join(ctx.tmp, "page_states")
-            )
-            part = written.select_columns(
-                ["n_blocks_kept", "n_blocks_dropped", "parse_status"]
-            )
-            import pyarrow as pa
-
-            def metrics(batch: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-
-                return pa.table(
-                    {
-                        "rows": pa.array([len(batch)], type=pa.int64()),
-                        "kept": pa.array(
-                            [pc.sum(batch.column("n_blocks_kept")).as_py() or 0],
-                            type=pa.int64(),
-                        ),
-                        "dropped": pa.array(
-                            [pc.sum(batch.column("n_blocks_dropped")).as_py() or 0],
-                            type=pa.int64(),
-                        ),
-                        "failures": pa.array(
-                            [
-                                pc.sum(
-                                    pc.cast(
-                                        pc.equal(batch.column("parse_status"), "failed"),
-                                        pa.int64(),
-                                    )
-                                ).as_py()
-                                or 0
-                            ],
-                            type=pa.int64(),
-                        ),
-                    }
-                )
-
-            mdf = part.map_batches(metrics, batch_format="pyarrow").to_pandas()
-            final_path = ctx.final
-        write_manifest(
-            out_root,
-            PartitionManifest(
-                partition_id=pid,
-                input_fingerprint=fingerprints[pid],
-                row_count=int(mdf["rows"].sum()),
-                n_blocks_kept=int(mdf["kept"].sum()),
-                n_blocks_dropped=int(mdf["dropped"].sum()),
-                parse_failures=int(mdf["failures"].sum()),
-                output_path=final_path,
-                engine_version=pkg.__version__,
-            ),
-        )
-        ran.append(pid)
-        total_rows += int(mdf["rows"].sum())
-        if fail_partition is not None and pid == fail_partition:
-            raise RuntimeError(f"injected crash after partition {pid}")
+            ran.append(pid)
+            if fail_partition is not None and pid == fail_partition:
+                raise RuntimeError(f"injected crash after partition {pid}")
+    elif pending:
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            futs = {
+                pool.submit(
+                    _run_partition, pid, plan[pid], out_root,
+                    fingerprints[pid], cfg,
+                ): pid
+                for pid in pending
+            }
+            wait(futs, return_when=FIRST_EXCEPTION)
+            # a failure cancels everything not yet started (best
+            # effort — the crash contract loses at most the in-flight
+            # partitions; completed ones already wrote their manifest)
+            first_exc = None
+            for fut, pid in sorted(futs.items(), key=lambda kv: kv[1]):
+                if first_exc is not None and fut.cancel():
+                    continue  # never started — stays pending for resume
+                try:
+                    total_rows += fut.result()
+                    ran.append(pid)
+                except Exception as e:  # noqa: BLE001 — re-raised below
+                    if first_exc is None:
+                        first_exc = e
+            if first_exc is not None:
+                raise first_exc
 
     consolidate(out_root)
-    return {"ran": ran, "skipped": skipped, "rows_written": total_rows}
+    return {"ran": ran, "skipped": sorted(done), "rows_written": total_rows}

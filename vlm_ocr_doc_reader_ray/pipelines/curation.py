@@ -14,7 +14,10 @@ pure function of the ``documents`` table at any parallelism.
 
 Scale shape: the gate and the rebalance are pure projections, dedup
 is one residue shuffle, packing is one residue pass + one row
-shuffle. Nothing materializes on the driver.
+shuffle. Nothing materializes on the driver, and the one pipeline
+breaker (the gated stream, read by two dedup consumers) defaults to a
+parquet spill checkpoint rather than an object-store pin — see
+:func:`_persist` for the ``persist`` knob.
 """
 
 from __future__ import annotations
@@ -23,12 +26,42 @@ import pyarrow as pa
 import ray.data as rd
 
 
+def _persist(ds: rd.Dataset, mode: str, spill_dir: str | None) -> rd.Dataset:
+    """Pipeline breaker with a bounded footprint.
+
+    ``memory``: ``materialize()`` — pins the stream's blocks in the
+    object store (Ray spills under pressure, but a corpus-sized pin
+    thrashes the store at 100-TB scale; right when the stream fits).
+    ``disk``: parquet checkpoint — ``write_parquet`` to a spill dir +
+    ``read_parquet`` back, so the pin is bounded by disk bandwidth
+    instead of the store (the ``run_checkpointed`` shape). ``auto``:
+    ``$GRAFT_CURATE_PERSIST`` if set, else ``disk``. The spill dir is
+    ``spill_dir`` / ``$GRAFT_SPILL_DIR`` / system tmp; spill files
+    outlive the call because the returned Dataset reads them lazily."""
+    import os
+    import tempfile
+
+    if mode == "auto":
+        mode = os.environ.get("GRAFT_CURATE_PERSIST", "disk")
+    if mode == "memory":
+        return ds.materialize()
+    if mode != "disk":
+        raise ValueError(f"persist must be auto|memory|disk, got {mode!r}")
+    root = spill_dir or os.environ.get("GRAFT_SPILL_DIR") or tempfile.gettempdir()
+    os.makedirs(root, exist_ok=True)
+    path = tempfile.mkdtemp(prefix="curate_spill_", dir=root)
+    ds.write_parquet(path)
+    return rd.read_parquet(path)
+
+
 def curate(
     docs: rd.Dataset,
     weights: dict,
     seq_len: int = 512,
     mix_seed: str = "mix",
     pack_seed: str = "pack",
+    persist: str = "auto",
+    spill_dir: str | None = None,
 ) -> rd.Dataset:
     """documents(doc_id, text, lang) → packed sequence segments
     ``(key, seq_id, off_in_seq, off_in_doc, n_tokens)`` where
@@ -50,10 +83,13 @@ def curate(
 
     # pipeline breaker: the gate's analyzer is the expensive stage and
     # the dedup exchange downstream would re-execute it per shuffle
-    # pass (Ray sort-groupby samples + shuffles the lineage). Pinning
-    # the gated stream once = the analyzer runs exactly once; at scale
-    # this is the natural point a real pipeline would persist anyway.
-    gated = flagged.map_batches(keep, batch_format="pyarrow").materialize()
+    # pass (Ray sort-groupby samples + shuffles the lineage). Breaking
+    # the lineage once = the analyzer runs exactly once (plan audit in
+    # BASELINE.md); at scale this is the natural point a real pipeline
+    # persists anyway — ``persist`` picks the footprint (see _persist).
+    gated = _persist(
+        flagged.map_batches(keep, batch_format="pyarrow"), persist, spill_dir
+    )
     deduped = dedup_exact(gated, text_col="text", id_col="doc_id")
     replicated = mixture_rebalance(
         deduped, "doc_id", "lang", weights, seed=mix_seed

@@ -9,16 +9,31 @@ skipped).
 Scale shape: the shard id is ``global rank // docs_per_shard`` where
 the rank comes from the distributed md5-order prefix sum
 (:func:`~vlm_ocr_doc_reader_ray.stages.relational.global_sorted_rank`
-— one residue pass + one row shuffle, no global sort). Rows are then
-hash-partitioned BY SHARD, so each shard lands wholly inside one task
-which sorts it by rank and writes one file — writes fan out across
-the cluster, one file per shard, never one giant file. The returned
-manifest is one row per shard (bounded by shard count, not data).
+— one residue pass + one row shuffle, no global sort). The rank is
+computed over a KEY-ONLY projection — the prefix sum pins only
+``(key, md5, bucket)`` residues in the object store, never the
+document texts — and re-attached to the full rows with one
+co-partitioned hash join. Rows are then hash-partitioned BY SHARD, so
+each shard lands wholly inside one task which sorts it by rank and
+writes one file — writes fan out across the cluster, one file per
+shard, never one giant file, and the full corpus is never
+materialized anywhere. The returned manifest is one row per shard
+(bounded by shard count, not data).
+
+Filesystem contract: paths are resolved through ``pyarrow.fs`` inside
+each writer task, so ``out_dir`` may be a local directory (single
+node or a shared filesystem — on a multi-node cluster it MUST be
+shared storage, since the skip-finished resume check consults the
+same path) or any pyarrow-supported URI. The tmp-write + move publish
+is atomic on local/NFS filesystems; on object stores move is
+copy+delete, and idempotence comes from deterministic content + the
+exists-check instead.
 """
 
 from __future__ import annotations
 
 import os
+import posixpath
 
 import pandas as pd
 import ray.data as rd
@@ -27,6 +42,18 @@ import ray.data as rd
 # and the empty-input fallback so the two can't drift
 _MANIFEST_COLS = {"shard": "int64", "rows": "int64",
                   "path": "object", "skipped": "bool"}
+
+
+def _resolve_fs(path: str):
+    """``pyarrow.fs`` resolution: URI → (fs, path); plain local path →
+    (LocalFileSystem, abspath)."""
+    import pyarrow as pa
+    from pyarrow import fs as pafs
+
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except (ValueError, pa.ArrowInvalid):
+        return pafs.LocalFileSystem(), os.path.abspath(path)
 
 
 def write_training_shards(
@@ -45,16 +72,28 @@ def write_training_shards(
     idempotent-resume contract: a killed run re-invoked with the same
     inputs finishes the remaining shards and the directory is
     indistinguishable from a single clean run (files are written to a
-    ``.tmp`` name and renamed, so a crash mid-write never leaves a
-    truncated shard behind)."""
-    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
-    from vlm_ocr_doc_reader_ray.stages.relational import global_sorted_rank
+    ``.tmp`` name and moved into place, so a crash mid-write never
+    leaves a truncated shard behind). Assumes ``key_col`` is unique
+    per row (corpus primary key)."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        auto_num_parts,
+        partitioned_apply,
+    )
+    from vlm_ocr_doc_reader_ray.stages.relational import (
+        global_sorted_rank,
+        partitioned_hash_join,
+    )
 
     if docs_per_shard < 1:
         raise ValueError("docs_per_shard must be >= 1")
-    os.makedirs(out_dir, exist_ok=True)
+    root_fs, root_path = _resolve_fs(out_dir)
+    root_fs.create_dir(root_path, recursive=True)
 
-    ranked = global_sorted_rank(ds, key_col, seed=seed)
+    # rank the KEYS, not the rows: the prefix sum's internal pin is
+    # then bounded by |keys| × ~50 bytes, not the corpus
+    ranked = global_sorted_rank(
+        ds.select_columns([key_col]), key_col, seed=seed
+    )
 
     def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -63,25 +102,36 @@ def write_training_shards(
         )
         return batch
 
-    sharded = ranked.map_batches(add_shard, batch_format="pandas")
+    shard_of_key = ranked.map_batches(add_shard, batch_format="pandas")
+
+    # one co-partitioned hash join re-attaches (rank, __shard) to the
+    # full rows — the only time the texts shuffle
+    sharded = partitioned_hash_join(
+        ds, shard_of_key, key_col, key_col, num_buckets=auto_num_parts(ds)
+    )
 
     def write_part(g: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
 
+        fs, base = _resolve_fs(out_dir)
         rows = []
         for shard, sg in g.groupby("__shard", sort=True):
             shard = int(shard)
-            path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
-            if os.path.exists(path):
+            path = posixpath.join(base, f"shard-{shard:05d}.parquet")
+            if fs.get_file_info(path).type != pafs.FileType.NotFound:
                 rows.append((shard, len(sg), path, True))
                 continue
             sg = sg.sort_values("rank", ignore_index=True).drop(
                 columns="__shard"
             )
             tmp = path + ".tmp"
-            pq.write_table(pa.Table.from_pandas(sg, preserve_index=False), tmp)
-            os.replace(tmp, path)
+            pq.write_table(
+                pa.Table.from_pandas(sg, preserve_index=False), tmp,
+                filesystem=fs,
+            )
+            fs.move(tmp, path)
             rows.append((shard, len(sg), path, False))
         return pd.DataFrame(
             rows, columns=list(_MANIFEST_COLS)

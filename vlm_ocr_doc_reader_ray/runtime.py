@@ -13,6 +13,50 @@ from __future__ import annotations
 import sys
 
 
+def stabilize_fsspec_http() -> None:
+    """Make Ray Data path resolution thread-safe in aiohttp-less envs.
+
+    Ray's ``path_util._is_http_filesystem`` re-attempts
+    ``from fsspec.implementations.http import HTTPFileSystem`` on
+    EVERY read/write path resolution. Without aiohttp that import
+    fails at module level, and a failing import leaves a
+    partially-initialized module transiently visible to OTHER threads
+    — concurrent driver threads each running their own Ray pipeline
+    (``run_checkpointed``'s bounded partition pool) then
+    nondeterministically die with
+    ``ImportError: cannot import name 'HTTPFileSystem'`` (reproduced
+    with 8 threads × read_parquet, 6/24 failures). Registering a
+    minimal stub ONCE makes every later import a stable sys.modules
+    cache hit. The stub class is only ever instantiated for
+    ``http(s)://`` inputs, which this engine never produces — and it
+    raises the original error if anything truly uses it."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return  # aiohttp present: the real module works, nothing to do
+    except ImportError:
+        pass
+    import types
+
+    try:
+        import fsspec
+    except ImportError:  # no fsspec at all → Ray's except path handles it
+        return
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem(fsspec.AbstractFileSystem):  # pragma: no cover
+        protocol = ("http", "https")
+
+        def __init__(self, *a, **k):
+            raise ImportError(
+                "aiohttp is not installed — HTTP filesystem unavailable"
+            )
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 def register_for_workers() -> None:
     # import the module graph so every submodule is in sys.modules
     import vlm_ocr_doc_reader_ray.cli  # noqa: F401

@@ -127,7 +127,9 @@ def corpus_jsonl(
     out_dir = os.path.join(root, tag)
     if os.path.isdir(out_dir):
         return out_dir
-    tmp_dir = out_dir + ".tmp"
+    # per-writer tmp (pid-suffixed): concurrent builders must never
+    # rmtree each other's in-progress dir (see warc.py twin).
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir)
     raw = [

@@ -309,7 +309,11 @@ def corpus_warc(
     out_dir = os.path.join(root, tag)
     if os.path.isdir(out_dir):
         return out_dir
-    tmp_dir = out_dir + ".tmp"
+    # per-writer tmp (pid-suffixed): two concurrent builders (pytest
+    # workers, bench + driver) must never rmtree each other's
+    # in-progress dir or publish each other's half-written shards —
+    # the rename below stays the single atomic publish point.
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir)
     ext = "warc.gz" if per_member_gzip else "warc"
@@ -404,7 +408,11 @@ def corpus_wet(
     out_dir = os.path.join(root, tag)
     if os.path.isdir(out_dir):
         return out_dir
-    tmp_dir = out_dir + ".tmp"
+    # per-writer tmp (pid-suffixed): two concurrent builders (pytest
+    # workers, bench + driver) must never rmtree each other's
+    # in-progress dir or publish each other's half-written shards —
+    # the rename below stays the single atomic publish point.
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir)
     files = [

@@ -125,6 +125,43 @@ def train_bpe(
     return train_bpe_from_frequencies(word_frequencies(ds, text_col), num_merges)
 
 
+# Fixed tokenizer artifact: a deterministic merge list trained (by
+# THIS module's trainer) on an embedded seed vocabulary — the BPE
+# analogue of similarity.fixed_codebook. Corpus-trained merges are a
+# pure function of the data (pinned by test against a textbook
+# recount); the FIXED list exists so the distributed ENCODE stage can
+# be gated by a DuckDB oracle whose literal merge table is known
+# statically (sqlmirror.BPE_TOKEN_LENGTHS_SQL embeds the same list —
+# lockstep by construction, both sides read this constant).
+_SEED_FREQS = [
+    ("the", 620), ("of", 420), ("and", 390), ("to", 350), ("in", 300),
+    ("is", 250), ("that", 210), ("for", 180), ("with", 160), ("order", 150),
+    ("table", 140), ("scan", 130), ("batch", 125), ("stream", 120),
+    ("window", 115), ("hash", 110), ("join", 105), ("sort", 100),
+    ("merge", 95), ("key", 90), ("fast", 85), ("small", 80), ("part", 75),
+    ("data", 70), ("query", 65), ("index", 60), ("shuffle", 55),
+    ("filter", 50), ("reduce", 45), ("block", 40), ("spark", 38),
+    ("worker", 36), ("write", 34), ("read", 32), ("group", 30),
+    ("count", 28), ("token", 26), ("text", 24), ("word", 22),
+    ("store", 20), ("cache", 18), ("slow", 16), ("dup", 14),
+    ("page", 12), ("node", 10),
+]
+FIXED_NUM_MERGES = 120
+_fixed_merges_cache: list[tuple[str, str]] | None = None
+
+
+def fixed_merges() -> list[tuple[str, str]]:
+    """The fixed merge artifact (trained once per process, cached)."""
+    global _fixed_merges_cache
+    if _fixed_merges_cache is None:
+        freqs = pd.DataFrame(
+            {"word": [w for w, _ in _SEED_FREQS],
+             "n": [n for _, n in _SEED_FREQS]}
+        )
+        _fixed_merges_cache = train_bpe_from_frequencies(freqs, FIXED_NUM_MERGES)
+    return _fixed_merges_cache
+
+
 def bpe_segment(word: str, ranks: dict) -> list[str]:
     """Greedy lowest-rank merging of one word (standard BPE encode)."""
     sym = list(word) + [END]
@@ -198,9 +235,12 @@ def bpe_encode(
     import ray
 
     ref = ray.put(list(merges))
-    # autoscaling pool sized to the CLUSTER (min 1 so other stages
-    # can't starve — the fixed-size-pool deadlock trap), not a magic 8
-    max_actors = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    # autoscaling pool: min size 1 (the concurrency tuple below) so
+    # other stages can't starve — the fixed-size-pool deadlock trap —
+    # and max capped BELOW the cluster CPU count so the upstream read
+    # stage always has headroom even when the pool is fully scaled.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    max_actors = max(2, cpus - 2)
     return ds.select_columns([id_col, text_col]).map_batches(
         BpeEncoder,
         fn_constructor_kwargs=dict(

@@ -104,6 +104,12 @@ def _cms_slots(keys: pd.Series, j: int, width: int) -> np.ndarray:
     exactness of :func:`heavy_hitters` does not depend on this
     choice — only the candidate-set size does."""
     hk = f"cms{j:012d}!"
+    # hash_key only perturbs OBJECT/string dtypes — for integer key
+    # columns all depth rows would compute identical slots, silently
+    # collapsing the sketch to depth 1. Cast to str so every dtype
+    # gets an independent hash per row j.
+    if keys.dtype != object:
+        keys = keys.astype(str)
     h = pd.util.hash_pandas_object(keys, index=False, hash_key=hk).to_numpy()
     return (h % np.uint64(width)).astype(np.int64)
 
