@@ -49,6 +49,13 @@ def _init_ray(num_cpus: int):
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from vlm_ocr_doc_reader_ray.runtime import (
+        silence_empty_block_schema_warnings,
+        stabilize_fsspec_http,
+    )
+
+    stabilize_fsspec_http()
+    silence_empty_block_schema_warnings()
     return ray
 
 

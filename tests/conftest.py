@@ -23,6 +23,13 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from vlm_ocr_doc_reader_ray.runtime import (
+        silence_empty_block_schema_warnings,
+        stabilize_fsspec_http,
+    )
+
+    stabilize_fsspec_http()
+    silence_empty_block_schema_warnings()
     yield ray
     ray.shutdown()
 

@@ -1253,3 +1253,96 @@ def test_word_freq_score_top_vocab_cap(ray_session):
         rd.from_pandas(df), top_vocab=2  # keeps 'a'(4) and 'b'(2)
     ).to_pandas().sort_values("doc_id", ignore_index=True)
     assert list(capped.freq_sum) == [14, 6, 0]
+
+
+def test_fixed_merges_deterministic_pin():
+    """The fixed tokenizer artifact must never drift: the SQL oracle
+    embeds it literally, so a silent change would break every
+    bpe_token_lengths gate. Pin size + the head of the list."""
+    from vlm_ocr_doc_reader_ray.stages.bpe import FIXED_NUM_MERGES, fixed_merges
+
+    m = fixed_merges()
+    assert len(m) == FIXED_NUM_MERGES == 120
+    assert m[:6] == [("e", "</w>"), ("t", "h"), ("th", "e</w>"),
+                     ("i", "n"), ("t", "</w>"), ("a", "n")]
+    assert m is fixed_merges() or m == fixed_merges()  # cached + stable
+
+
+def test_curate_persist_modes_identical(ray_session, tmp_path):
+    """persist='memory' (object-store pin) and persist='disk'
+    (parquet spill checkpoint) are execution strategies, not
+    semantics: identical packed output, any block layout."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.pipelines.curation import curate
+
+    # texts must PASS the Gopher gate: include stopwords and keep
+    # mean word length inside [3, 10]
+    df = pd.DataFrame(
+        {"doc_id": range(300),
+         "text": [" ".join(
+             "the" if j % 5 == 0 else f"word{(i * 7 + j) % 23}"
+             for j in range(20 + i % 60))
+             for i in range(300)],
+         "lang": ["en", "zh", "fr"] * 100}
+    )
+    w = {"en": 0.5, "zh": 2.0}
+
+    def run(persist):
+        return (
+            curate(rd.from_pandas(df).repartition(5), w, seq_len=64,
+                   persist=persist, spill_dir=str(tmp_path))
+            .to_pandas()
+            .sort_values(["key", "seq_id"], ignore_index=True)
+        )
+
+    pd.testing.assert_frame_equal(run("memory"), run("disk"))
+
+
+def test_checkpoint_concurrency_equals_sequential(ray_session, tmp_path):
+    """The bounded partition pool must produce byte-identical output
+    dirs to the sequential loop (determinism is the resume
+    contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vlm_ocr_doc_reader_ray.pipelines.checkpoint import run_checkpointed
+
+    files = []
+    for i in range(6):
+        p = tmp_path / f"in-{i}.parquet"
+        docs = pd.DataFrame(
+            {"url": [f"https://s.example.com/en/{i:04d}{j:04d}" for j in range(8)],
+             "lang": ["en"] * 8,
+             "html": [f"<html><body><p>doc {i} {j} words here now</p></body></html>"
+                      .encode() for j in range(8)]}
+        )
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), p)
+        files.append(str(p))
+
+    def table(root, sub):
+        import os
+
+        frames = []
+        for part in sorted(os.listdir(root)):
+            d = os.path.join(root, part, sub)
+            if part.startswith("part-") and os.path.isdir(d):
+                frames.append(pq.read_table(d).to_pandas())
+        if not frames:  # e.g. entity-less corpus → no registry dirs
+            return None
+        out = pd.concat(frames, ignore_index=True)
+        # sort by scalar key columns only (extracted carries nested
+        # list columns that pandas cannot sort by)
+        keys = [c for c in ("url", "entity_id", "page_num", "kind")
+                if c in out.columns]
+        return out.sort_values(keys, ignore_index=True)
+
+    r_seq = run_checkpointed(files, str(tmp_path / "seq"), max_concurrent=1)
+    r_con = run_checkpointed(files, str(tmp_path / "con"), max_concurrent=4)
+    assert r_seq["ran"] == r_con["ran"] == list(range(6))
+    for sub in ("extracted", "registry", "page_states"):
+        a, b = table(tmp_path / "seq", sub), table(tmp_path / "con", sub)
+        if a is None or b is None:
+            assert a is None and b is None
+            continue
+        pd.testing.assert_frame_equal(a, b)

@@ -1449,3 +1449,111 @@ GROUP BY d.doc_id
 
 
 BPE_TOKEN_LENGTHS_SQL = bpe_token_lengths_sql()
+
+
+# Resume gate (ADR-001 contract): tamper 3 of 5 kinds to pending
+# (resolution 0, value lost), leave the other 2 verified but marked
+# with a '#STALE' sentinel. resolve_pending must re-resolve ONLY the
+# pending rows (level-1 window re-extraction recovers the golden
+# value) and must NOT touch the verified rows — the sentinel
+# surviving in the output is the proof, hash-gated.
+_RESUME_PENDING_KINDS = ("email", "date", "url")
+_RESUME_KEPT_KINDS = ("phone", "id")
+
+_RESUME_PENDING_TAIL = r"""
+SELECT url, '{kind}' AS kind, ent_{kind} AS value,
+       CAST(1 AS BIGINT) AS resolution, FALSE AS verified,
+       '0/3' AS confidence, 'ok' AS status
+FROM golden WHERE NOT is_corrupt
+"""
+
+_RESUME_KEPT_TAIL = r"""
+SELECT url, '{kind}' AS kind, ent_{kind} || '#STALE' AS value,
+       CAST(2 AS BIGINT) AS resolution, TRUE AS verified,
+       '3/3' AS confidence, 'ok' AS status
+FROM golden WHERE NOT is_corrupt
+"""
+
+REGISTRY_RESUME_SQL = GOLDEN_CTE + " UNION ALL ".join(
+    [_RESUME_PENDING_TAIL.format(kind=k) for k in _RESUME_PENDING_KINDS]
+    + [_RESUME_KEPT_TAIL.format(kind=k) for k in _RESUME_KEPT_KINDS]
+)
+
+
+def warc_curate_shards_sql(seq_len: int = 512, docs_per_shard: int = 100) -> str:
+    """End-to-end composition mirror: WARC source → golden extraction
+    → canonical normalization → curate (gate → dedup → rebalance →
+    pack) → balanced-shard layout, as ONE chained query.
+
+    The engine half runs the REAL pipeline (read_warc → extract →
+    normalize_text → curate → write_training_shards) and returns the
+    per-shard row counts; this mirror recomputes the same counts from
+    the documents table via the golden extracted_text expression. The
+    quality/pack CTEs are the same formulas as QUALITY_FILTER_SQL /
+    CURATE_SQL rebased onto the normalized extracted text; the shard
+    rank mirrors global_sorted_rank's md5('{seed}:'||key) order."""
+    ws = "' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11) || '"
+    return GOLDEN_CTE + f"""
+, src AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(nfc_normalize(extracted_text),
+              '[ {ws}]+', ' ', 'g')) AS text
+  FROM golden
+), q AS (
+  SELECT doc_id, lang, text,
+         string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS nw,
+         len(text) AS nc
+  FROM src
+), keep AS (
+  SELECT doc_id, text, lang FROM q
+  WHERE nw >= 20 AND nw <= 100000
+    AND CAST(nc - (nw - 1) AS DOUBLE) / nw >= 3.0
+    AND CAST(nc - (nw - 1) AS DOUBLE) / nw <= 10.0
+    AND CAST(len(regexp_extract_all(text, '[^0-9A-Za-z_ {ws}]')) AS DOUBLE)
+        / greatest(nc, 1) <= 0.1
+    AND CAST(len(list_filter(words, w -> list_contains({_STOP_SQL}, w)))
+             AS DOUBLE) / nw >= 0.01
+), ded AS (
+  SELECT doc_id, text, lang FROM keep
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+), wt AS (
+  SELECT doc_id, text, __MIX_CASE__ AS w FROM ded
+), r AS (
+  SELECT doc_id, text,
+         CAST(floor(w) AS BIGINT)
+         + CASE WHEN CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                     % 1000000
+                     < CAST(floor((w - floor(w)) * 1000000 + 0.5) AS BIGINT)
+                THEN 1 ELSE 0 END AS reps
+  FROM wt
+), reb AS (
+  SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR) AS key,
+         len(string_split(text, ' ')) AS nw
+  FROM (SELECT doc_id, text, unnest(generate_series(0, reps - 1)) AS rep
+        FROM r WHERE reps > 0)
+), o AS (
+  SELECT key, nw,
+         CAST(COALESCE(SUM(nw) OVER (
+             ORDER BY md5('pack:' || key), key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS s
+  FROM reb
+), e AS (
+  SELECT key, nw, s,
+         unnest(generate_series(s // {seq_len}, (s + nw - 1) // {seq_len})) AS seq_id
+  FROM o WHERE nw > 0
+), seg AS (
+  SELECT key || '@' || CAST(seq_id AS VARCHAR) AS skey FROM e
+), ranked AS (
+  SELECT skey,
+         row_number() OVER (ORDER BY md5('shuffle:' || skey), skey) - 1 AS rnk
+  FROM seg
+)
+SELECT rnk // {docs_per_shard} AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM ranked GROUP BY 1
+""".replace("__MIX_CASE__", mix_weights_case_sql())
+
+
+WARC_CURATE_SHARDS_SQL = warc_curate_shards_sql()

@@ -20,6 +20,15 @@ shard, never one giant file, and the full corpus is never
 materialized anywhere. The returned manifest is one row per shard
 (bounded by shard count, not data).
 
+Trade-off made explicit: the input lineage executes TWICE (once for
+the key projection that feeds the rank, once as the join's row side).
+That is the right trade at scale — re-reading a checkpoint is disk
+bandwidth, pinning the corpus was cluster memory — but it assumes the
+input lineage is deterministic (engine-wide invariant) and cheap to
+re-run; feed this writer from a parquet checkpoint (the
+``curate(persist="disk")`` shape), not from an expensive unmaterialized
+chain.
+
 Filesystem contract: paths are resolved through ``pyarrow.fs`` inside
 each writer task, so ``out_dir`` may be a local directory (single
 node or a shared filesystem — on a multi-node cluster it MUST be
@@ -103,6 +112,15 @@ def write_training_shards(
         return batch
 
     shard_of_key = ranked.map_batches(add_shard, batch_format="pandas")
+
+    # empty input: a fully-empty Ray dataset loses its schema, which
+    # the join below needs — short-circuit to the empty manifest
+    # (schema() is computed by the join anyway, so this costs nothing
+    # extra on the non-empty path)
+    if shard_of_key.schema() is None or ds.schema() is None:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=dt) for c, dt in _MANIFEST_COLS.items()}
+        )
 
     # one co-partitioned hash join re-attaches (rank, __shard) to the
     # full rows — the only time the texts shuffle

@@ -57,7 +57,45 @@ def stabilize_fsspec_http() -> None:
     sys.modules["fsspec.implementations.http"] = mod
 
 
+def silence_empty_block_schema_warnings() -> None:
+    """Drop the executor's schema-mismatch warning ONLY for empty
+    blocks.
+
+    Ray's sort-based shuffle (behind every ``groupby``/``map_groups``)
+    emits schema-LESS empty blocks for key ranges that hold no rows;
+    the streaming executor then logs 'Operator produced a RefBundle
+    with a different schema ... new schema: names=[]' on every such
+    boundary — pure noise (the engine's own empty blocks are always
+    schema-stable; see e.g. partitioned_hash_join.join_bucket).
+    Genuine schema mismatches (non-empty new schema) still log."""
+    import logging
+
+    class _DropEmptySchemaMismatch(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            if "produced a RefBundle with a different schema" not in msg:
+                return True
+            if (
+                "new schema: PandasBlockSchema(names=[], types=[])" in msg
+                or "new schema: . This may lead" in msg
+            ):
+                return False
+            # partitioned_hash_join's pad-union: the two sides carry
+            # identical column NAMES but the padded side holds None →
+            # object dtype where the real side is int64/bool. Expected
+            # by construction and normalized by _restore_dtypes inside
+            # the bucket join — '__side' is that operator's private
+            # marker column, so the match cannot hit user data.
+            return "'__side'" not in msg
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptySchemaMismatch())
+
+
 def register_for_workers() -> None:
+    stabilize_fsspec_http()
+    silence_empty_block_schema_warnings()
     # import the module graph so every submodule is in sys.modules
     import vlm_ocr_doc_reader_ray.cli  # noqa: F401
     import vlm_ocr_doc_reader_ray.pipelines.checkpoint  # noqa: F401

@@ -196,7 +196,12 @@ def partitioned_hash_join(
         lg = _restore_dtypes(g[g["__side"] == "l"][l_cols].copy(), l_dtypes)
         rg = _restore_dtypes(g[g["__side"] == "r"][r_cols].copy(), r_dtypes)
         if lg.empty or rg.empty:
-            return pd.DataFrame()
+            # schema-stable empty block: the merge of the two TYPED
+            # empty frames, never a column-less DataFrame (which would
+            # trip the executor's schema-mismatch warning downstream)
+            return lg.head(0).merge(
+                rg.head(0), left_on=left_on, right_on=right_on, how="inner"
+            )
         return lg.merge(rg, left_on=left_on, right_on=right_on, how="inner")
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
