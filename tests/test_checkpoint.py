@@ -232,3 +232,29 @@ def test_two_process_submit_kill_resubmit(ray_session, corpus_files):
     assert child3.returncode == 0, out3
     assert "ran partitions []" in out3
     pd.testing.assert_frame_equal(_hashes(clean_root), _hashes(crash_root))
+
+
+def test_plan_partitions_packing(tmp_path):
+    """Greedy byte packing: deterministic, covers every file exactly
+    once, keeps sorted order, respects the byte target."""
+    from vlm_ocr_doc_reader_ray.pipelines.checkpoint import plan_partitions
+
+    files = []
+    for i, size in enumerate([100, 100, 100, 250, 50, 50, 300, 10]):
+        p = tmp_path / f"f{i}.bin"
+        p.write_bytes(b"x" * size)
+        files.append(str(p))
+
+    # default: one file per partition
+    assert plan_partitions(files) == {i: [f] for i, f in enumerate(sorted(files))}
+
+    plan = plan_partitions(files, target_partition_bytes=300)
+    flat = [f for fs in plan.values() for f in fs]
+    assert flat == sorted(files)  # full coverage, sorted order
+    assert plan == plan_partitions(files, target_partition_bytes=300)
+    import os
+
+    for pid, fs in plan.items():
+        total = sum(os.path.getsize(f) for f in fs)
+        # a partition only exceeds the target when a single file does
+        assert total <= 300 or len(fs) == 1
