@@ -83,7 +83,8 @@ class _BlockEvents:
     # -- tag events ---------------------------------------------------
     def start(self, tag: str) -> None:
         if tag in _BLOCK_TAGS:
-            self._flush()
+            if self._frags:  # guard: skip the call for text-less tags
+                self._flush()
             self._open_blocks.append(tag)
             if tag in _CHROME_TAGS:
                 self._chrome += 1
@@ -98,7 +99,8 @@ class _BlockEvents:
 
     def end(self, tag: str) -> None:
         if tag in _BLOCK_TAGS:
-            self._flush()
+            if self._frags:
+                self._flush()
             # lenient unwind to the nearest matching open tag
             if tag in self._open_blocks:
                 while self._open_blocks:
@@ -124,18 +126,22 @@ class _BlockEvents:
             return
         frags = self._frags
         self._frags = []
-        raw = "".join(f for _a, f in frags)
+        raw = "".join([f for _a, f in frags])
         text = collapse_ws(raw)
         if not text:
             return
-        anchor_raw = "".join(f for a, f in frags if a)
+        # anchor text is rare (most blocks have no <a> content): skip
+        # the second join+collapse unless some fragment was in-anchor
+        anchor_chars = 0
+        if any(a for a, _f in frags):
+            anchor_chars = len(collapse_ws("".join([f for a, f in frags if a])))
         self.blocks.append(
             Block(
                 text=text,
                 tag=self._cur_tag,
                 page_num=1,
                 heading_level=self._cur_heading,
-                anchor_chars=len(collapse_ws(anchor_raw)),
+                anchor_chars=anchor_chars,
                 chrome=self._chrome > 0,
                 index=len(self.blocks),
             )
@@ -169,32 +175,35 @@ def _tokenize_fast(html_text: str, sink: _BlockEvents) -> None:
     pos = 0
     n = len(html_text)
     find = _TAG_RX.search
+    # hot loop: ~40 tags/doc × corpus — bind methods once
+    data, start, end = sink.data, sink.start, sink.end
     while pos < n:
         m = find(html_text, pos)
         if m is None:
             tail = html_text[pos:]
             if tail:
-                sink.data(unescape(tail) if "&" in tail else tail)
+                data(unescape(tail) if "&" in tail else tail)
             break
-        if m.start() > pos:
-            chunk = html_text[pos: m.start()]
-            sink.data(unescape(chunk) if "&" in chunk else chunk)
+        mstart = m.start()
+        if mstart > pos:
+            chunk = html_text[pos:mstart]
+            data(unescape(chunk) if "&" in chunk else chunk)
         pos = m.end()
         name = m.group("name")
         if name is None:  # comment / doctype / pi
             continue
         name = name.lower()
         if m.group("close"):
-            sink.end(name)
+            end(name)
         else:
-            sink.start(name)
+            start(name)
             if name in _RAW_CLOSE:  # skip raw body to the real close tag
                 mc = _RAW_CLOSE[name].search(html_text, pos)
                 if mc is None:
-                    sink.end(name)
+                    end(name)
                     break
                 pos = mc.end()
-                sink.end(name)
+                end(name)
 
 
 # ---------------------------------------------------------------------------
