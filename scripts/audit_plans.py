@@ -1,0 +1,90 @@
+"""Materialize-pin audit: prove the scale-safety contracts hold.
+
+Round-3 verdict flagged two object-store pins (curate's gated texts,
+the shard writer's full rows). Round 4 removed both; this audit makes
+the claim mechanically checkable: it wraps ``Dataset.materialize``
+with a recorder and runs the two pipelines — every schema that gets
+pinned is printed, and the audit FAILS if any pinned schema contains
+a text/html payload column.
+
+    python scripts/audit_plans.py        # prints one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FORBIDDEN = {"text", "html", "extracted_text"}
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from vlm_ocr_doc_reader_ray.runtime import register_for_workers
+
+    register_for_workers()
+
+    import pyarrow as pa
+
+    from vlm_ocr_doc_reader_ray.corpus.sqlmirror import MIX_WEIGHTS
+    from vlm_ocr_doc_reader_ray.pipelines.curation import curate
+    from vlm_ocr_doc_reader_ray.pipelines.shards import write_training_shards
+
+    pins: list[list[str]] = []
+    orig = rd.Dataset.materialize
+
+    def spy(self, *a, **k):
+        names = list(self.schema().names) if self.schema() is not None else []
+        pins.append(names)
+        return orig(self, *a, **k)
+
+    rd.Dataset.materialize = spy
+    try:
+        docs = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+        )
+        out_dir = tempfile.mkdtemp(prefix="audit_shards_")
+        write_training_shards(docs, "doc_id", out_dir, docs_per_shard=100)
+        shard_pins = [p[:] for p in pins]
+        pins.clear()
+
+        spill = tempfile.mkdtemp(prefix="audit_curate_spill_")
+        curate(docs, MIX_WEIGHTS, seq_len=512, persist="disk",
+               spill_dir=spill).count()
+        curate_pins = [p[:] for p in pins]
+        spilled = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(spill) for f in fs
+        )
+    finally:
+        rd.Dataset.materialize = orig
+
+    def offenders(groups):
+        return [p for p in groups if FORBIDDEN & set(p)]
+
+    result = {
+        "shard_writer_pins": shard_pins,
+        "curate_pins": curate_pins,
+        "curate_disk_spill_bytes": spilled,
+        "payload_columns_pinned": offenders(shard_pins) + offenders(curate_pins),
+    }
+    print(json.dumps(result))
+    assert not result["payload_columns_pinned"], result["payload_columns_pinned"]
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
