@@ -102,6 +102,28 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     extract(rd.read_parquet(corpus_path), emit_spans=True, emit_registry=True).count()
     extract(rd.read_parquet(corpus_path), emit_spans=True, emit_registry=True).count()
 
+    # noise-immune comparator: the pure single-process extraction
+    # kernel on 2000 docs (best of 3). VM co-tenant phases swing the
+    # distributed numbers up to 2x between identical runs; this scalar
+    # tracks engine-code changes across rounds independent of Ray and
+    # of most of that noise.
+    kernel_docs_per_sec = None
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):  # skip in scaling children
+        import pyarrow.parquet as _pq
+
+        from vlm_ocr_doc_reader_ray.stages.extract_stage import DocumentExtractor
+
+        _kt = _pq.read_table(corpus_path)
+        _kt = _kt.slice(0, min(2000, len(_kt)))
+        _kx = DocumentExtractor(emit_spans=True, emit_registry=True)
+        _kx(_kt.slice(0, 200))  # warm
+        _kbest = float("inf")
+        for _ in range(3):
+            _t0 = time.time()
+            _kx(_kt)
+            _kbest = min(_kbest, time.time() - _t0)
+        kernel_docs_per_sec = round(len(_kt) / _kbest, 1)
+
     queries: dict[str, float] = {}
 
     def _corpus(columns=None):
@@ -236,6 +258,7 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
         "num_cpus": num_cpus,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
+        "kernel_docs_per_sec": kernel_docs_per_sec,
         "reps": reps,
         **log_extra,
     }
