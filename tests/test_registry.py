@@ -146,3 +146,40 @@ def test_verify_grouped_keeps_unmatched_registry_rows(ray_session, sf_small):
         assert row["confidence"] == o["confidence"]
         assert bool(row["verified"]) == bool(o["verified"])
         assert int(row["resolution"]) == int(o["resolution"])
+
+
+def test_axis_samples_fast_path_equals_naive_adversarial():
+    """The single-search verify fast path must equal the naive
+    per-axis chain even when repeated entity instances force
+    radius-dependent matches (the slow path the corpus never hits)."""
+    from vlm_ocr_doc_reader_ray.extract.registry import (
+        RegistryEntry,
+        _axis_samples,
+        _window_extract,
+    )
+
+    email = "user1@a.example.com"
+    cases = []
+    # two instances close together: wide windows see the earlier one
+    for gap in (10, 45, 80, 130, 190, 260):
+        text = "x" * 30 + email + " " + "y" * gap + " " + email + " tail"
+        second = text.index(email, 30 + len(email))
+        cases.append((text, second))
+        cases.append((text, 30))  # span on the FIRST instance too
+    # no second instance: pure fast path
+    t = "z" * 50 + email + " end"
+    cases.append((t, 50))
+    # invalid span: error path
+    cases.append((t, 10 ** 6))
+
+    axes = (1, 3, 5)
+    for text, start in cases:
+        e = RegistryEntry(
+            entity_id="t", page_num=1, kind="email", prompt="p",
+            resolution=0, value=email, context=None, verified=False,
+            confidence=None, span_start=min(start, 10 ** 6),
+            span_end=min(start, 10 ** 6) + len(email),
+        )
+        fast = _axis_samples(e, text, axes)
+        naive = [_window_extract(e, text, 40 * a) for a in axes]
+        assert fast == naive, (text[:40], start, fast, naive)

@@ -138,19 +138,28 @@ def _window_extract(entry: RegistryEntry, text: str, radius: int) -> Sample:
     `error` when the entry is malformed (page/span outside the text) —
     the reference's three-way status contract.
     """
+    return _window_extract_pos(entry, text, radius)[0]
+
+
+def _window_extract_pos(
+    entry: RegistryEntry, text: str, radius: int
+) -> tuple[Sample, int, int]:
+    """`_window_extract` + the match's (start, end) in ``text``
+    (-1, -1 when there is no match) — lets callers prove window
+    containment for the verify fast path."""
     if entry.span_start < 0 or entry.span_start >= len(text):
-        return Sample(None, None, "error")
+        return Sample(None, None, "error"), -1, -1
     rx = _RECOGNIZER_MAP.get(entry.kind)
     if rx is None:
-        return Sample(None, None, "error")
+        return Sample(None, None, "error"), -1, -1
     lo = max(0, entry.span_start - radius)
     hi = min(len(text), entry.span_end + radius)
     m = rx.search(text, lo, hi)
     if m is None:
-        return Sample(None, None, "no_data")
+        return Sample(None, None, "no_data"), -1, -1
     value = _clean_match(entry.kind, m.group(0))
     ctx = text[max(0, m.start() - _CONTEXT_RADIUS): m.end() + _CONTEXT_RADIUS]
-    return Sample(value, ctx, "ok")
+    return Sample(value, ctx, "ok"), m.start(), m.end()
 
 
 def resolve_entry(entry: RegistryEntry, text: str, radius: int = 40) -> RegistryEntry:
@@ -227,6 +236,33 @@ def chunked_resolve(
     return [results[e.entity_id] for e in entries]
 
 
+def _axis_samples(
+    e: RegistryEntry, text: str, axes: Sequence[int]
+) -> List[Sample]:
+    """Per-axis verify samples with a single-search fast path.
+
+    Every axis window is a superset of the smallest one and a subset
+    of the largest, so
+     - no match in the LARGEST window → no match in any (all samples
+       identical no_data);
+     - 'error' depends only on span validity → identical;
+     - the largest window's FIRST match lying fully inside the
+       SMALLEST window's bounds means it is also the first match of
+       every window in between → all samples identical.
+    Only a match outside the smallest bounds (another instance of the
+    same kind nearby) needs the per-axis searches — equality with the
+    naive per-axis chain is pinned by test_registry (corpus + an
+    adversarial repeated-entity case that forces the slow path)."""
+    rmin, rmax = 40 * min(axes), 40 * max(axes)
+    big, mstart, mend = _window_extract_pos(e, text, rmax)
+    if big.status != "ok" or (
+        mstart >= max(0, e.span_start - rmin)
+        and mend <= min(len(text), e.span_end + rmin)
+    ):
+        return [big] * len(axes)
+    return [_window_extract(e, text, 40 * axis) for axis in axes]
+
+
 def build_registry(
     result: ExtractResult, axes: Sequence[int] = (1, 3, 5)
 ) -> List[RegistryEntry]:
@@ -247,7 +283,7 @@ def build_registry(
         # subsume the resolve pass; tests/test_registry.py pins this
         # fast path equal to the explicit resolve_entry→verify_entry
         # chain on the whole corpus.
-        samples = [_window_extract(e, text, 40 * axis) for axis in axes]
+        samples = _axis_samples(e, text, axes)
         vote = majority_vote(samples)
         if vote.confidence.startswith("0/"):
             out.append(replace(e, resolution=1, status="error"))
