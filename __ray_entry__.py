@@ -361,6 +361,25 @@ def _q_label_centroids(sf_dir: str):
     return grouped_centroids(emb)
 
 
+def _q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the full embedding table
+    (k=10, 3 iterations, deterministic codebook init). Per-batch
+    integer-quantized partial sums make the centroid updates bit-exact
+    at any parallelism; the oracle unrolls the same iterations in SQL
+    from the same centroid literals (sqlmirror.embedding_kmeans_sql).
+    SemDeDup-style semantic bucketing is this plus a per-cluster
+    keep-rule."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = kmeans_fit(emb, k=10, iters=3)
+    return kmeans_assign(emb, cents)
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1604,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
+        "embedding_kmeans": _q_embedding_kmeans,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1708,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
         "chars_quantiles_approx": sm.CHARS_QUANTILES_APPROX_SQL,
         "curate": sm.CURATE_SQL,
         "bpe_token_lengths": sm.BPE_TOKEN_LENGTHS_SQL,
+        "embedding_kmeans": sm.embedding_kmeans_sql(),
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

@@ -1346,3 +1346,90 @@ def test_checkpoint_concurrency_equals_sequential(ray_session, tmp_path):
             assert a is None and b is None
             continue
         pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------------------
+# distributed k-means
+# --------------------------------------------------------------------------
+
+def test_kmeans_margin_guards_float_boundary(sf_small):
+    """The kmeans oracle contract: centroids are bit-identical on both
+    sides (integer-quantized sums), so the only cross-engine float
+    freedom is the 64-term assignment dot product (~1e-15 relative).
+    Pin that every vector's best-vs-second score gap stays >= 1e-9 at
+    every iteration — 6+ orders of safety margin."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import fixed_codebook
+
+    t = pq.read_table(f"{sf_small}/embeddings.parquet")
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    cents = {i: c for i, c in enumerate(fixed_codebook(emb.shape[1], 10))}
+    for _ in range(4):
+        idxs = np.array(sorted(cents))
+        mat = np.stack([cents[int(i)] for i in idxs])
+        scores = 2.0 * (emb @ mat.T) - (mat * mat).sum(axis=1)
+        s = np.sort(scores, axis=1)
+        assert (s[:, -1] - s[:, -2]).min() > 1e-9
+        assign = np.argmax(scores, axis=1)
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        new = {}
+        for j, ci in enumerate(idxs):
+            members = q[assign == j]
+            if len(members):
+                new[int(ci)] = members.sum(axis=0).astype(np.float64) / 1e6 / len(members)
+        cents = new
+
+
+def test_kmeans_drops_empty_clusters_and_matches_numpy(ray_session, sf_small):
+    """Engine Lloyd's == single-process numpy Lloyd's (same init, same
+    quantization), including the drop-empty-cluster rule: an init
+    centroid at +100 everywhere (its |c|^2 penalty dwarfs any dot with
+    unit-norm data) catches nothing and must vanish from the fit
+    result, not linger stale."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import (
+        fixed_codebook,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    t = pq.read_table(f"{sf_small}/embeddings.parquet")
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    vec_ids = t["vec_id"].to_numpy()
+    init = np.vstack([fixed_codebook(emb.shape[1], 3),
+                      np.full(emb.shape[1], 100.0)])
+
+    ds = rd.read_parquet(f"{sf_small}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    got = kmeans_fit(ds, k=4, iters=2, init=init)
+
+    cents = {i: init[i].astype(np.float64) for i in range(4)}
+    for _ in range(2):
+        idxs = np.array(sorted(cents))
+        mat = np.stack([cents[int(i)] for i in idxs])
+        scores = 2.0 * (emb @ mat.T) - (mat * mat).sum(axis=1)
+        assign = np.argmax(scores, axis=1)
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        new = {}
+        for j, ci in enumerate(idxs):
+            members = q[assign == j]
+            if len(members):
+                new[int(ci)] = members.sum(axis=0).astype(np.float64) / 1e6 / len(members)
+        cents = new
+
+    assert set(got) == set(cents)
+    assert 3 not in got  # the far-away init emptied out and was dropped
+    for c in got:
+        np.testing.assert_array_equal(got[c], cents[c])  # bit-exact
+
+    tagged = kmeans_assign(ds, got).to_pandas().sort_values("vec_id")
+    idxs = np.array(sorted(cents))
+    mat = np.stack([cents[int(i)] for i in idxs])
+    want = idxs[np.argmax(2.0 * (emb @ mat.T) - (mat * mat).sum(axis=1), axis=1)]
+    order = np.argsort(vec_ids)
+    np.testing.assert_array_equal(tagged["cluster"].to_numpy(), want[order])

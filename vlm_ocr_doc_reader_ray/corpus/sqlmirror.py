@@ -1557,3 +1557,62 @@ FROM ranked GROUP BY 1
 
 
 WARC_CURATE_SHARDS_SQL = warc_curate_shards_sql()
+
+
+def embedding_kmeans_sql(dim: int = 64, k: int = 10, iters: int = 3,
+                         scale: int = 1_000_000,
+                         seed: str = "kmeans-init") -> str:
+    """Unrolled-Lloyd k-means oracle. The deterministic init centroids
+    (similarity.fixed_codebook) are interpolated as DOUBLE[] literals;
+    each engine iteration (assign → integer-quantized mean) is one
+    CTE pair. Both sides quantize components identically
+    (floor(v*scale+0.5) as BIGINT — the engine's exact-float
+    convention), so sums and therefore centroids are BIT-IDENTICAL;
+    the only float-order freedom left is the 64-term assignment dot
+    product (~1e-15 relative), 8+ orders below the measured min
+    assignment margin (pinned by test_kmeans_margin)."""
+    from vlm_ocr_doc_reader_ray.stages.similarity import fixed_codebook
+
+    cents = fixed_codebook(dim, k, seed=seed)
+    vals = ",\n         ".join(
+        "(" + str(i) + ", ["
+        + ", ".join(repr(float(x)) for x in cents[i]) + "]::DOUBLE[])"
+        for i in range(k)
+    )
+    parts = [f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * {scale}.0 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+), m0(c, ce) AS (
+  VALUES {vals}
+)"""]
+    for t in range(iters):
+        parts.append(f""", a{t} AS (
+  SELECT vec_id, qe, c FROM (
+    SELECT e.vec_id, e.qe, m.c,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY 2 * list_dot_product(e.ee, m.ce)
+                      - list_dot_product(m.ce, m.ce) DESC, m.c ASC
+           ) AS rn
+    FROM e, m{t} m) WHERE rn = 1
+), m{t + 1} AS (
+  SELECT c, list(sv ORDER BY i) AS ce FROM (
+    SELECT c, i,
+           CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / {scale}.0
+             / CAST(count(*) AS DOUBLE) AS sv
+    FROM (SELECT c, unnest(qe) AS v,
+                 unnest(range(len(qe))) AS i FROM a{t})
+    GROUP BY c, i) GROUP BY c
+)""")
+    parts.append(f"""
+SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (
+  SELECT e.vec_id, m.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY 2 * list_dot_product(e.ee, m.ce)
+                    - list_dot_product(m.ce, m.ce) DESC, m.c ASC
+         ) AS rn
+  FROM e, m{iters} m) WHERE rn = 1""")
+    return "".join(parts)

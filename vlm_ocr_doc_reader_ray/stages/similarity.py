@@ -555,3 +555,153 @@ def grouped_centroids(
         return out
 
     return totals.map_batches(finish, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# distributed k-means (Lloyd's) over the FULL corpus
+# --------------------------------------------------------------------------
+
+def _lloyd_pass(
+    ds: rd.Dataset,
+    cents: dict,
+    vec_col: str,
+    scale: int,
+) -> dict:
+    """One streaming Lloyd iteration: assign every vector to its
+    nearest centroid and return the new per-cluster means.
+
+    Scale shape: centroids are broadcast ONCE (``ray.put``), each batch
+    collapses to ``clusters × dim`` integer residue rows (the
+    :func:`grouped_centroids` quantization convention — int64 sums are
+    associative, so the distributed mean is bit-exact at any
+    partitioning), the global combine is a pre-aggregated
+    ``grouped_sums`` over those residues, and only the bounded
+    ``k × dim`` result ever reaches the driver. The corpus itself is
+    never materialized; each iteration is one streaming pass.
+
+    Exactness bound (documented contract): a cluster's quantized
+    component sum must stay below 2^53 to round-trip through float64 —
+    ``count_per_cluster × scale × max|v| < 2^53``. At 1e6 scale and
+    unit-norm vectors that allows ~9e9 rows per cluster; shrink
+    ``scale`` for larger clusters.
+
+    Empty clusters are DROPPED (not re-seeded): the SQL mirror's
+    per-iteration GROUP BY loses them naturally, so the engine must
+    too. Cluster indices keep their init positions.
+    """
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+
+    idxs = np.array(sorted(cents), dtype=np.int64)
+    mat = np.stack([cents[int(i)] for i in idxs]).astype(np.float64)
+    cn = (mat * mat).sum(axis=1)
+    ref = ray.put((idxs, mat, cn))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"c": pd.Series([], dtype="int64"),
+                 "i": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        b_idxs, b_mat, b_cn = ray.get(ref)
+        m = _batch_matrix(batch, vec_col)
+        # squared-L2 argmin == argmax of 2*x.c - |c|^2 (|x|^2 common);
+        # np.argmax takes the FIRST max == smallest cluster index,
+        # mirrored in SQL by ORDER BY score DESC, c ASC.
+        scores = 2.0 * (m @ b_mat.T) - b_cn
+        a = np.argmax(scores, axis=1)
+        q = np.floor(m * scale + 0.5).astype(np.int64)
+        uniq, inv = np.unique(a, return_inverse=True)
+        dim = m.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "c": np.repeat(b_idxs[uniq], dim),
+                "i": np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+                "s": sums.reshape(-1),
+                "n": np.repeat(counts, dim),
+            }
+        )
+
+    residues = ds.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    totals = grouped_sums(residues, ["c", "i"], ["s", "n"]).to_pandas()
+    new: dict = {}
+    for cidx, g in totals.groupby("c"):
+        g = g.sort_values("i")
+        new[int(cidx)] = (
+            g["s"].to_numpy(dtype=np.float64) / scale / g["n"].to_numpy(dtype=np.float64)
+        )
+    return new
+
+
+def kmeans_fit(
+    ds: rd.Dataset,
+    k: int = 10,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    init: np.ndarray | None = None,
+    scale: int = 1_000_000,
+    seed: str = "kmeans-init",
+) -> dict:
+    """Distributed Lloyd's k-means over the FULL dataset (unlike
+    :func:`train_centroids`, which fits an in-memory sample for IVF
+    codebooks). ``iters`` fixed assignment+update passes from a
+    deterministic data-independent init (:func:`fixed_codebook`), so
+    the result is reproducible and SQL-mirrorable (the DuckDB oracle
+    unrolls the same iterations from the same centroid literals).
+
+    Returns ``{cluster_index: centroid}`` (float64 arrays); indices
+    are init positions, emptied clusters are dropped. Each iteration
+    re-reads the (column-pruned) input — at 100 TB that is ``iters``
+    streaming passes, never a corpus pin.
+    """
+    if init is None:
+        first = ds.select_columns([vec_col]).take(1)
+        dim = len(first[0][vec_col])
+        init = fixed_codebook(dim, k, seed=seed)
+    cents = {i: np.asarray(init[i], dtype=np.float64) for i in range(len(init))}
+    for _ in range(iters):
+        cents = _lloyd_pass(ds, cents, vec_col, scale)
+    return cents
+
+
+def kmeans_assign(
+    ds: rd.Dataset,
+    cents: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "cluster",
+) -> rd.Dataset:
+    """Tag every vector with its nearest centroid (one broadcast, one
+    streaming pass): ``(id_col, out_col)`` rows."""
+    idxs = np.array(sorted(cents), dtype=np.int64)
+    mat = np.stack([cents[int(i)] for i in idxs]).astype(np.float64)
+    cn = (mat * mat).sum(axis=1)
+    ref = ray.put((idxs, mat, cn))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 out_col: pa.array([], type=pa.int64())}
+            )
+        b_idxs, b_mat, b_cn = ray.get(ref)
+        m = _batch_matrix(batch, vec_col)
+        a = np.argmax(2.0 * (m @ b_mat.T) - b_cn, axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                out_col: pa.array(b_idxs[a], type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        tag, batch_format="pyarrow"
+    )
