@@ -380,6 +380,23 @@ def _q_embedding_kmeans(sf_dir: str):
     return kmeans_assign(emb, cents)
 
 
+def _q_kmeans_medoids(sf_dir: str):
+    """Per-cluster representative (closest member to the final
+    centroid, ties → smallest id) + exact cluster size — the
+    prototype-selection step of a semantic-dedup pipeline. Residues
+    are one candidate row per (batch, cluster); the driver reduces a
+    bounded k × blocks table."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import kmeans_fit, kmeans_medoids
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = kmeans_fit(emb, k=10, iters=3)
+    return kmeans_medoids(emb, cents)
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1624,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
         "embedding_kmeans": _q_embedding_kmeans,
+        "kmeans_medoids": _q_kmeans_medoids,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1729,6 +1747,7 @@ def oracle_sql() -> dict[str, str]:
         "curate": sm.CURATE_SQL,
         "bpe_token_lengths": sm.BPE_TOKEN_LENGTHS_SQL,
         "embedding_kmeans": sm.embedding_kmeans_sql(),
+        "kmeans_medoids": sm.kmeans_medoids_sql(),
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

@@ -1373,6 +1373,11 @@ def test_kmeans_margin_guards_float_boundary(sf_small):
         s = np.sort(scores, axis=1)
         assert (s[:, -1] - s[:, -2]).min() > 1e-9
         assign = np.argmax(scores, axis=1)
+        # medoid selection margin: best-vs-second member per cluster
+        for j in range(len(idxs)):
+            member_scores = np.sort(scores[assign == j, j])
+            if len(member_scores) >= 2:
+                assert member_scores[-1] - member_scores[-2] > 1e-9
         q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
         new = {}
         for j, ci in enumerate(idxs):

@@ -1559,18 +1559,18 @@ FROM ranked GROUP BY 1
 WARC_CURATE_SHARDS_SQL = warc_curate_shards_sql()
 
 
-def embedding_kmeans_sql(dim: int = 64, k: int = 10, iters: int = 3,
-                         scale: int = 1_000_000,
-                         seed: str = "kmeans-init") -> str:
-    """Unrolled-Lloyd k-means oracle. The deterministic init centroids
-    (similarity.fixed_codebook) are interpolated as DOUBLE[] literals;
-    each engine iteration (assign → integer-quantized mean) is one
-    CTE pair. Both sides quantize components identically
-    (floor(v*scale+0.5) as BIGINT — the engine's exact-float
-    convention), so sums and therefore centroids are BIT-IDENTICAL;
-    the only float-order freedom left is the 64-term assignment dot
-    product (~1e-15 relative), 8+ orders below the measured min
-    assignment margin (pinned by test_kmeans_margin)."""
+def _kmeans_cte_chain(dim: int, k: int, iters: int, scale: int,
+                      seed: str) -> str:
+    """Shared unrolled-Lloyd CTE prefix for the kmeans oracles. The
+    deterministic init centroids (similarity.fixed_codebook) are
+    interpolated as DOUBLE[] literals; each engine iteration
+    (assign → integer-quantized mean) is one CTE pair. Both sides
+    quantize components identically (floor(v*scale+0.5) as BIGINT —
+    the engine's exact-float convention), so sums and therefore
+    centroids are BIT-IDENTICAL; the only float-order freedom left is
+    the 64-term assignment dot product (~1e-15 relative), 8+ orders
+    below the measured min assignment margin (pinned by
+    test_kmeans_margin_guards_float_boundary)."""
     from vlm_ocr_doc_reader_ray.stages.similarity import fixed_codebook
 
     cents = fixed_codebook(dim, k, seed=seed)
@@ -1606,7 +1606,16 @@ def embedding_kmeans_sql(dim: int = 64, k: int = 10, iters: int = 3,
                  unnest(range(len(qe))) AS i FROM a{t})
     GROUP BY c, i) GROUP BY c
 )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def embedding_kmeans_sql(dim: int = 64, k: int = 10, iters: int = 3,
+                         scale: int = 1_000_000,
+                         seed: str = "kmeans-init") -> str:
+    """Final cluster assignment after the unrolled Lloyd chain
+    (see :func:`_kmeans_cte_chain` for the float-exactness argument)."""
+    chain = _kmeans_cte_chain(dim, k, iters, scale, seed)
+    return chain + f"""
 SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (
   SELECT e.vec_id, m.c,
          row_number() OVER (
@@ -1614,5 +1623,36 @@ SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (
            ORDER BY 2 * list_dot_product(e.ee, m.ce)
                     - list_dot_product(m.ce, m.ce) DESC, m.c ASC
          ) AS rn
-  FROM e, m{iters} m) WHERE rn = 1""")
-    return "".join(parts)
+  FROM e, m{iters} m) WHERE rn = 1"""
+
+
+def kmeans_medoids_sql(dim: int = 64, k: int = 10, iters: int = 3,
+                       scale: int = 1_000_000,
+                       seed: str = "kmeans-init") -> str:
+    """Per-cluster medoid (closest member to the final centroid, ties
+    → smallest vec_id) + exact cluster size, over the same unrolled
+    Lloyd chain. The medoid rank reuses the assignment score; the
+    engine's measured best-vs-second medoid gap is ~1e-4 (pinned by
+    test) vs ~1e-15 cross-engine dot noise."""
+    chain = _kmeans_cte_chain(dim, k, iters, scale, seed)
+    return chain + f""", af AS (
+  SELECT vec_id, c, score FROM (
+    SELECT e.vec_id, m.c,
+           2 * list_dot_product(e.ee, m.ce)
+             - list_dot_product(m.ce, m.ce) AS score,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY 2 * list_dot_product(e.ee, m.ce)
+                      - list_dot_product(m.ce, m.ce) DESC, m.c ASC
+           ) AS rn
+    FROM e, m{iters} m) WHERE rn = 1
+)
+SELECT CAST(c AS BIGINT) AS cluster,
+       CAST(vec_id AS BIGINT) AS medoid_id,
+       CAST(size AS BIGINT) AS size
+FROM (
+  SELECT c, vec_id,
+         row_number() OVER (
+           PARTITION BY c ORDER BY score DESC, vec_id ASC) AS rn2,
+         count(*) OVER (PARTITION BY c) AS size
+  FROM af) WHERE rn2 = 1"""

@@ -705,3 +705,68 @@ def kmeans_assign(
     return ds.select_columns([id_col, vec_col]).map_batches(
         tag, batch_format="pyarrow"
     )
+
+
+def kmeans_medoids(
+    ds: rd.Dataset,
+    cents: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "pd.DataFrame":
+    """Per-cluster representative selection (the SemDeDup/prototype
+    step): for every cluster, the member CLOSEST to its centroid
+    (max ``2x·c - |c|²`` == min L2, ties → smallest id) plus the exact
+    cluster size. One streaming pass: each batch emits at most one
+    ``(cluster, id, score, n)`` candidate row per cluster (bounded by
+    ``k × blocks``), the driver reduces those residues with one
+    deterministic sort. Scores are computed from the SAME broadcast
+    centroid matrix in every batch, so cross-batch comparison is
+    total-ordered; the best-vs-second gap is ~1e-4 on this corpus
+    (pinned by test) vs ~1e-15 dot-product noise."""
+    import pandas as pd
+
+    idxs = np.array(sorted(cents), dtype=np.int64)
+    mat = np.stack([cents[int(i)] for i in idxs]).astype(np.float64)
+    cn = (mat * mat).sum(axis=1)
+    ref = ray.put((idxs, mat, cn))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"c": pd.Series([], dtype="int64"),
+                 "vid": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        b_idxs, b_mat, b_cn = ray.get(ref)
+        m = _batch_matrix(batch, vec_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        scores = 2.0 * (m @ b_mat.T) - b_cn
+        a = np.argmax(scores, axis=1)
+        df = pd.DataFrame(
+            {"c": b_idxs[a], "vid": ids.astype(np.int64),
+             "score": scores[np.arange(len(a)), a]}
+        )
+        sizes = df.groupby("c").size()
+        best = df.sort_values(
+            ["c", "score", "vid"], ascending=[True, False, True]
+        ).groupby("c", sort=True).first().reset_index()
+        best["n"] = best["c"].map(sizes).astype("int64")
+        return best[["c", "vid", "score", "n"]]
+
+    residues = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    sizes = residues.groupby("c")["n"].sum()
+    best = residues.sort_values(
+        ["c", "score", "vid"], ascending=[True, False, True]
+    ).groupby("c", sort=True).first().reset_index()
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "cluster": best["c"].astype("int64"),
+            "medoid_id": best["vid"].astype("int64"),
+            "size": best["c"].map(sizes).astype("int64"),
+        }
+    )
