@@ -397,6 +397,27 @@ def _q_kmeans_medoids(sf_dir: str):
     return kmeans_medoids(emb, cents)
 
 
+def _q_lang_median_gate(sf_dir: str):
+    """Adaptive per-group gate: keep documents at/above their OWN
+    language's exact median word count. Thresholds are a tiny residue
+    table broadcast once; the corpus streams through one vectorized
+    comparison — no row shuffle."""
+    import functools
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_quantile_gate
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import word_count_table
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).map_batches(
+        functools.partial(word_count_table, keep_cols=["doc_id", "lang"]),
+        batch_format="pyarrow",
+    )
+    return grouped_quantile_gate(docs, "lang", "nw", q=0.5, keep="ge")
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1642,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_lengths": _q_bpe_token_lengths,
         "embedding_kmeans": _q_embedding_kmeans,
         "kmeans_medoids": _q_kmeans_medoids,
+        "lang_median_gate": _q_lang_median_gate,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1748,6 +1770,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_lengths": sm.BPE_TOKEN_LENGTHS_SQL,
         "embedding_kmeans": sm.embedding_kmeans_sql(),
         "kmeans_medoids": sm.kmeans_medoids_sql(),
+        "lang_median_gate": sm.LANG_MEDIAN_GATE_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

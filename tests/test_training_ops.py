@@ -1438,3 +1438,31 @@ def test_kmeans_drops_empty_clusters_and_matches_numpy(ray_session, sf_small):
     want = idxs[np.argmax(2.0 * (emb @ mat.T) - (mat * mat).sum(axis=1), axis=1)]
     order = np.argsort(vec_ids)
     np.testing.assert_array_equal(tagged["cluster"].to_numpy(), want[order])
+
+
+def test_grouped_quantile_gate_modes_and_nulls(ray_session):
+    """keep= modes against a hand-checked frame; a group whose values
+    are all NULL has no threshold -> its rows drop (SQL inner-join
+    convention); NULL values inside a live group never pass."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_quantile_gate
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "a", "b", "b", "n", "n"],
+            "v": [1.0, 2.0, 3.0, 4.0, 10.0, None, None, None],
+            "id": range(8),
+        }
+    )
+    ds = rd.from_pandas(df)
+    # quantile_disc(0.5): a -> 2 (ceil(.5*4)=2nd of [1,2,3,4]), b -> 10
+    ge = grouped_quantile_gate(ds, "g", "v", q=0.5, keep="ge").to_pandas()
+    assert sorted(ge["id"]) == [1, 2, 3, 4]
+    lt = grouped_quantile_gate(ds, "g", "v", q=0.5, keep="lt").to_pandas()
+    assert sorted(lt["id"]) == [0]
+    gt = grouped_quantile_gate(ds, "g", "v", q=0.5, keep="gt").to_pandas()
+    assert sorted(gt["id"]) == [2, 3]
+    le = grouped_quantile_gate(ds, "g", "v", q=0.5, keep="le").to_pandas()
+    assert sorted(le["id"]) == [0, 1, 4]

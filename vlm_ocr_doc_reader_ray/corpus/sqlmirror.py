@@ -1656,3 +1656,20 @@ FROM (
            PARTITION BY c ORDER BY score DESC, vec_id ASC) AS rn2,
          count(*) OVER (PARTITION BY c) AS size
   FROM af) WHERE rn2 = 1"""
+
+
+# Adaptive per-group gate: rows at/above their own group's exact
+# median (quantile_disc — the engine's grouped_exact_quantiles index
+# rule). Engine twin: aggregates.grouped_quantile_gate (threshold
+# residues broadcast once, one vectorized comparison per batch).
+LANG_MEDIAN_GATE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+  FROM documents
+), q AS (
+  SELECT lang, quantile_disc(nw, 0.5) AS thr FROM t GROUP BY lang
+)
+SELECT t.doc_id, t.lang, t.nw
+FROM t JOIN q USING (lang) WHERE t.nw >= q.thr
+"""

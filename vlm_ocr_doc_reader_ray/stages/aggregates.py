@@ -16,6 +16,7 @@ from typing import Sequence
 
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
@@ -363,3 +364,49 @@ def grouped_min_max(
         Min(f"{col}_min", alias_name=f"{col}_min"),
         Max(f"{col}_max", alias_name=f"{col}_max"),
     )
+
+
+def grouped_quantile_gate(
+    ds: rd.Dataset,
+    group_cols: str | Sequence[str],
+    col: str,
+    q: float = 0.5,
+    keep: str = "ge",
+) -> rd.Dataset:
+    """Filter rows against THEIR OWN group's exact quantile (e.g. keep
+    documents at/above their language's median length) — the per-group
+    adaptive twin of a fixed-threshold gate.
+
+    Scale shape: the thresholds come from
+    :func:`grouped_exact_quantiles` (residue histogram shuffle, never
+    the rows), collapse to one tiny ``group → threshold`` table that is
+    broadcast ONCE (``ray.put``), and the gate itself is a single
+    vectorized comparison per batch — the corpus streams through
+    untouched by any row shuffle. Groups absent from the threshold
+    table (all-null values) drop their rows, matching the SQL inner
+    join. ``keep`` ∈ {"ge", "gt", "le", "lt"}.
+    """
+    import operator
+
+    import pandas as pd
+
+    ops = {"ge": operator.ge, "gt": operator.gt,
+           "le": operator.le, "lt": operator.lt}
+    op = ops[keep]
+    key_list = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    thr = grouped_exact_quantiles(ds, key_list, col, [q]).to_pandas()
+    table = {tuple(r[k] for k in key_list): r["value"]
+             for _, r in thr.iterrows()}
+    ref = ray.put(table)
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return batch
+        t = ray.get(ref)
+        keys = pd.Series(zip(*(batch[k] for k in key_list)), index=batch.index)
+        lim = keys.map(t)
+        mask = lim.notna() & op(batch[col], lim)
+        return batch[mask.to_numpy(dtype=bool)]
+
+    return ds.map_batches(gate, batch_format="pandas")
