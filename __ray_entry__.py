@@ -418,6 +418,28 @@ def _q_lang_median_gate(sf_dir: str):
     return grouped_quantile_gate(docs, "lang", "nw", q=0.5, keep="ge")
 
 
+def _q_lang_length_percentile(sf_dir: str):
+    """Exact within-language percentile rank of every document's
+    length (SQL cume_dist) WITHOUT a window sort: per-group cumulative
+    histograms from (group, value, count) residues, broadcast once,
+    vectorized searchsorted per batch. Integer arithmetic until the
+    one final IEEE division → bit-equal to the window function."""
+    import functools
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_percentile_rank
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import word_count_table
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).map_batches(
+        functools.partial(word_count_table, keep_cols=["doc_id", "lang"]),
+        batch_format="pyarrow",
+    )
+    return grouped_percentile_rank(docs, "lang", "nw")
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1664,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _q_embedding_kmeans,
         "kmeans_medoids": _q_kmeans_medoids,
         "lang_median_gate": _q_lang_median_gate,
+        "lang_length_percentile": _q_lang_length_percentile,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1771,6 +1794,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": sm.embedding_kmeans_sql(),
         "kmeans_medoids": sm.kmeans_medoids_sql(),
         "lang_median_gate": sm.LANG_MEDIAN_GATE_SQL,
+        "lang_length_percentile": sm.LANG_LENGTH_PERCENTILE_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

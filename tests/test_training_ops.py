@@ -1466,3 +1466,34 @@ def test_grouped_quantile_gate_modes_and_nulls(ray_session):
     assert sorted(gt["id"]) == [2, 3]
     le = grouped_quantile_gate(ds, "g", "v", q=0.5, keep="le").to_pandas()
     assert sorted(le["id"]) == [0, 1, 4]
+
+
+def test_grouped_percentile_rank_bit_equals_cume_dist(ray_session):
+    """Rank arithmetic is integer until one IEEE division, so the
+    histogram path must equal the window function BIT-FOR-BIT,
+    including ties and a single-value group."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_percentile_rank
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 7 + ["b"] * 3 + ["c"],
+            "v": [5, 1, 5, 2, 2, 2, 9, 4, 4, 4, 0],
+            "id": range(11),
+        }
+    )
+    got = (
+        grouped_percentile_rank(rd.from_pandas(df), "g", "v")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "SELECT id, cume_dist() OVER (PARTITION BY g ORDER BY v) AS pct FROM t"
+    ).df().sort_values("id").reset_index(drop=True)
+    assert (got["pct"].to_numpy() == want["pct"].to_numpy()).all()
+    assert got.loc[got["id"] == 10, "pct"].item() == 1.0

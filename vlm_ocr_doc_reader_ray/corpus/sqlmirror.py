@@ -1673,3 +1673,18 @@ WITH t AS (
 SELECT t.doc_id, t.lang, t.nw
 FROM t JOIN q USING (lang) WHERE t.nw >= q.thr
 """
+
+
+# Exact within-group percentile rank (cume_dist) — engine twin:
+# aggregates.grouped_percentile_rank (cumulative histogram residues,
+# broadcast once, searchsorted per batch; integer until one division).
+LANG_LENGTH_PERCENTILE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+  FROM documents
+)
+SELECT doc_id, lang, nw,
+       cume_dist() OVER (PARTITION BY lang ORDER BY nw) AS pct
+FROM t
+"""

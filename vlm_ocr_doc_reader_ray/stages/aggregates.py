@@ -410,3 +410,58 @@ def grouped_quantile_gate(
         return batch[mask.to_numpy(dtype=bool)]
 
     return ds.map_batches(gate, batch_format="pandas")
+
+
+def grouped_percentile_rank(
+    ds: rd.Dataset,
+    group_cols: str | Sequence[str],
+    col: str,
+    out_col: str = "pct",
+) -> rd.Dataset:
+    """Exact within-group percentile rank (SQL ``cume_dist``:
+    rows ≤ value / group size) WITHOUT a window-function sort: the
+    per-group cumulative histogram is built from ``(group, value,
+    count)`` residues (bounding the shuffle by distinct pairs, not
+    rows), broadcast once, and each batch reads its rows' ranks off a
+    vectorized ``searchsorted``. Arithmetic is integer until the one
+    final IEEE division, so ranks equal the window function
+    bit-for-bit. Contract: distinct (group, value) pairs fit one
+    worker (lengths, scores — the usual rank targets).
+    """
+    import numpy as np
+
+    key_list = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    hist = value_counts(
+        ds.select_columns(key_list + [col]), key_list + [col], alias="__c"
+    ).to_pandas()
+    hist = hist.sort_values(key_list + [col], ignore_index=True)
+    table: dict = {}
+    for key, g in hist.groupby(key_list[0] if len(key_list) == 1 else key_list):
+        vals = g[col].to_numpy()
+        cum = g["__c"].to_numpy().cumsum()
+        table[key] = (vals, cum.astype(np.int64), int(cum[-1]))
+    ref = ray.put(table)
+
+    def rank(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            out = batch.copy()
+            out[out_col] = pd.Series([], dtype="float64")
+            return out
+        t = ray.get(ref)
+        out = batch.copy()
+        pct = np.empty(len(batch), dtype=np.float64)
+        if len(key_list) == 1:
+            gkeys = batch[key_list[0]]
+        else:
+            gkeys = pd.Series(zip(*(batch[k] for k in key_list)), index=batch.index)
+        pos = 0
+        for key, g in batch.groupby(gkeys, sort=False):
+            vals, cum, n = t[key]
+            idx = np.searchsorted(vals, g[col].to_numpy(), side="right") - 1
+            loc = batch.index.get_indexer(g.index)
+            pct[loc] = cum[idx].astype(np.float64) / np.float64(n)
+        out[out_col] = pct
+        return out
+
+    return ds.map_batches(rank, batch_format="pandas")
