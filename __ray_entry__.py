@@ -440,6 +440,22 @@ def _q_lang_length_percentile(sf_dir: str):
     return grouped_percentile_rank(docs, "lang", "nw")
 
 
+def _q_lang_hll_registers(sf_dir: str):
+    """Per-language HLL register tables (approximate distinct texts
+    per language) — per-batch register residues, one pre-aggregated
+    max; the register table is bit-reproducible (md5_u64 contract) so
+    the oracle recomputes it exactly. The float estimate itself is
+    pytest-bounded, not SQL-hashed."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.sketch import grouped_hll_registers
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return grouped_hll_registers(docs, "lang", "text", p=9)
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1687,6 +1703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_medoids": _q_kmeans_medoids,
         "lang_median_gate": _q_lang_median_gate,
         "lang_length_percentile": _q_lang_length_percentile,
+        "lang_hll_registers": _q_lang_hll_registers,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1795,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_medoids": sm.kmeans_medoids_sql(),
         "lang_median_gate": sm.LANG_MEDIAN_GATE_SQL,
         "lang_length_percentile": sm.LANG_LENGTH_PERCENTILE_SQL,
+        "lang_hll_registers": sm.LANG_HLL_REGISTERS_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

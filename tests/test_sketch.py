@@ -126,3 +126,23 @@ def test_heavy_hitters_empty_result_keeps_schema(ray_session):
     # Dataset itself)
     assert sorted(out.schema().names) == ["k", "n"]
     assert out.count() == 0
+
+
+def test_grouped_hll_estimates_within_bound(ray_session, sf_small):
+    """Per-group estimates inherit the single-HLL error bound
+    (~1.04/sqrt(512) ≈ 4.6% at p=9; allow 3 sigma) against exact
+    per-language distinct text counts."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.sketch import grouped_distinct_hll
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet", columns=["lang", "text"])
+    exact = docs.groupby("lang")["text"].nunique()
+    got = grouped_distinct_hll(
+        rd.read_parquet(f"{sf_small}/documents.parquet", columns=["lang", "text"]),
+        "lang", "text", p=9,
+    ).set_index("lang")["approx_distinct"]
+    assert set(got.index) == set(exact.index)
+    for lang, n in exact.items():
+        assert abs(got[lang] - n) / n < 0.14, (lang, got[lang], n)

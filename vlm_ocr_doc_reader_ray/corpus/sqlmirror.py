@@ -1688,3 +1688,22 @@ SELECT doc_id, lang, nw,
        cume_dist() OVER (PARTITION BY lang ORDER BY nw) AS pct
 FROM t
 """
+
+
+# Grouped HLL register table (p=9): same md5_u64 register recompute as
+# HLL_REGISTERS_SQL, per language. Engine twin:
+# sketch.grouped_hll_registers (per-batch residues, pre-aggregated max).
+LANG_HLL_REGISTERS_SQL = r"""
+WITH h AS (
+  SELECT lang, ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h
+  FROM documents
+), b AS (
+  SELECT lang, CAST(h >> 55 AS BIGINT) AS bucket,
+         h & ((1::UBIGINT << 55) - 1) AS r
+  FROM h
+)
+SELECT lang, bucket,
+       CAST(max(CASE WHEN r = 0 THEN 56 ELSE 55 - len(bin(r)) + 1 END)
+            AS BIGINT) AS rho_max
+FROM b GROUP BY lang, bucket
+"""

@@ -243,3 +243,59 @@ def heavy_hitters(
         return batch.filter(pc.greater_equal(batch.column(alias), threshold))
 
     return totals.map_batches(final, batch_format="pyarrow")
+
+
+def grouped_hll_registers(
+    ds: rd.Dataset,
+    group_cols: str | list,
+    col: str,
+    p: int = 9,
+) -> rd.Dataset:
+    """Per-group HLL register tables — approximate COUNT(DISTINCT col)
+    GROUP BY group_cols without shuffling any row: each batch collapses
+    to ≤ groups × 2^p ``(group…, bucket, rho)`` residues, the global
+    merge is one pre-aggregated max over residues. Same md5_u64 hash
+    contract as :func:`hll_registers`, so the register table is
+    bit-reproducible and SQL-recomputable."""
+    from ray.data.aggregate import Max
+
+    key_list = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        strs = df[col].astype(str)
+        h = np.fromiter(
+            (md5_u64(s) for s in strs), dtype=np.uint64, count=len(strs)
+        )
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h & ((np.uint64(1) << np.uint64(64 - p)) - np.uint64(1))
+        rho = (64 - p) - _bit_length_u64(rest) + 1
+        out = df[key_list].copy()
+        out["bucket"] = bucket
+        out["rho"] = rho.astype("int64")
+        return out.groupby(key_list + ["bucket"], sort=False, as_index=False)[
+            "rho"
+        ].max()
+
+    partial = ds.select_columns(key_list + [col]).map_batches(
+        per_batch, batch_format="pandas"
+    )
+    return partial.groupby(key_list + ["bucket"]).aggregate(
+        Max("rho", alias_name="rho_max")
+    )
+
+
+def grouped_distinct_hll(
+    ds: rd.Dataset, group_cols: str | list, col: str, p: int = 9
+) -> pd.DataFrame:
+    """Per-group approximate distinct counts: the register merge above
+    plus the bias-corrected estimate per group (one bounded pandas
+    pass on the driver — ≤ groups × 2^p rows)."""
+    key_list = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    regs = grouped_hll_registers(ds, key_list, col, p).to_pandas()
+    rows = []
+    for key, g in regs.groupby(key_list[0] if len(key_list) == 1 else key_list):
+        est = hll_estimate(g.rename(columns={"rho_max": "rho_max"}), p)
+        row = dict(zip(key_list, key if isinstance(key, tuple) else (key,)))
+        row["approx_distinct"] = est
+        rows.append(row)
+    return pd.DataFrame(rows)
