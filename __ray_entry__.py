@@ -456,6 +456,30 @@ def _q_lang_hll_registers(sf_dir: str):
     return grouped_hll_registers(docs, "lang", "text", p=9)
 
 
+def _q_importance_weights(sf_dir: str):
+    """DSIR-flavored importance weighting: hashed-unigram count tables
+    for a TARGET corpus (lang='en') and the full SOURCE corpus are
+    built in one streaming pass (bounded 65536-bucket residues),
+    broadcast once, and every doc gets integer-exact target/source
+    affinity sums + their ratio. The smoothed log-likelihood-ratio
+    column is computed by the same operator but pytest-gated (float
+    accumulation is not cross-engine reproducible)."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        importance_count_tables,
+        importance_scores,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    t, s = importance_count_tables(docs, lambda b: (b["lang"] == "en").to_numpy())
+    return importance_scores(docs, t, s).select_columns(
+        ["doc_id", "t_sum", "s_sum", "ratio"]
+    )
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1704,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_median_gate": _q_lang_median_gate,
         "lang_length_percentile": _q_lang_length_percentile,
         "lang_hll_registers": _q_lang_hll_registers,
+        "importance_weights": _q_importance_weights,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1813,6 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_median_gate": sm.LANG_MEDIAN_GATE_SQL,
         "lang_length_percentile": sm.LANG_LENGTH_PERCENTILE_SQL,
         "lang_hll_registers": sm.LANG_HLL_REGISTERS_SQL,
+        "importance_weights": sm.IMPORTANCE_WEIGHTS_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

@@ -1497,3 +1497,42 @@ def test_grouped_percentile_rank_bit_equals_cume_dist(ray_session):
     ).df().sort_values("id").reset_index(drop=True)
     assert (got["pct"].to_numpy() == want["pct"].to_numpy()).all()
     assert got.loc[got["id"] == 10, "pct"].item() == 1.0
+
+
+def test_importance_log_ratio_prefers_target(ray_session, sf_small):
+    """The smoothed log-likelihood ratio must rank target-language
+    docs above every other language on average (the DSIR selection
+    property), and must equal a single-process numpy recompute of the
+    same formula."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        _hashed_word_buckets,
+        importance_count_tables,
+        importance_scores,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    t, s = importance_count_tables(docs, lambda b: (b["lang"] == "en").to_numpy())
+    out = importance_scores(docs, t, s).to_pandas()
+
+    pdf = pd.read_parquet(f"{sf_small}/documents.parquet",
+                          columns=["doc_id", "lang", "text"])
+    means = out.merge(pdf[["doc_id", "lang"]], on="doc_id").groupby("lang")[
+        "log_ratio"].mean()
+    assert means.idxmax() == "en"
+
+    # single-process recompute of one doc's log_ratio
+    nb = len(s)
+    alpha = 1.0
+    lr = (np.log((t + alpha) / (np.float64(t.sum()) + alpha * nb))
+          - np.log((s + alpha) / (np.float64(s.sum()) + alpha * nb)))
+    row = pdf.iloc[7]
+    buckets, _ = _hashed_word_buckets([row["text"]], nb)
+    want = lr[buckets].sum()
+    got = out.loc[out["doc_id"] == row["doc_id"], "log_ratio"].item()
+    assert abs(got - want) < 1e-9

@@ -1707,3 +1707,31 @@ SELECT lang, bucket,
             AS BIGINT) AS rho_max
 FROM b GROUP BY lang, bucket
 """
+
+
+# DSIR-flavored importance features: per-doc sums of hashed-unigram
+# target (lang='en') / source corpus counts + their one-division
+# ratio — integer-exact, so hash-gated. The smoothed log-likelihood
+# ratio itself is pytest-verified (libm/accumulation ulps are not
+# cross-engine reproducible). Engine twin:
+# text_analysis.importance_count_tables/importance_scores.
+IMPORTANCE_WEIGHTS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+), hh AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 65536 AS BIGINT) AS h
+  FROM w
+), t AS (
+  SELECT h, count(*) AS tc FROM hh WHERE lang = 'en' GROUP BY h
+), s AS (
+  SELECT h, count(*) AS sc FROM hh GROUP BY h
+)
+SELECT doc_id,
+       CAST(sum(COALESCE(tc, 0)) AS BIGINT) AS t_sum,
+       CAST(sum(sc) AS BIGINT) AS s_sum,
+       CAST(CAST(sum(COALESCE(tc, 0)) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(sc) AS BIGINT) AS DOUBLE) AS ratio
+FROM hh LEFT JOIN t USING (h) JOIN s USING (h)
+GROUP BY doc_id
+"""

@@ -13,6 +13,7 @@ import hashlib
 import re
 
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 # language marker words, matched against whitespace tokens. Order of
@@ -672,6 +673,142 @@ def word_freq_score(
              "nw": pa.array(nw),
              "freq_sum": pa.array(fsum),
              "mean_freq": pa.array(fsum.astype(np.float64) / nw)}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR-flavored importance weighting (hashed n-gram importance sampling)
+# --------------------------------------------------------------------------
+
+def _md5_u64(s: str) -> int:
+    """First 8 bytes of md5, big-endian (the dedup-family hash
+    contract, duplicated here so worker-side closures have no
+    package-level import): mirrored in SQL by
+    ``('0x' || substr(md5(w), 1, 16))::UBIGINT``."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def _hashed_word_buckets(texts, n_buckets: int) -> tuple:
+    """Per-row hashed-unigram bucket lists: returns (flat_buckets,
+    row_lengths). md5_u64 per UNIQUE word per batch (not per
+    occurrence), inverse-mapped — the hash loop is bounded by batch
+    vocabulary, not token count."""
+    import numpy as np
+
+    words_per_row = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(w) for w in words_per_row), dtype=np.int64,
+                       count=len(words_per_row))
+    flat = [w for row in words_per_row for w in row]
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    uh = np.fromiter(
+        (_md5_u64(w) % n_buckets for w in uniq), dtype=np.int64, count=len(uniq)
+    )
+    return uh[inv], lens
+
+
+def importance_count_tables(
+    ds: rd.Dataset,
+    target_filter,
+    text_col: str = "text",
+    n_buckets: int = 65536,
+) -> tuple:
+    """ONE streaming pass building both hashed-unigram count tables of
+    DSIR-style importance sampling: ``target`` (rows passing
+    ``target_filter(batch) -> bool mask``) and ``source`` (all rows).
+    Each batch collapses to ≤ 2 × n_buckets residue rows; the global
+    combine is a pre-aggregated sum; the result is two bounded int64
+    arrays ready to broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype="int64"),
+                 "tc": pd.Series([], dtype="int64"),
+                 "sc": pd.Series([], dtype="int64")}
+            )
+        buckets, lens = _hashed_word_buckets(batch[text_col].tolist(), n_buckets)
+        mask = np.asarray(target_filter(batch), dtype=bool)
+        row_of = np.repeat(np.arange(len(batch)), lens)
+        sc = np.bincount(buckets, minlength=n_buckets)
+        tc = np.bincount(buckets[mask[row_of]], minlength=n_buckets)
+        live = (sc > 0) | (tc > 0)
+        h = np.nonzero(live)[0]
+        return pd.DataFrame(
+            {"h": h.astype(np.int64), "tc": tc[h].astype(np.int64),
+             "sc": sc[h].astype(np.int64)}
+        )
+
+    residues = ds.map_batches(partial, batch_format="pandas")
+    totals = grouped_sums(residues, ["h"], ["tc", "sc"]).to_pandas()
+    t = np.zeros(n_buckets, dtype=np.int64)
+    s = np.zeros(n_buckets, dtype=np.int64)
+    t[totals["h"].to_numpy()] = totals["tc"].to_numpy()
+    s[totals["h"].to_numpy()] = totals["sc"].to_numpy()
+    return t, s
+
+
+def importance_scores(
+    ds: rd.Dataset,
+    t_counts: "np.ndarray",
+    s_counts: "np.ndarray",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> rd.Dataset:
+    """Per-document importance features against broadcast count
+    tables: integer-exact ``t_sum`` / ``s_sum`` (sum of target /
+    source bucket counts over the doc's token occurrences — hash-gate
+    safe at any parallelism), their one-division ``ratio``, and the
+    DSIR log-likelihood-ratio ``log_ratio`` with add-``alpha``
+    smoothing (float accumulation — pytest-verified, excluded from
+    the SQL hash gate because libm/accumulation-order ulps are not
+    reproducible across engines)."""
+    import numpy as np
+
+    n_buckets = len(s_counts)
+    big_t = np.float64(t_counts.sum())
+    big_s = np.float64(s_counts.sum())
+    logr = np.log((t_counts + alpha) / (big_t + alpha * n_buckets)) - np.log(
+        (s_counts + alpha) / (big_s + alpha * n_buckets)
+    )
+    ref = ray.put((t_counts, s_counts, logr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow as pa2
+
+        if len(batch) == 0:
+            return pa2.table(
+                {id_col: pa2.array([], type=pa2.int64()),
+                 "t_sum": pa2.array([], type=pa2.int64()),
+                 "s_sum": pa2.array([], type=pa2.int64()),
+                 "ratio": pa2.array([], type=pa2.float64()),
+                 "log_ratio": pa2.array([], type=pa2.float64())}
+            )
+        tt, ss, lr = ray.get(ref)
+        texts = batch.column(text_col).to_pylist()
+        buckets, lens = _hashed_word_buckets(texts, n_buckets)
+        row_of = np.repeat(np.arange(len(texts)), lens)
+        t_sum = np.bincount(row_of, weights=tt[buckets], minlength=len(texts))
+        s_sum = np.bincount(row_of, weights=ss[buckets], minlength=len(texts))
+        lsum = np.bincount(row_of, weights=lr[buckets], minlength=len(texts))
+        return pa2.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "t_sum": pa2.array(t_sum.astype(np.int64)),
+                "s_sum": pa2.array(s_sum.astype(np.int64)),
+                "ratio": pa2.array(
+                    t_sum.astype(np.float64) / s_sum.astype(np.float64)
+                ),
+                "log_ratio": pa2.array(lsum.astype(np.float64)),
+            }
         )
 
     return ds.select_columns([id_col, text_col]).map_batches(
