@@ -480,6 +480,26 @@ def _q_importance_weights(sf_dir: str):
     )
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup composition: k-means bounds the pairwise cosine search
+    to within-cluster pairs (O(sum cluster^2), never all-pairs).
+    Threshold 0.45 sits in a measured gap of this corpus' cosine
+    distribution (min |cos - tau| >= 2.6e-4 across sf0.001-0.1 vs
+    ~1e-15 cross-engine float noise), so the hash gate is sound."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import (
+        kmeans_fit,
+        semantic_dedup_pairs,
+    )
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = kmeans_fit(emb, k=10, iters=3)
+    return semantic_dedup_pairs(emb, cents, threshold=0.45)
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1729,6 +1749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_percentile": _q_lang_length_percentile,
         "lang_hll_registers": _q_lang_hll_registers,
         "importance_weights": _q_importance_weights,
+        "semantic_dedup_pairs": _q_semantic_dedup,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1839,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_length_percentile": sm.LANG_LENGTH_PERCENTILE_SQL,
         "lang_hll_registers": sm.LANG_HLL_REGISTERS_SQL,
         "importance_weights": sm.IMPORTANCE_WEIGHTS_SQL,
+        "semantic_dedup_pairs": sm.semantic_dedup_pairs_sql(threshold=0.45),
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

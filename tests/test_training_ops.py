@@ -1357,7 +1357,9 @@ def test_kmeans_margin_guards_float_boundary(sf_small):
     sides (integer-quantized sums), so the only cross-engine float
     freedom is the 64-term assignment dot product (~1e-15 relative).
     Pin that every vector's best-vs-second score gap stays >= 1e-9 at
-    every iteration — 6+ orders of safety margin."""
+    every iteration — 3+ orders of safety margin — on the SAME
+    trajectory the queries run (kmeans_fit's "kmeans-init" seed, NOT
+    fixed_codebook's IVF default; they diverge completely)."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -1365,7 +1367,8 @@ def test_kmeans_margin_guards_float_boundary(sf_small):
 
     t = pq.read_table(f"{sf_small}/embeddings.parquet")
     emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    cents = {i: c for i, c in enumerate(fixed_codebook(emb.shape[1], 10))}
+    cents = {i: c for i, c in
+             enumerate(fixed_codebook(emb.shape[1], 10, seed="kmeans-init"))}
     for _ in range(4):
         idxs = np.array(sorted(cents))
         mat = np.stack([cents[int(i)] for i in idxs])

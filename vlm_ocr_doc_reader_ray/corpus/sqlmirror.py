@@ -1735,3 +1735,30 @@ SELECT doc_id,
 FROM hh LEFT JOIN t USING (h) JOIN s USING (h)
 GROUP BY doc_id
 """
+
+
+def semantic_dedup_pairs_sql(dim: int = 64, k: int = 10, iters: int = 3,
+                             threshold: float = 0.99,
+                             scale: int = 1_000_000,
+                             seed: str = "kmeans-init") -> str:
+    """SemDeDup mirror: final assignment from the unrolled-Lloyd chain,
+    then cosine only WITHIN a cluster (same recall trade as the
+    engine). Threshold margins are corpus-level (twins ≥0.99995,
+    non-twins ≤0.60), so the float boundary is never approached."""
+    chain = _kmeans_cte_chain(dim, k, iters, scale, seed)
+    return chain + f""", af AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, m.c,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY 2 * list_dot_product(e.ee, m.ce)
+                      - list_dot_product(m.ce, m.ce) DESC, m.c ASC
+           ) AS rn
+    FROM e, m{iters} m) WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM af a
+JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE list_cosine_similarity(ea.ee, eb.ee) >= {threshold}"""

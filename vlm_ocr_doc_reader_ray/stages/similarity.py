@@ -770,3 +770,64 @@ def kmeans_medoids(
             "size": best["c"].map(sizes).astype("int64"),
         }
     )
+
+
+def semantic_dedup_pairs(
+    ds: rd.Dataset,
+    cents: dict,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """SemDeDup-shape near-duplicate pairs: k-means clusters bound the
+    pairwise search — cosine is computed only WITHIN a cluster
+    (O(Σ cluster²) vs O(n²) all-pairs), the standard scale path for
+    embedding dedup. Pairs whose twins straddle a Voronoi boundary are
+    (by design, and identically in the SQL mirror) not compared — the
+    documented SemDeDup recall trade; this corpus' twins sit ~0.01
+    apart vs ≥3e-6 assignment margins, so recall is pinned by test.
+
+    One tagging pass adds the cluster id; clusters then co-locate via
+    the engine's hash-partitioned apply and each cluster runs one
+    vectorized normalized matmul. Output: (id_a, id_b), id_a < id_b.
+    """
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_group_apply
+
+    idxs = np.array(sorted(cents), dtype=np.int64)
+    mat = np.stack([cents[int(i)] for i in idxs]).astype(np.float64)
+    cn = (mat * mat).sum(axis=1)
+    ref = ray.put((idxs, mat, cn))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("cluster", pa.array([], type=pa.int64()))
+        b_idxs, b_mat, b_cn = ray.get(ref)
+        m = _batch_matrix(batch, vec_col)
+        a = np.argmax(2.0 * (m @ b_mat.T) - b_cn, axis=1)
+        return batch.append_column("cluster", pa.array(b_idxs[a], type=pa.int64()))
+
+    tagged = ds.select_columns([id_col, vec_col]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, ignore_index=True)
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64")}
+            )
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in g[vec_col]]))
+        sim = m @ m.T
+        ia, ib = np.triu_indices(len(g), k=1)
+        keep = sim[ia, ib] >= threshold
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]].astype("int64"),
+             "id_b": ids[ib[keep]].astype("int64")}
+        )
+
+    return partitioned_group_apply(tagged, ["cluster"], pairs)
