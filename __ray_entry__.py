@@ -500,6 +500,27 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup_pairs(emb, cents, threshold=0.45)
 
 
+def _q_lang_zscore(sf_dir: str):
+    """Per-language standardized word counts: integer-exact moments
+    (sum, sum of squares — associative, parallelism-proof), one fixed
+    float expression for mean/sigma/z shared verbatim with the SQL
+    mirror, never a streaming variance accumulator."""
+    import functools
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_zscore
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import word_count_table
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).map_batches(
+        functools.partial(word_count_table, keep_cols=["doc_id", "lang"]),
+        batch_format="pyarrow",
+    )
+    return grouped_zscore(docs, "lang", "nw", keep_cols=["doc_id"])
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1750,6 +1771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_hll_registers": _q_lang_hll_registers,
         "importance_weights": _q_importance_weights,
         "semantic_dedup_pairs": _q_semantic_dedup,
+        "lang_zscore": _q_lang_zscore,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1861,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_hll_registers": sm.LANG_HLL_REGISTERS_SQL,
         "importance_weights": sm.IMPORTANCE_WEIGHTS_SQL,
         "semantic_dedup_pairs": sm.semantic_dedup_pairs_sql(threshold=0.45),
+        "lang_zscore": sm.LANG_ZSCORE_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

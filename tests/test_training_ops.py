@@ -1539,3 +1539,32 @@ def test_importance_log_ratio_prefers_target(ray_session, sf_small):
     want = lr[buckets].sum()
     got = out.loc[out["doc_id"] == row["doc_id"], "log_ratio"].item()
     assert abs(got - want) < 1e-9
+
+
+def test_grouped_zscore_exactness_and_degenerate_groups(ray_session):
+    """Moments from integer sums: z must match a float64 recompute of
+    the same expression; a zero-variance group and a single-row group
+    must emit NULL z (never inf)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_zscore
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["flat"] * 3 + ["solo"],
+            "v": [1, 2, 3, 10, 7, 7, 7, 42],
+            "id": range(8),
+        }
+    )
+    got = (
+        grouped_zscore(rd.from_pandas(df), "g", "v", keep_cols=["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    a = df[df.g == "a"]["v"].to_numpy(dtype=np.float64)
+    n, s, s2 = np.float64(4), a.sum(), (a * a).sum()
+    want = (a - s / n) / np.sqrt((s2 - s * s / n) / n)
+    assert (got.loc[got.g == "a", "z"].to_numpy() == want).all()
+    assert got.loc[got.g == "flat", "z"].isna().all()
+    assert got.loc[got.g == "solo", "z"].isna().all()

@@ -1762,3 +1762,27 @@ JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
 JOIN e ea ON ea.vec_id = a.vec_id
 JOIN e eb ON eb.vec_id = b.vec_id
 WHERE list_cosine_similarity(ea.ee, eb.ee) >= {threshold}"""
+
+
+# Per-language z-score of word counts — moments from INTEGER sums and
+# one fixed float expression on both sides (never var_pop, whose
+# streaming accumulator can differ in the last ulp). Engine twin:
+# aggregates.grouped_zscore.
+LANG_ZSCORE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+  FROM documents
+), m AS (
+  SELECT lang,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE) AS s,
+         CAST(CAST(sum(nw * nw) AS BIGINT) AS DOUBLE) AS s2
+  FROM t GROUP BY lang
+)
+SELECT t.doc_id, t.lang, t.nw,
+       CASE WHEN (s2 - s * s / n) / n > 0
+            THEN (CAST(t.nw AS DOUBLE) - s / n) / sqrt((s2 - s * s / n) / n)
+            ELSE NULL END AS z
+FROM t JOIN m USING (lang)
+"""

@@ -465,3 +465,70 @@ def grouped_percentile_rank(
         return out
 
     return ds.map_batches(rank, batch_format="pandas")
+
+
+def grouped_zscore(
+    ds: rd.Dataset,
+    group_cols: str | Sequence[str],
+    col: str,
+    out_col: str = "z",
+    ddof: int = 0,
+    keep_cols: Sequence[str] | None = None,
+) -> rd.Dataset:
+    """Per-group standardization (z-score) that is BIT-EXACT at any
+    parallelism AND cross-engine: moments come from integer sums
+    (``Σx``, ``Σx²`` over an integer-like column — associative, so
+    block layout can't perturb them), and mean/variance/σ are then ONE
+    fixed float expression (``s/n``, ``(s2 - s·s/n)/(n-ddof)``,
+    IEEE sqrt is correctly rounded) — the SQL mirror writes the SAME
+    expression from the same integers instead of ``var_pop`` (whose
+    streaming accumulator may differ in the last ulp). Groups with
+    zero variance (or n ≤ ddof) emit NULL z. Contract: ``col`` is
+    integer-valued and ``Σx² < 2^63`` per group.
+    """
+    import numpy as np
+
+    key_list = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def with_sq(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.cast(batch.column(col), pa.int64())
+        return pa.table(
+            {**{k: batch.column(k) for k in key_list},
+             col: v, "__sq": pc.multiply_checked(v, v)}
+        )
+
+    proj = ds.select_columns(key_list + [col]).map_batches(
+        with_sq, batch_format="pyarrow"
+    )
+    moments = grouped_sums(proj, key_list, [col, "__sq"], count_alias="__n")
+    mpdf = moments.to_pandas()
+    table = {}
+    for _, r in mpdf.iterrows():
+        key = tuple(r[k] for k in key_list)
+        n = np.float64(r["__n"])
+        s = np.float64(r[col])
+        s2 = np.float64(r["__sq"])
+        mean = s / n
+        denom = n - ddof
+        var = (s2 - s * s / n) / denom if denom > 0 else np.nan
+        sd = np.sqrt(var) if var > 0 else np.nan
+        table[key] = (mean, sd)
+    ref = ray.put(table)
+
+    def z(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        if batch.empty:
+            out[out_col] = pd.Series([], dtype="float64")
+            return out
+        t = ray.get(ref)
+        keys = pd.Series(zip(*(batch[k] for k in key_list)), index=batch.index)
+        mean = keys.map(lambda k: t.get(k, (np.nan, np.nan))[0]).astype("float64")
+        sd = keys.map(lambda k: t.get(k, (np.nan, np.nan))[1]).astype("float64")
+        out[out_col] = (batch[col].astype("float64") - mean) / sd
+        return out
+
+    keep = list(keep_cols) if keep_cols else []
+    out_cols = keep + [c for c in key_list if c not in keep] + [col]
+    return ds.select_columns(out_cols).map_batches(z, batch_format="pandas")
