@@ -521,6 +521,20 @@ def _q_lang_zscore(sf_dir: str):
     return grouped_zscore(docs, "lang", "nw", keep_cols=["doc_id"])
 
 
+def _q_event_funnel(sf_dir: str):
+    """Ordered funnel signup -> purchase -> error: users co-locate in
+    ONE hash shuffle, steps resolve with vectorized merges per
+    partition, only (step, users) residues aggregate globally."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import funnel_counts
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_counts(events, ["signup", "purchase", "error"])
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1772,6 +1786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_weights": _q_importance_weights,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "lang_zscore": _q_lang_zscore,
+        "event_funnel": _q_event_funnel,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1884,6 +1899,7 @@ def oracle_sql() -> dict[str, str]:
         "importance_weights": sm.IMPORTANCE_WEIGHTS_SQL,
         "semantic_dedup_pairs": sm.semantic_dedup_pairs_sql(threshold=0.45),
         "lang_zscore": sm.LANG_ZSCORE_SQL,
+        "event_funnel": sm.EVENT_FUNNEL_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

@@ -143,3 +143,41 @@ def test_parse_urls_edge_cases(ray_session):
     assert list(out.port) == [-1, -1, 8080, -1, -1, -1]
     assert list(out.depth) == [1, 0, 0, 0, 3, 0]
     assert list(out.is_https) == [True, False, False, False, True, False]
+
+
+def test_funnel_strict_order_and_dropoff(ray_session):
+    """Pins the earliest-qualifying-event rule: a purchase BEFORE the
+    first signup must not count; each step strictly after the user's
+    previous-step time; drop-off is visible per step."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import funnel_counts
+
+    T = pd.Timestamp
+    rows = [
+        # u1 completes all three in order
+        (1, T("2024-01-01 00:00"), "signup"),
+        (1, T("2024-01-01 01:00"), "purchase"),
+        (1, T("2024-01-01 02:00"), "error"),
+        # u2: purchase BEFORE signup -> stops at step 1
+        (2, T("2024-01-01 01:00"), "signup"),
+        (2, T("2024-01-01 00:00"), "purchase"),
+        # u3: signup+purchase at the SAME instant -> strict > fails
+        (3, T("2024-01-01 00:00"), "signup"),
+        (3, T("2024-01-01 00:00"), "purchase"),
+        # u4: never signs up -> counts nowhere
+        (4, T("2024-01-01 00:00"), "purchase"),
+        (4, T("2024-01-01 01:00"), "error"),
+        # u5: signup, then error, then purchase -> error before the
+        # purchase-step time does NOT count; stops at step 2
+        (5, T("2024-01-01 00:00"), "signup"),
+        (5, T("2024-01-01 01:00"), "error"),
+        (5, T("2024-01-01 02:00"), "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    got = (
+        funnel_counts(rd.from_pandas(df), ["signup", "purchase", "error"])
+        .to_pandas().sort_values("step").reset_index(drop=True)
+    )
+    assert got["users"].tolist() == [4, 2, 1]

@@ -1786,3 +1786,32 @@ SELECT t.doc_id, t.lang, t.nw,
             ELSE NULL END AS z
 FROM t JOIN m USING (lang)
 """
+
+
+# Ordered funnel (signup -> purchase -> error) with the
+# earliest-qualifying-event rule: step-k time is the min event time of
+# the step strictly after the user's step-(k-1) time. Engine twin:
+# relational.funnel_counts (one user-hash shuffle, vectorized merges,
+# (step, users) residues).
+EVENT_FUNNEL_SQL = r"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t1.t
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'error' AND e.ts > t2.t
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+       CAST(count(*) AS BIGINT) AS users FROM t1
+UNION ALL
+SELECT 2, 'purchase', count(*) FROM t2
+UNION ALL
+SELECT 3, 'error', count(*) FROM t3
+"""

@@ -1051,3 +1051,56 @@ def corpus_diff(
         )
 
     return partitioned_apply(o.union(n), [id_col], classify)
+
+
+def funnel_counts(
+    ds: rd.Dataset,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> rd.Dataset:
+    """Ordered-funnel analysis: how many users completed step 1, then
+    step 2 STRICTLY AFTER their first step 1, then step 3 strictly
+    after that, … (the earliest-qualifying-event rule — each user's
+    step-k time is the min event time of ``steps[k]`` after their
+    step-(k-1) time).
+
+    Scale shape: events are hash-partitioned by user ONCE (the only
+    shuffle — all of a user's rows co-locate), each partition resolves
+    every step with vectorized pandas merges (no per-user dispatch),
+    and partitions emit one (step, users) residue row each; the global
+    answer is a tiny pre-aggregated sum. Timestamp comparisons are
+    integer-exact → hash-gate safe. Output: one row per step with the
+    count of users reaching it."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        grouped_sums,
+        partitioned_apply,
+    )
+
+    step_list = list(steps)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        reached = []
+        prev = None  # per-user time of the previous step
+        for s in step_list:
+            ev = g[g[type_col] == s][[user_col, ts_col]]
+            if prev is not None:
+                ev = ev.merge(prev, on=user_col)
+                ev = ev[ev[ts_col] > ev["__prev"]]
+            t = ev.groupby(user_col, as_index=False)[ts_col].min()
+            reached.append(len(t))
+            prev = t.rename(columns={ts_col: "__prev"})
+        return pd.DataFrame(
+            {
+                "step": pd.array(range(1, len(step_list) + 1), dtype="int64"),
+                "event_type": step_list,
+                "users": pd.array(reached, dtype="int64"),
+            }
+        )
+
+    pruned = ds.select_columns([user_col, ts_col, type_col])
+    residues = partitioned_apply(pruned, [user_col], part)
+    return grouped_sums(residues, ["step", "event_type"], ["users"])
