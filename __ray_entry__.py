@@ -535,6 +535,20 @@ def _q_event_funnel(sf_dir: str):
     return funnel_counts(events, ["signup", "purchase", "error"])
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention over the event stream: cohort = first
+    active week per user; distinct (user, week) residues, one
+    co-partitioned join, pre-aggregated counts — rows never shuffle."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import cohort_retention
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(events)
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1787,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_pairs": _q_semantic_dedup,
         "lang_zscore": _q_lang_zscore,
         "event_funnel": _q_event_funnel,
+        "cohort_retention": _q_cohort_retention,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1900,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_pairs": sm.semantic_dedup_pairs_sql(threshold=0.45),
         "lang_zscore": sm.LANG_ZSCORE_SQL,
         "event_funnel": sm.EVENT_FUNNEL_SQL,
+        "cohort_retention": sm.COHORT_RETENTION_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

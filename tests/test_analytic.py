@@ -181,3 +181,33 @@ def test_funnel_strict_order_and_dropoff(ray_session):
         .to_pandas().sort_values("step").reset_index(drop=True)
     )
     assert got["users"].tolist() == [4, 2, 1]
+
+
+def test_cohort_retention_dropoff_and_cohort_split(ray_session):
+    """Hand-built pin (the synthetic stream retains everyone): two
+    cohorts, visible drop-off, a returning-after-gap user, and
+    multiple events in one week counting once."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import cohort_retention
+
+    W = 7 * 24 * 3600
+    base = pd.Timestamp("2024-01-04")  # epoch week boundary-safe anchor
+    rows = []
+    def at(u, week, extra_s=0):
+        rows.append((u, base + pd.Timedelta(seconds=week * W + extra_s)))
+    at(1, 0); at(1, 0, 60); at(1, 1); at(1, 3)   # cohort c, offsets 0,1,3
+    at(2, 0); at(2, 1)                            # cohort c, offsets 0,1
+    at(3, 1); at(3, 2)                            # cohort c+1, offsets 0,1
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    got = (
+        cohort_retention(rd.from_pandas(df))
+        .to_pandas().sort_values(["cohort_bucket", "offset"]).reset_index(drop=True)
+    )
+    c = got["cohort_bucket"].min()
+    want = {
+        (c, 0): 2, (c, 1): 2, (c, 3): 1,   # u1+u2; u1 returns after a gap
+        (c + 1, 0): 1, (c + 1, 1): 1,      # u3's own cohort
+    }
+    assert {(r.cohort_bucket, r.offset): r.users for r in got.itertuples()} == want

@@ -1815,3 +1815,24 @@ SELECT 2, 'purchase', count(*) FROM t2
 UNION ALL
 SELECT 3, 'error', count(*) FROM t3
 """
+
+
+# Weekly cohort retention: cohort = each user's first active week,
+# users counted per (cohort, week offset). Integer bucket arithmetic
+# (floor(epoch/604800)) on both sides. Engine twin:
+# relational.cohort_retention (distinct residues -> grouped min ->
+# partitioned hash join -> pre-aggregated count).
+COHORT_RETENTION_SQL = r"""
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch(ts)) / 604800.0) AS BIGINT) AS bucket
+  FROM events
+), f AS (
+  SELECT user_id, min(bucket) AS cohort FROM p GROUP BY user_id
+)
+SELECT cohort AS cohort_bucket,
+       CAST(p.bucket - cohort AS BIGINT) AS "offset",
+       CAST(count(*) AS BIGINT) AS users
+FROM p JOIN f USING (user_id)
+GROUP BY 1, 2
+"""

@@ -1104,3 +1104,83 @@ def funnel_counts(
     pruned = ds.select_columns([user_col, ts_col, type_col])
     residues = partitioned_apply(pruned, [user_col], part)
     return grouped_sums(residues, ["step", "event_type"], ["users"])
+
+
+def cohort_retention(
+    ds: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 7 * 24 * 3600,
+) -> rd.Dataset:
+    """Cohort retention: bucket time (default weekly), cohort = each
+    user's FIRST bucket, and for every (cohort, offset) count the
+    distinct users active ``offset`` buckets after their cohort.
+
+    Scale shape: three residue-bounded passes, no row shuffle —
+    (user, bucket) pairs dedupe via the hash-partitioned distinct,
+    per-user first buckets are a pre-aggregated min, the join back is
+    the engine's partitioned hash join on the SAME user key, and the
+    final count collapses to (cohort, offset) rows. Bucket arithmetic
+    is integer (floor(epoch/size)) → hash-gate exact. Output:
+    (cohort_bucket, offset, users)."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        distinct_values,
+        grouped_sums,
+        value_counts,
+    )
+
+    def to_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        secs = pc.cast(
+            pc.floor(pc.divide(
+                pc.cast(batch.column(ts_col), pa.timestamp("us")).cast(pa.int64()),
+                1_000_000,
+            )),
+            pa.int64(),
+        )
+        bucket = pc.floor(pc.divide(pc.cast(secs, pa.float64()), bucket_seconds))
+        return pa.table(
+            {user_col: batch.column(user_col),
+             "bucket": pc.cast(bucket, pa.int64())}
+        )
+
+    pairs = distinct_values(
+        ds.select_columns([user_col, ts_col]).map_batches(
+            to_bucket, batch_format="pyarrow"
+        ),
+        [user_col, "bucket"],
+    )
+    firsts = grouped_min_max_first(pairs, user_col, "bucket")
+
+    joined = partitioned_hash_join(pairs, firsts, user_col, f"__r_{user_col}")
+
+    def offsets(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "cohort_bucket": batch["cohort"].astype("int64"),
+                "offset": (batch["bucket"] - batch["cohort"]).astype("int64"),
+            }
+        )
+        return out
+
+    per = joined.map_batches(offsets, batch_format="pandas")
+    return value_counts(per, ["cohort_bucket", "offset"], alias="users")
+
+
+def grouped_min_max_first(
+    pairs: rd.Dataset, user_col: str, bucket_col: str
+) -> rd.Dataset:
+    """Per-user first bucket as (``__r_<user>``, cohort) — a
+    pre-aggregated min over already-distinct residues, renamed for the
+    join's right side."""
+    from ray.data.aggregate import Min
+
+    firsts = pairs.groupby(user_col).aggregate(Min(bucket_col, alias_name="cohort"))
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([f"__r_{user_col}", "cohort"])
+
+    return firsts.map_batches(rn, batch_format="pyarrow")
