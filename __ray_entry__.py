@@ -549,6 +549,20 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(events)
 
 
+def _q_event_transitions(sf_dir: str):
+    """Per-user Markov transition matrix of the event stream: one
+    user-hash shuffle, vectorized sort+shift pairing, residue sums."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import event_transition_counts
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return event_transition_counts(events)
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1802,6 +1816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_zscore": _q_lang_zscore,
         "event_funnel": _q_event_funnel,
         "cohort_retention": _q_cohort_retention,
+        "event_transitions": _q_event_transitions,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1916,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_zscore": sm.LANG_ZSCORE_SQL,
         "event_funnel": sm.EVENT_FUNNEL_SQL,
         "cohort_retention": sm.COHORT_RETENTION_SQL,
+        "event_transitions": sm.EVENT_TRANSITIONS_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

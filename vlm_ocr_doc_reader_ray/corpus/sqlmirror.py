@@ -1836,3 +1836,19 @@ SELECT cohort AS cohort_bucket,
 FROM p JOIN f USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# Markov transition counts between consecutive events per user, total
+# order (ts, event_id). Engine twin: relational.event_transition_counts
+# (one user-hash shuffle, vectorized sort+shift, residue sums).
+EVENT_TRANSITIONS_SQL = r"""
+WITH s AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS transitions
+FROM s WHERE dst IS NOT NULL
+GROUP BY src, dst
+"""

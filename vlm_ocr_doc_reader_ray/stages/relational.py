@@ -1184,3 +1184,43 @@ def grouped_min_max_first(
         return batch.rename_columns([f"__r_{user_col}", "cohort"])
 
     return firsts.map_batches(rn, batch_format="pyarrow")
+
+
+def event_transition_counts(
+    ds: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> rd.Dataset:
+    """Markov transition counts between consecutive events per user
+    (sequence-modeling prep): order each user's stream by the total
+    key ``(ts, id)`` — the tie-break makes the result partitioning-
+    and engine-independent — take adjacent (src → dst) pairs, count
+    globally.
+
+    One user-hash shuffle co-locates each user's events; inside a
+    partition the pairing is a single vectorized sort + shift (no
+    per-user dispatch — the shift is masked where the user changes),
+    and only (src, dst, count) residues aggregate globally."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        grouped_sums,
+        partitioned_apply,
+    )
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col], ignore_index=True)
+        src = g[type_col]
+        dst = g[type_col].shift(-1)
+        same = g[user_col].eq(g[user_col].shift(-1))
+        pairs = pd.DataFrame({"src": src[same], "dst": dst[same]})
+        out = pairs.groupby(["src", "dst"], as_index=False).size()
+        return out.rename(columns={"size": "transitions"}).astype(
+            {"transitions": "int64"}
+        )
+
+    pruned = ds.select_columns([user_col, ts_col, type_col, id_col])
+    residues = partitioned_apply(pruned, [user_col], part)
+    return grouped_sums(residues, ["src", "dst"], ["transitions"])
