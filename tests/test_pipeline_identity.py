@@ -87,3 +87,28 @@ def test_entry_smoke(ray_session):
     ds = mod.entry()
     assert ds.count() == 500
     assert "extracted_text" in ds.schema().names
+
+
+def test_kmeans_fit_identical_at_any_partitioning(ray_session):
+    """The integer-quantization claim, tested: block layout must not
+    perturb a single centroid bit (int64 partial sums are associative;
+    only the bounded combine divides)."""
+    import numpy as np
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    from vlm_ocr_doc_reader_ray.stages.similarity import kmeans_fit
+
+    a = kmeans_fit(
+        rd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).repartition(2),
+        k=10, iters=3,
+    )
+    b = kmeans_fit(
+        rd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).repartition(17),
+        k=10, iters=3,
+    )
+    assert set(a) == set(b)
+    for c in a:
+        np.testing.assert_array_equal(a[c], b[c])
