@@ -523,9 +523,16 @@ def grouped_zscore(
             out[out_col] = pd.Series([], dtype="float64")
             return out
         t = ray.get(ref)
-        keys = pd.Series(zip(*(batch[k] for k in key_list)), index=batch.index)
-        mean = keys.map(lambda k: t.get(k, (np.nan, np.nan))[0]).astype("float64")
-        sd = keys.map(lambda k: t.get(k, (np.nan, np.nan))[1]).astype("float64")
+        if len(key_list) == 1:
+            # vectorized dict map on the bare key (the common path)
+            means = {k[0]: v[0] for k, v in t.items()}
+            sds = {k[0]: v[1] for k, v in t.items()}
+            mean = batch[key_list[0]].map(means).astype("float64")
+            sd = batch[key_list[0]].map(sds).astype("float64")
+        else:
+            keys = pd.Series(zip(*(batch[k] for k in key_list)), index=batch.index)
+            mean = keys.map(lambda k: t.get(k, (np.nan, np.nan))[0]).astype("float64")
+            sd = keys.map(lambda k: t.get(k, (np.nan, np.nan))[1]).astype("float64")
         out[out_col] = (batch[col].astype("float64") - mean) / sd
         return out
 
