@@ -581,6 +581,19 @@ def _q_event_transitions(sf_dir: str):
     return event_transition_counts(events)
 
 
+def _q_events_window_distinct(sf_dir: str):
+    """Exact distinct users per tumbling hour: (window, user) residue
+    dedupe + pre-aggregated count — event rows never shuffle."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import windowed_distinct_users
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return windowed_distinct_users(events, window_s=3600)
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1835,6 +1848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _q_event_funnel,
         "cohort_retention": _q_cohort_retention,
         "event_transitions": _q_event_transitions,
+        "events_window_distinct": _q_events_window_distinct,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1950,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": sm.EVENT_FUNNEL_SQL,
         "cohort_retention": sm.COHORT_RETENTION_SQL,
         "event_transitions": sm.EVENT_TRANSITIONS_SQL,
+        "events_window_distinct": sm.EVENTS_WINDOW_DISTINCT_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

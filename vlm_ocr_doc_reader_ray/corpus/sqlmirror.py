@@ -1852,3 +1852,13 @@ SELECT src, dst, CAST(count(*) AS BIGINT) AS transitions
 FROM s WHERE dst IS NOT NULL
 GROUP BY src, dst
 """
+
+
+# Streaming COUNT(DISTINCT user) per tumbling hour. Engine twin:
+# relational.windowed_distinct_users (distinct residues + count).
+EVENTS_WINDOW_DISTINCT_SQL = r"""
+SELECT CAST(floor(floor(epoch(ts)) / 3600.0) AS BIGINT) * 3600
+         AS window_start_s,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events GROUP BY 1
+"""

@@ -1224,3 +1224,39 @@ def event_transition_counts(
     pruned = ds.select_columns([user_col, ts_col, type_col, id_col])
     residues = partitioned_apply(pruned, [user_col], part)
     return grouped_sums(residues, ["src", "dst"], ["transitions"])
+
+
+def windowed_distinct_users(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_s: int = 3600,
+) -> rd.Dataset:
+    """Exact distinct users per tumbling event-time window — the
+    streaming COUNT(DISTINCT) : (window, user) pairs dedupe as
+    residues (per-batch drop_duplicates, then one hash-partitioned
+    distinct), and the count is a pre-aggregated sum of 1s per window;
+    the event rows themselves never shuffle. Window arithmetic is the
+    engine's integer floor(epoch/size) convention."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        distinct_values,
+        value_counts,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(batch.column(ts_col), pa.int64()), 1_000_000)
+        win = pc.multiply(
+            pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), float(window_s))), pa.int64()),
+            window_s,
+        )
+        return pa.table(
+            {"window_start_s": win, user_col: batch.column(user_col)}
+        )
+
+    projected = events.select_columns([ts_col, user_col]).map_batches(
+        project, batch_format="pyarrow"
+    )
+    pairs = distinct_values(projected, ["window_start_s", user_col])
+    return value_counts(pairs, ["window_start_s"], alias="users")
