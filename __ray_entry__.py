@@ -594,6 +594,20 @@ def _q_events_window_distinct(sf_dir: str):
     return windowed_distinct_users(events, window_s=3600)
 
 
+def _q_lang_top_terms(sf_dir: str):
+    """Top-10 terms per language: (group, word, count) residues, one
+    pre-aggregated sum, one hash-partitioned vectorized head —
+    pure-integer order so the mirror is exact."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import top_terms_per_group
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return top_terms_per_group(docs, "lang", k=10)
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1849,6 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "event_transitions": _q_event_transitions,
         "events_window_distinct": _q_events_window_distinct,
+        "lang_top_terms": _q_lang_top_terms,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1965,6 +1980,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": sm.COHORT_RETENTION_SQL,
         "event_transitions": sm.EVENT_TRANSITIONS_SQL,
         "events_window_distinct": sm.EVENTS_WINDOW_DISTINCT_SQL,
+        "lang_top_terms": sm.LANG_TOP_TERMS_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

@@ -1862,3 +1862,20 @@ SELECT CAST(floor(floor(epoch(ts)) / 3600.0) AS BIGINT) * 3600
        CAST(count(DISTINCT user_id) AS BIGINT) AS users
 FROM events GROUP BY 1
 """
+
+
+# Top-10 terms per language, pure-integer order (count desc, word
+# asc). Engine twin: text_analysis.top_terms_per_group.
+LANG_TOP_TERMS_SQL = r"""
+WITH w AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM w GROUP BY lang, word
+)
+SELECT lang,
+       CAST(row_number() OVER (
+         PARTITION BY lang ORDER BY cnt DESC, word ASC) AS BIGINT) AS rank,
+       word, cnt
+FROM c QUALIFY rank <= 10
+"""

@@ -814,3 +814,58 @@ def importance_scores(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def top_terms_per_group(
+    ds: rd.Dataset,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 10,
+) -> rd.Dataset:
+    """Top-k terms by occurrence count per group with a pure-integer
+    total order (count desc, word asc — no float idf, so the SQL
+    mirror is exact). Per-batch vectorized (group, word, count)
+    residues bound the shuffle by group × batch-vocabulary; the global
+    sum is pre-aggregated; the top-k is one hash-partitioned
+    vectorized head per group. Output: (group, rank, word, cnt)."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        grouped_sums,
+        partitioned_apply,
+    )
+    from vlm_ocr_doc_reader_ray.stages.scrub import _batch_word_ngrams
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        words, doc_idx = _batch_word_ngrams(batch[text_col], 1)
+        if len(words) == 0:
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype="object"),
+                 "word": pd.Series([], dtype="object"),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        tmp = pd.DataFrame(
+            {group_col: batch[group_col].to_numpy()[doc_idx], "word": words}
+        )
+        counts = tmp.groupby([group_col, "word"], sort=False).size()
+        return pd.DataFrame(
+            {
+                group_col: counts.index.get_level_values(0).to_numpy(),
+                "word": counts.index.get_level_values(1).to_numpy(),
+                "cnt": counts.to_numpy().astype("int64"),
+            }
+        )
+
+    residues = ds.select_columns([group_col, text_col]).map_batches(
+        explode, batch_format="pandas"
+    )
+    totals = grouped_sums(residues, [group_col, "word"], ["cnt"])
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "cnt", "word"],
+                          ascending=[True, False, True], ignore_index=True)
+        g = g.groupby(group_col, sort=False).head(k).copy()
+        g["rank"] = (g.groupby(group_col, sort=False).cumcount() + 1).astype("int64")
+        return g[[group_col, "rank", "word", "cnt"]]
+
+    return partitioned_apply(totals, [group_col], head)
