@@ -112,3 +112,40 @@ def test_kmeans_fit_identical_at_any_partitioning(ray_session):
     assert set(a) == set(b)
     for c in a:
         np.testing.assert_array_equal(a[c], b[c])
+
+
+def test_event_analytics_identical_at_any_partitioning(ray_session):
+    """Funnel, retention, transitions, and windowed distinct must not
+    depend on block layout: every result is pinned equal across a
+    2-block and a 17-block read of the same events."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import (
+        cohort_retention,
+        event_transition_counts,
+        funnel_counts,
+        windowed_distinct_users,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(nparts):
+        ev = rd.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["user_id", "ts", "event_type", "event_id"],
+        ).repartition(nparts)
+        return {
+            "funnel": funnel_counts(ev, ["signup", "purchase", "error"])
+            .to_pandas().sort_values("step").reset_index(drop=True),
+            "cohort": cohort_retention(ev)
+            .to_pandas().sort_values(["cohort_bucket", "offset"]).reset_index(drop=True),
+            "trans": event_transition_counts(ev)
+            .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True),
+            "wdist": windowed_distinct_users(ev)
+            .to_pandas().sort_values("window_start_s").reset_index(drop=True),
+        }
+
+    a, b = run(2), run(17)
+    for k in a:
+        pd.testing.assert_frame_equal(a[k], b[k])
