@@ -608,6 +608,43 @@ def _q_lang_top_terms(sf_dir: str):
     return top_terms_per_group(docs, "lang", k=10)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental ingestion: build a persisted sha256 fingerprint
+    index over the even half of the corpus, then dedupe the full
+    corpus against it — hash residues through one co-partitioning
+    anti-join, no broadcast, no re-read of indexed texts."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.dedup import (
+        build_hash_index,
+        dedup_against_index,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:10]
+    index_dir = f"/tmp/vlm_ocr_ray_hash_index/{tag}"
+    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+        def even_half(batch):
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+            )
+
+        even = rd.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+            even_half, batch_format="pyarrow"
+        )
+        build_hash_index(even, index_dir)
+    inc = rd.read_parquet(src, columns=["doc_id", "lang", "text"])
+    return dedup_against_index(inc, index_dir).select_columns(["doc_id", "lang"])
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1864,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "events_window_distinct": _q_events_window_distinct,
         "lang_top_terms": _q_lang_top_terms,
+        "incremental_dedup": _q_incremental_dedup,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1981,6 +2019,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": sm.EVENT_TRANSITIONS_SQL,
         "events_window_distinct": sm.EVENTS_WINDOW_DISTINCT_SQL,
         "lang_top_terms": sm.LANG_TOP_TERMS_SQL,
+        "incremental_dedup": sm.INCREMENTAL_DEDUP_SQL,
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

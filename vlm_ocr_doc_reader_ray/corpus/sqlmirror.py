@@ -1879,3 +1879,17 @@ SELECT lang,
        word, cnt
 FROM c QUALIFY rank <= 10
 """
+
+
+# Incremental ingestion: docs whose sha256 is absent from the
+# persisted index built over the even half of the corpus. Engine twin:
+# dedup.build_hash_index + dedup_against_index (hash residues through
+# one co-partitioning anti-join; no broadcast, no materialize).
+INCREMENTAL_DEDUP_SQL = r"""
+WITH idx AS (
+  SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, lang
+FROM documents
+WHERE sha256(text) NOT IN (SELECT h FROM idx)
+"""

@@ -742,3 +742,49 @@ def keep_canonical(
         return pd.DataFrame({id_col: batch[id_col].astype("int64"), "keep": keep})
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# incremental dedup against a persisted fingerprint index
+# --------------------------------------------------------------------------
+
+def build_hash_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    text_col: str = "text",
+    hash_col: str = "text_hash",
+) -> str:
+    """Persist the corpus' content-hash fingerprint index as
+    partitioned Parquet (one distinct sha256 per row). This is the
+    durable side of INCREMENTAL ingestion: day-N batches dedupe
+    against the index without re-reading day-1..N-1 texts — the index
+    is hashes only, ~64 bytes/doc at any corpus size. Distinct-ness is
+    enforced distributed (per-batch combiner + hash-partitioned
+    dedupe); the write streams, never materializing the corpus."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import distinct_values
+
+    hashed = with_text_hash(ds.select_columns([text_col]), text_col, hash_col)
+    distinct = distinct_values(hashed.select_columns([hash_col]), [hash_col])
+    distinct.write_parquet(index_dir)
+    return index_dir
+
+
+def dedup_against_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    text_col: str = "text",
+    hash_col: str = "text_hash",
+) -> rd.Dataset:
+    """Keep only rows whose content hash appears NOWHERE in the
+    persisted index — the day-N half of incremental ingestion. The
+    index side ships only hash residues through ONE co-partitioning
+    shuffle (the engine's padded-union anti-join); neither corpus is
+    ever broadcast or materialized. Rows keep all input columns plus
+    ``hash_col``."""
+    import ray.data as rd_mod
+
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_anti_join
+
+    hashed = with_text_hash(ds, text_col, hash_col)
+    index = rd_mod.read_parquet(index_dir)
+    return partitioned_anti_join(hashed, index, hash_col, hash_col)
