@@ -761,8 +761,6 @@ def kmeans_medoids(
     best = residues.sort_values(
         ["c", "score", "vid"], ascending=[True, False, True]
     ).groupby("c", sort=True).first().reset_index()
-    import pandas as pd
-
     return pd.DataFrame(
         {
             "cluster": best["c"].astype("int64"),
