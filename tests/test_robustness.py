@@ -125,3 +125,50 @@ def test_new_ops_empty_input_no_crash(ray_session):
     wf = empty.rename_columns({"k": "text", "g": "doc_id"})
     assert rows(word_freq_score(wf)) == 0
     assert rows(blocklist_filter(empty, "g", {"x"})) == 0
+
+
+def test_new_analytics_empty_input_no_crash(ray_session):
+    """Every late-round-4 operator must tolerate a zero-row input:
+    Ray loses groupby schema on empty datasets (engine-wide known
+    trap), so the contract here is 'no crash, zero rows' — pinned
+    after grouped_percentile_rank was found to KeyError on the
+    schema-less empty histogram."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        grouped_percentile_rank,
+        grouped_quantile_gate,
+        grouped_zscore,
+    )
+    from vlm_ocr_doc_reader_ray.stages.relational import (
+        cohort_retention,
+        event_transition_counts,
+        funnel_counts,
+        windowed_distinct_users,
+    )
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import top_terms_per_group
+
+    empty_ev = rd.from_pandas(pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64"),
+         "ts": pd.Series([], dtype="datetime64[us]"),
+         "event_type": pd.Series([], dtype="object"),
+         "event_id": pd.Series([], dtype="int64")}))
+    empty_docs = rd.from_pandas(pd.DataFrame(
+        {"g": pd.Series([], dtype="object"),
+         "v": pd.Series([], dtype="float64"),
+         "lang": pd.Series([], dtype="object"),
+         "text": pd.Series([], dtype="object")}))
+
+    outs = [
+        funnel_counts(empty_ev, ["signup", "purchase"]),
+        cohort_retention(empty_ev),
+        event_transition_counts(empty_ev),
+        windowed_distinct_users(empty_ev),
+        top_terms_per_group(empty_docs, "lang"),
+        grouped_quantile_gate(empty_docs, "g", "v"),
+        grouped_percentile_rank(empty_docs, "g", "v"),
+        grouped_zscore(empty_docs, "g", "v"),
+    ]
+    for o in outs:
+        assert len(o.to_pandas()) == 0

@@ -435,8 +435,13 @@ def grouped_percentile_rank(
     hist = value_counts(
         ds.select_columns(key_list + [col]), key_list + [col], alias="__c"
     ).to_pandas()
-    hist = hist.sort_values(key_list + [col], ignore_index=True)
     table: dict = {}
+    if hist.empty:
+        # an empty input loses the groupby schema entirely (Ray
+        # convention) — skip threshold building; rank() only ever sees
+        # empty batches and returns them typed.
+        hist = pd.DataFrame({c: [] for c in key_list + [col, "__c"]})
+    hist = hist.sort_values(key_list + [col], ignore_index=True)
     for key, g in hist.groupby(key_list[0] if len(key_list) == 1 else key_list):
         vals = g[col].to_numpy()
         cum = g["__c"].to_numpy().cumsum()
