@@ -645,6 +645,28 @@ def _q_incremental_dedup(sf_dir: str):
     return dedup_against_index(inc, index_dir).select_columns(["doc_id", "lang"])
 
 
+def _q_cluster_lang_profile(sf_dir: str):
+    """Composition across tables: the k-means assignment joins to
+    documents on doc_id = vec_id and collapses to per-(cluster, lang)
+    doc counts — assignment residues co-partition with the (pruned)
+    documents side in one hash join, counts pre-aggregate."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import value_counts
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+    from vlm_ocr_doc_reader_ray.stages.similarity import kmeans_assign
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    assign = kmeans_assign(emb, _fitted_centroids(sf_dir))
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    joined = partitioned_hash_join(assign, docs, "vec_id", "doc_id")
+    return value_counts(joined, ["cluster", "lang"], alias="docs")
+
+
 def _q_similarity_ivf_indexed(sf_dir: str):
     """Same IVF search through the PERSISTED index: the inverted file
     is written once partitioned by cell (hive dirs) and the search
@@ -1902,6 +1924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_distinct": _q_events_window_distinct,
         "lang_top_terms": _q_lang_top_terms,
         "incremental_dedup": _q_incremental_dedup,
+        "cluster_lang_profile": _q_cluster_lang_profile,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -2020,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_distinct": sm.EVENTS_WINDOW_DISTINCT_SQL,
         "lang_top_terms": sm.LANG_TOP_TERMS_SQL,
         "incremental_dedup": sm.INCREMENTAL_DEDUP_SQL,
+        "cluster_lang_profile": sm.cluster_lang_profile_sql(),
         "corpus_diff": sm.CORPUS_DIFF_SQL,
         "word_freq_score": sm.WORD_FREQ_SCORE_SQL,
         "normalize_text": sm.NORMALIZE_TEXT_SQL,

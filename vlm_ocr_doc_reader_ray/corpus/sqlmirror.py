@@ -1893,3 +1893,25 @@ SELECT doc_id, lang
 FROM documents
 WHERE sha256(text) NOT IN (SELECT h FROM idx)
 """
+
+
+def cluster_lang_profile_sql(dim: int = 64, k: int = 10, iters: int = 3,
+                             scale: int = 1_000_000,
+                             seed: str = "kmeans-init") -> str:
+    """Cross-table composition: k-means assignment (embeddings) joined
+    to documents on doc_id = vec_id, counted per (cluster, lang)."""
+    chain = _kmeans_cte_chain(dim, k, iters, scale, seed)
+    return chain + f""", af AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, m.c,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY 2 * list_dot_product(e.ee, m.ce)
+                      - list_dot_product(m.ce, m.ce) DESC, m.c ASC
+           ) AS rn
+    FROM e, m{iters} m) WHERE rn = 1
+)
+SELECT CAST(af.c AS BIGINT) AS cluster, d.lang,
+       CAST(count(*) AS BIGINT) AS docs
+FROM af JOIN documents d ON d.doc_id = af.vec_id
+GROUP BY af.c, d.lang"""
