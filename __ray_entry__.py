@@ -273,6 +273,19 @@ def _q_dedup_minhash(sf_dir: str):
     return minhash_near_dups(corpus, id_col="url", threshold=0.8, bands=32)
 
 
+def _q_dedup_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs at 0.7 over the reps=2
+    corpus via prefix filtering (deterministic 100% recall — no LSH
+    probability caveat). Oracle: the brute-force shingle-explode
+    Jaccard self-join at the same threshold; outputs must be equal
+    bit for bit."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.dedup import jaccard_near_dups
+
+    corpus = read_corpus(sf_dir, reps=2).select_columns(["url", "text"])
+    return jaccard_near_dups(corpus, id_col="url", threshold=0.7)
+
+
 def _q_dedup_simhash(sf_dir: str):
     from vlm_ocr_doc_reader_ray.stages.dedup import simhash_candidates
 
@@ -1535,6 +1548,56 @@ def _q_customer_moving_sum(sf_dir: str):
     return run.select_columns(["o_orderkey", "o_custkey", "moving_cents"])
 
 
+def _q_pricing_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus) revenue: finest level
+    aggregates the corpus once; subtotal and grand-total rows are
+    re-aggregations of the finest residues (no second data pass).
+    Sentinel 'ALL' marks rolled-up keys, mirrored by coalesce() in
+    the oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import rollup_sums
+    from vlm_ocr_doc_reader_ray.stages.relational import cents
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        revenue = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(1.0, batch.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "revenue_cents": cents(revenue),
+            }
+        )
+
+    prepped = li.map_batches(prep, batch_format="pyarrow")
+    return rollup_sums(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        ["revenue_cents"],
+        count_alias="n_items",
+    )
+
+
+def _q_source_lang_pivot(sf_dir: str):
+    """Wide pivot: per source, document counts per declared language
+    column. Residue shuffle + vectorized widen; schema is declared
+    (Spark pivot(values=...) contract), never data-dependent."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import pivot_counts
+
+    docs = _docs(sf_dir).select_columns(["source", "lang"])
+    return pivot_counts(docs, "source", "lang", ["de", "en", "es", "fr", "zh"])
+
+
 def _q_pricing_summary(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1775,6 +1838,19 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_agg(events, "user_id", "ts", "value", window_s=3600)
 
 
+def _q_events_range_join(sf_dir: str):
+    """Big-big non-equi range self-join: per event, how many events
+    (any user) landed in the trailing 10 minutes. Bucket-replicate +
+    one hash shuffle + vectorized searchsorted — never the O(n²)
+    cross join the SQL form suggests."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import time_range_prior_count
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    return time_range_prior_count(events, "ts", "event_id", window_us=600_000_000)
+
+
 def _q_events_sliding(sf_dir: str):
     import ray.data as rd
 
@@ -1925,6 +2001,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_top_terms": _q_lang_top_terms,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_lang_profile": _q_cluster_lang_profile,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "events_range_join": _q_events_range_join,
+        "pricing_rollup": _q_pricing_rollup,
+        "source_lang_pivot": _q_source_lang_pivot,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -2061,6 +2141,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": sm.HEAVY_HITTERS_SQL,
         "dedup_exact": sm.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": sm.MINHASH_PAIRS_SQL,
+        "dedup_jaccard_pairs": sm.JACCARD_PAIRS_SQL,
         "dedup_simhash_pairs": sm.SIMHASH_PAIRS_SQL,
         "dedup_clusters": sm.DEDUP_CLUSTERS_SQL,
         "dedup_keep_canonical": sm.KEEP_CANONICAL_SQL,
@@ -2082,6 +2163,9 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": sm.TOP_ORDERS_SQL,
         "orders_price_bands": sm.ORDERS_PRICE_BANDS_SQL,
         "events_window": sm.EVENTS_WINDOW_SQL,
+        "events_range_join": sm.EVENTS_RANGE_JOIN_SQL,
+        "pricing_rollup": sm.PRICING_ROLLUP_SQL,
+        "source_lang_pivot": sm.SOURCE_LANG_PIVOT_SQL,
         "events_last_order": sm.EVENTS_LAST_ORDER_SQL,
         "events_sliding_window": sm.EVENTS_SLIDING_WINDOW_SQL,
         "events_sessions": sm.EVENTS_SESSION_WINDOW_SQL,

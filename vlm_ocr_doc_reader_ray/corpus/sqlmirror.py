@@ -324,11 +324,14 @@ QUALIFY rank <= 5
 # --------------------------------------------------------------------------
 
 # Exact shingle-explode Jaccard over the reps=2 corpus (rep 1 rotates
-# the word list by one — generator._rotate). The engine's minhash+LSH
-# (bands=32) output must EQUAL this exact >=0.8 pair set: candidate
-# recall at the threshold is 1-1e-14 and verification is exact Jaccard
-# with bit-identical threshold decisions (same IEEE division).
-MINHASH_PAIRS_SQL = r"""
+# the word list by one — generator._rotate), parametrized by
+# threshold. Two engine queries gate against it:
+# - minhash_near_dups at 0.8: candidate recall at the threshold is
+#   1-1e-14 (bands=32) and verification is exact Jaccard with
+#   bit-identical threshold decisions (same IEEE division).
+# - jaccard_near_dups at 0.7: prefix filtering has recall EXACTLY 1,
+#   so the engine output must equal this oracle unconditionally.
+_JACCARD_PAIRS_TEMPLATE = r"""
 WITH corpus AS (
   SELECT 'https://' || source || '.example.com/' || lang || '/' ||
          lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
@@ -369,8 +372,11 @@ SELECT id_a, id_b,
 FROM pair_inter
 JOIN cnt ca ON id_a = ca.url
 JOIN cnt cb ON id_b = cb.url
-WHERE CAST(i AS DOUBLE) / (ca.ns + cb.ns - i) >= 0.8
+WHERE CAST(i AS DOUBLE) / (ca.ns + cb.ns - i) >= __THR__
 """
+
+MINHASH_PAIRS_SQL = _JACCARD_PAIRS_TEMPLATE.replace("__THR__", "0.8")
+JACCARD_PAIRS_SQL = _JACCARD_PAIRS_TEMPLATE.replace("__THR__", "0.7")
 
 # All-pairs 64-bit simhash Hamming<=3. The word hash is md5-based
 # (stages/dedup.py::md5_u64 == ('0x'||substr(md5(w),1,16))::UBIGINT)
@@ -837,6 +843,32 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
 GROUP BY 1, 2
 """
 
+# ROLLUP mirror of aggregates.rollup_sums: subtotal rows carry the
+# 'ALL' sentinel (keys are non-null in this corpus, so coalesce is
+# unambiguous). Engine must reproduce all three levels exactly.
+PRICING_ROLLUP_SQL = r"""
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+# Pivot mirror of aggregates.pivot_counts: one FILTER aggregate per
+# declared pivot value.
+SOURCE_LANG_PIVOT_SQL = r"""
+SELECT source,
+       count(*) FILTER (WHERE lang = 'de') AS n_de,
+       count(*) FILTER (WHERE lang = 'en') AS n_en,
+       count(*) FILTER (WHERE lang = 'es') AS n_es,
+       count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+       count(*) FILTER (WHERE lang = 'zh') AS n_zh
+FROM documents
+GROUP BY source
+"""
+
 MKTSEGMENT_REVENUE_SQL = r"""
 SELECT c_mktsegment AS mktsegment,
        count(*) AS n_orders,
@@ -896,6 +928,19 @@ SELECT e.user_id,
        CAST(floor(epoch(r.o_orderdate)) AS BIGINT) AS order_ts_s
 FROM events e ASOF JOIN r
   ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+# Non-equi range self-join: prior-event count in the trailing 10
+# minutes across ALL users. The engine's bucket-replicate plan
+# (relational.time_range_prior_count) must equal this inequality join
+# exactly — integer counts, half-open window on both sides.
+EVENTS_RANGE_JOIN_SQL = r"""
+SELECT e.event_id,
+       count(f.event_id) AS n_prior
+FROM events e
+LEFT JOIN events f
+  ON f.ts >= e.ts - INTERVAL 10 MINUTE AND f.ts < e.ts
+GROUP BY e.event_id
 """
 
 EVENTS_WINDOW_SQL = r"""

@@ -16,6 +16,7 @@ from typing import Sequence
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
@@ -183,6 +184,116 @@ def grouped_sums(
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))
     return partials.groupby(key_list[0] if len(key_list) == 1 else key_list).aggregate(*aggs)
+
+
+def rollup_sums(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_alias: str | None = None,
+    sentinel: str = "ALL",
+) -> rd.Dataset:
+    """``GROUP BY ROLLUP(keys)`` re-expressed Ray-Data-first.
+
+    The raw data is scanned EXACTLY ONCE: the finest level is one
+    pre-combined :func:`grouped_sums`; every coarser level (drop the
+    trailing key, …, grand total) re-aggregates the already-collapsed
+    finest residues — at 100 TB the rollup costs one shuffle of
+    per-batch residues plus re-aggregations over ``O(distinct keys)``
+    rows, never extra passes over the corpus. Subtotal rows mark
+    dropped STRING key columns with ``sentinel`` (the SQL mirror is
+    ``coalesce(key, sentinel)`` over ``ROLLUP``); key columns must be
+    non-null strings for the sentinel to be unambiguous.
+    """
+    key_list = list(keys)
+    cols = list(sum_cols) + ([count_alias] if count_alias else [])
+    finest = grouped_sums(ds, key_list, sum_cols, count_alias)
+
+    def canon(level_keys: Sequence[str]):
+        kept = list(level_keys)
+
+        def _c(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            arrays, names = [], []
+            for k in key_list:
+                names.append(k)
+                if k in kept:
+                    arrays.append(batch.column(k))
+                else:
+                    arrays.append(pa.array([sentinel] * n, type=pa.string()))
+            for c in cols:
+                names.append(c)
+                arrays.append(pc.cast(batch.column(c), pa.int64()))
+            return pa.table(dict(zip(names, arrays)))
+
+        return _c
+
+    pieces = [finest.map_batches(canon(key_list), batch_format="pyarrow")]
+    for i in range(len(key_list) - 1, -1, -1):
+        sub = key_list[:i]
+        if sub:
+            lv = grouped_sums(finest, sub, cols)
+        else:
+            def add_all(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "__all", pa.array([0] * len(batch), type=pa.int64())
+                )
+
+            lv = grouped_sums(
+                finest.map_batches(add_all, batch_format="pyarrow"), ["__all"], cols
+            ).drop_columns(["__all"])
+        pieces.append(lv.map_batches(canon(sub), batch_format="pyarrow"))
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out
+
+
+def pivot_counts(
+    ds: rd.Dataset,
+    index_col: str,
+    pivot_col: str,
+    values: Sequence[str],
+    prefix: str = "n_",
+) -> rd.Dataset:
+    """Pivot row counts into wide columns — ``values`` must be
+    DECLARED up front (the Spark ``pivot(values=...)`` contract): a
+    schema cannot depend on the data without a blocking discovery
+    pass, so undeclared pivot values raise rather than silently
+    widening. SQL mirror: one ``count(*) FILTER (WHERE ...)`` per
+    declared value.
+
+    Scale shape: the corpus collapses to (index, pivot, count)
+    residues via pre-combined :func:`grouped_sums` (one shuffle of
+    residues); widening is a vectorized pivot per index-hash
+    partition over ``O(distinct index × values)`` rows.
+    """
+    vals = list(values)
+    finest = grouped_sums(ds, [index_col, pivot_col], [], count_alias="__n")
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [index_col] + [f"{prefix}{v}" for v in vals]
+        if g.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="object" if c == index_col else "int64") for c in cols}
+            )
+        extra = set(g[pivot_col]) - set(vals)
+        if extra:
+            raise ValueError(
+                f"pivot_counts: undeclared {pivot_col} values {sorted(extra)[:5]}; "
+                "declare them in `values` — the output schema never widens silently"
+            )
+        w = (
+            g.pivot_table(index=index_col, columns=pivot_col, values="__n",
+                          aggfunc="sum", fill_value=0)
+            .reindex(columns=vals, fill_value=0)
+            .astype("int64")
+        )
+        w.columns = [f"{prefix}{v}" for v in vals]
+        return w.reset_index()[cols]
+
+    return partitioned_apply(finest, [index_col], widen)
 
 
 def exact_quantiles(

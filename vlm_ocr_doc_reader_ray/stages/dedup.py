@@ -355,11 +355,16 @@ def minhash_near_dups(
     if on_truncate not in ("raise", "flag", "ignore"):
         raise ValueError(f"on_truncate must be raise|flag|ignore, got {on_truncate!r}")
     pairs = lsh_candidate_pairs(ds, id_col, n_perm, bands, text_col, max_bucket)
+    cand = distinct_pairs_keep_flag(pairs)
+    cand = _apply_truncation_policy(cand, on_truncate, "minhash_near_dups")
+    return verify_jaccard_pairs(cand, ds, id_col, text_col, threshold)
 
+
+def distinct_pairs_keep_flag(pairs: rd.Dataset) -> rd.Dataset:
+    """Distributed pair-distinct KEEPING the truncation flag: a pair
+    is truncated if ANY occurrence came from a capped bucket."""
     from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
 
-    # pair-distinct KEEPING the truncation flag: a pair is truncated
-    # if ANY band that surfaced it came from a capped bucket
     def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
         return (
             batch.groupby(["id_a", "id_b"], sort=False, as_index=False)["truncated"]
@@ -369,25 +374,44 @@ def minhash_near_dups(
     combined = pairs.select_columns(["id_a", "id_b", "truncated"]).map_batches(
         local_distinct, batch_format="pandas"
     )
-    cand = partitioned_apply(combined, ["id_a", "id_b"], local_distinct)
+    return partitioned_apply(combined, ["id_a", "id_b"], local_distinct)
 
+
+def _apply_truncation_policy(cand: rd.Dataset, on_truncate: str, op: str) -> rd.Dataset:
     if on_truncate == "raise":
 
         def check(batch: pd.DataFrame) -> pd.DataFrame:
             if batch["truncated"].any():
                 bad = batch[batch["truncated"]].head(3)[["id_a", "id_b"]]
                 raise RuntimeError(
-                    "minhash_near_dups: LSH bucket cap truncated candidate "
+                    f"{op}: bucket cap truncated candidate "
                     f"buckets (e.g. pairs {bad.to_dict('records')}); recall is "
                     "no longer exhaustive. Raise max_bucket, pre-dedup exact "
                     "duplicates, or pass on_truncate='flag'/'ignore'."
                 )
             return batch.drop(columns="truncated")
 
-        cand = cand.map_batches(check, batch_format="pandas")
-    elif on_truncate == "ignore":
-        cand = cand.drop_columns(["truncated"])
+        return cand.map_batches(check, batch_format="pandas")
+    if on_truncate == "ignore":
+        return cand.drop_columns(["truncated"])
+    return cand
 
+
+def verify_jaccard_pairs(
+    cand: rd.Dataset,
+    ds: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> rd.Dataset:
+    """Exact word-shingle Jaccard verification of candidate pairs.
+
+    Re-attaches the two texts by DISTRIBUTED hash joins against the
+    corpus (the corpus is never collected into a driver lookup table),
+    then scores each pair inside ``map_batches``. Shared verifier tail
+    of every near-dup candidate generator (MinHash LSH, prefix
+    filtering); keeps a ``truncated`` column if the candidates carry
+    one."""
     texts = ds.select_columns([id_col, text_col])
 
     def rename(to_id: str, to_text: str):
@@ -426,6 +450,125 @@ def minhash_near_dups(
         return out[out["jaccard"] >= threshold]
 
     return with_b.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via prefix filtering (deterministic 100% recall)
+# ---------------------------------------------------------------------------
+
+def prefix_filter_candidates(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_bucket: int = 200,
+) -> rd.Dataset:
+    """(id_a, id_b, truncated) candidate pairs with DETERMINISTIC
+    100% recall at Jaccard >= ``threshold`` — prefix filtering
+    (Chaudhuri et al., "A Primitive Operator for Similarity Joins",
+    ICDE 2006), the exact complement to probabilistic MinHash LSH.
+
+    Per doc: distinct word-3-shingle hashes sorted ascending (the
+    global token order is the u64 hash value); the doc is emitted
+    keyed by each hash in its first ``ns - ceil(t*ns) + 1`` tokens.
+    Lemma: J(A,B) >= t implies |A∩B| >= ceil(t*max(|A|,|B|)), and two
+    sets with overlap >= a must collide inside their
+    ``len - a + 1``-prefixes under any shared total order — so every
+    true pair meets in at least one token bucket. Buckets are hash
+    partitions with a vectorized self-merge (same shape as
+    :func:`lsh_candidate_pairs`); a pair-level size filter
+    (``min(ns) >= ceil(t*max(ns))``) prunes impossible pairs before
+    verification. Buckets over ``max_bucket`` are capped with a
+    visible ``truncated`` flag, never silently.
+    """
+    eps = 1e-9
+
+    def emit_prefixes(batch: pa.Table) -> pa.Table:
+        ids, tokens, sizes = [], [], []
+        id_vals = batch.column(id_col).to_pylist()
+        for i, text in enumerate(batch.column(text_col).to_pylist()):
+            hs = sorted({md5_u64(s) for s in word_shingles(text)})
+            ns = len(hs)
+            alpha = int(np.ceil(threshold * ns - eps))
+            p = max(1, ns - alpha + 1)
+            ids.extend([id_vals[i]] * p)
+            tokens.extend(hs[:p])
+            sizes.extend([ns] * p)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=batch.schema.field(id_col).type),
+                "token": pa.array(np.array(tokens, dtype=np.uint64).view(np.int64)),
+                "ns": pa.array(sizes, type=pa.int64()),
+            }
+        )
+
+    prefixes = ds.select_columns([id_col, text_col]).map_batches(
+        emit_prefixes, batch_format="pyarrow"
+    )
+
+    def emit_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=g[id_col].dtype),
+                "id_b": pd.Series([], dtype=g[id_col].dtype),
+                "truncated": pd.Series([], dtype="bool"),
+            }
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(id_col)
+        rank = g.groupby("token", sort=False).cumcount()
+        sizes = g.groupby("token", sort=False)[id_col].transform("size")
+        g = g.assign(__trunc=(sizes > max_bucket))[rank < max_bucket]
+        m = g.merge(g, on="token", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return empty
+        # size filter: inter <= min(ns) and J>=t forces
+        # min(ns) >= ceil(t*max(ns)); eps biases toward KEEPING
+        lo = np.minimum(m["ns_a"].to_numpy(), m["ns_b"].to_numpy())
+        hi = np.maximum(m["ns_a"].to_numpy(), m["ns_b"].to_numpy())
+        ok = lo >= np.ceil(threshold * hi - eps)
+        m = m[ok]
+        return pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_a"].to_numpy(),
+                "id_b": m[f"{id_col}_b"].to_numpy(),
+                "truncated": (m["__trunc_a"] | m["__trunc_b"]).to_numpy(),
+            }
+        )
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    return partitioned_apply(prefixes, ["token"], emit_part)
+
+
+def jaccard_near_dups(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_bucket: int = 200,
+    on_truncate: str = "raise",
+) -> rd.Dataset:
+    """(id_a, id_b, jaccard) — the EXACT n-gram-Jaccard near-dup
+    pairs at ``threshold``, no probabilistic recall caveat: prefix
+    filtering guarantees every true pair becomes a candidate, and
+    verification is exact shingle Jaccard. Output must equal the
+    brute-force all-pairs self-join bit for bit (the SQL oracle).
+
+    Scale shape: one prefix-emission pass, one token-hash shuffle of
+    (id, token, ns) residues, one pair-distinct, two hash joins to
+    re-attach texts, vectorized per-batch verification. Lower
+    thresholds lengthen prefixes (cost grows ~ (1-t)*corpus tokens) —
+    below ~0.5 prefer :func:`minhash_near_dups`.
+    """
+    if on_truncate not in ("raise", "flag", "ignore"):
+        raise ValueError(f"on_truncate must be raise|flag|ignore, got {on_truncate!r}")
+    pairs = prefix_filter_candidates(ds, id_col, text_col, threshold, max_bucket)
+    cand = distinct_pairs_keep_flag(pairs)
+    cand = _apply_truncation_policy(cand, on_truncate, "jaccard_near_dups")
+    return verify_jaccard_pairs(cand, ds, id_col, text_col, threshold)
 
 
 # ---------------------------------------------------------------------------

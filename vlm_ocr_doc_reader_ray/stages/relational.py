@@ -780,6 +780,90 @@ def tumbling_window_agg(
     )
 
 
+def time_range_prior_count(
+    ds: rd.Dataset,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_us: int = 600_000_000,
+    out_col: str = "n_prior",
+) -> rd.Dataset:
+    """Big-big NON-EQUI range self-join: for every row, the count of
+    rows (across ALL keys) with ``ts`` in ``[row.ts - window, row.ts)``
+    — the SQL inequality join ``f.ts >= e.ts - w AND f.ts < e.ts``
+    that a naive distributed plan turns into an O(n²) cross join.
+
+    Scale shape — bucket-replicate: time is cut into buckets of the
+    window width; each row probes its own bucket and is replicated as
+    build input to buckets ``b`` and ``b+1`` (its value can only
+    affect probes there), so ONE hash shuffle on the bucket key
+    co-locates every (probe, build) pair exactly once. Inside a
+    partition the count is a single vectorized ``np.searchsorted``
+    over a composite ``(target_bucket, offset)`` int64 key — bucket
+    ranges are provably disjoint (range of target ``t`` is
+    ``[2tW, (2t+2)W)``), so probes never see another bucket's builds
+    and there is no per-bucket Python loop. Cost: 2× build
+    replication, one shuffle of (id, ts) residues, O(n log n) per
+    partition. Ties: a build with ``ts`` equal to the probe's (the
+    probe itself included) is OUTSIDE the half-open window, matching
+    the SQL predicate bit for bit.
+    """
+    W = int(window_us)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch[ts_col].to_numpy(dtype="datetime64[us]").view(np.int64)
+        ids = batch[id_col].to_numpy()
+        b = ts // W
+        probe = pd.DataFrame(
+            {id_col: ids, "__ts": ts, "__tgt": b, "__probe": True}
+        )
+        build = pd.DataFrame(
+            {
+                id_col: np.full(2 * len(ts), -1, dtype=ids.dtype),
+                "__ts": np.concatenate([ts, ts]),
+                "__tgt": np.concatenate([b, b + 1]),
+                "__probe": np.zeros(2 * len(ts), dtype=bool),
+            }
+        )
+        return pd.concat([probe, build], ignore_index=True)
+
+    exploded = ds.select_columns([id_col, ts_col]).map_batches(
+        explode, batch_format="pandas"
+    )
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                out_col: pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        probes = g[g["__probe"]]
+        builds = g[~g["__probe"]]
+        if probes.empty:
+            return empty
+        bt = builds["__ts"].to_numpy()
+        btgt = builds["__tgt"].to_numpy()
+        keys = np.sort((btgt + 1) * W + bt)
+        pts = probes["__ts"].to_numpy()
+        ptgt = probes["__tgt"].to_numpy()
+        lo = ptgt * W + pts
+        n = np.searchsorted(keys, lo + W, side="left") - np.searchsorted(
+            keys, lo, side="left"
+        )
+        return pd.DataFrame(
+            {
+                id_col: probes[id_col].to_numpy(),
+                out_col: n.astype(np.int64),
+            }
+        )
+
+    return partitioned_apply(exploded, ["__tgt"], count_part)
+
+
 # ------------------------------------------------------- analytic windows
 #
 # SQL analytic functions (row_number / lag / running sum OVER a
