@@ -856,6 +856,59 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
+# Group-pairwise vocabulary Jaccard mirror: integer intersection /
+# vocab counts, one shared IEEE division — exact in both engines.
+SOURCE_VOCAB_OVERLAP_SQL = r"""
+WITH w0 AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), w AS (
+  SELECT DISTINCT source, word FROM w0
+), cnt AS (
+  SELECT source, count(*) AS n FROM w GROUP BY 1
+), p AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       ca.n AS n_a, cb.n AS n_b,
+       CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared) AS jaccard
+FROM p
+JOIN cnt ca ON source_a = ca.source
+JOIN cnt cb ON source_b = cb.source
+"""
+
+# Winsorize mirror: quantile_disc matches the engine's
+# max(ceil(q*n),1) index rule (pinned elsewhere); clip is
+# least/greatest over integer word counts — exact.
+WINSORIZE_WORD_COUNTS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+), q AS (
+  SELECT lang,
+         quantile_disc(n_words, 0.05) AS lo,
+         quantile_disc(n_words, 0.95) AS hi
+  FROM w GROUP BY lang
+)
+SELECT doc_id, w.lang, n_words,
+       CAST(least(greatest(n_words, lo), hi) AS BIGINT) AS n_words_winsorized
+FROM w JOIN q USING (lang)
+"""
+
+# CUBE mirror of aggregates.cube_sums (same sentinel contract as
+# PRICING_ROLLUP_SQL).
+ORDERS_CUBE_SQL = r"""
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
 # Pivot mirror of aggregates.pivot_counts: one FILTER aggregate per
 # declared pivot value.
 SOURCE_LANG_PIVOT_SQL = r"""
@@ -941,6 +994,18 @@ FROM events e
 LEFT JOIN events f
   ON f.ts >= e.ts - INTERVAL 10 MINUTE AND f.ts < e.ts
 GROUP BY e.event_id
+"""
+
+# Strict forward as-of self-join (next-event attribution). (user_id,
+# ts) is unique in this corpus — checked — so the minimal
+# strictly-later match is deterministic in both engines.
+EVENTS_NEXT_SQL = r"""
+SELECT e.event_id,
+       n.event_id AS next_event_id,
+       epoch_us(n.ts) - epoch_us(e.ts) AS gap_us
+FROM events e
+ASOF JOIN events n
+  ON e.user_id = n.user_id AND e.ts < n.ts
 """
 
 EVENTS_WINDOW_SQL = r"""

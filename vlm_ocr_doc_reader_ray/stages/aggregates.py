@@ -186,24 +186,27 @@ def grouped_sums(
     return partials.groupby(key_list[0] if len(key_list) == 1 else key_list).aggregate(*aggs)
 
 
-def rollup_sums(
+def grouping_sets_sums(
     ds: rd.Dataset,
     keys: Sequence[str],
+    sets: Sequence[Sequence[str]],
     sum_cols: Sequence[str],
     count_alias: str | None = None,
     sentinel: str = "ALL",
 ) -> rd.Dataset:
-    """``GROUP BY ROLLUP(keys)`` re-expressed Ray-Data-first.
+    """``GROUP BY GROUPING SETS`` re-expressed Ray-Data-first — the
+    shared engine under :func:`rollup_sums` and :func:`cube_sums`.
 
-    The raw data is scanned EXACTLY ONCE: the finest level is one
-    pre-combined :func:`grouped_sums`; every coarser level (drop the
-    trailing key, …, grand total) re-aggregates the already-collapsed
-    finest residues — at 100 TB the rollup costs one shuffle of
-    per-batch residues plus re-aggregations over ``O(distinct keys)``
-    rows, never extra passes over the corpus. Subtotal rows mark
-    dropped STRING key columns with ``sentinel`` (the SQL mirror is
-    ``coalesce(key, sentinel)`` over ``ROLLUP``); key columns must be
-    non-null strings for the sentinel to be unambiguous.
+    The raw data is scanned EXACTLY ONCE: the finest level (all
+    ``keys``) is one pre-combined :func:`grouped_sums`; every
+    requested set re-aggregates the already-collapsed finest residues
+    — at 100 TB the whole lattice costs one shuffle of per-batch
+    residues plus re-aggregations over ``O(distinct keys)`` rows,
+    never extra passes over the corpus. Subtotal rows mark dropped
+    STRING key columns with ``sentinel`` (the SQL mirror is
+    ``coalesce(key, sentinel)``); key columns must be non-null strings
+    for the sentinel to be unambiguous. Each set must preserve the
+    order of ``keys``.
     """
     key_list = list(keys)
     cols = list(sum_cols) + ([count_alias] if count_alias else [])
@@ -228,10 +231,12 @@ def rollup_sums(
 
         return _c
 
-    pieces = [finest.map_batches(canon(key_list), batch_format="pyarrow")]
-    for i in range(len(key_list) - 1, -1, -1):
-        sub = key_list[:i]
-        if sub:
+    pieces = []
+    for s in sets:
+        sub = list(s)
+        if sub == key_list:
+            lv = finest
+        elif sub:
             lv = grouped_sums(finest, sub, cols)
         else:
             def add_all(batch: pa.Table) -> pa.Table:
@@ -248,6 +253,38 @@ def rollup_sums(
     for p in pieces[1:]:
         out = out.union(p)
     return out
+
+
+def rollup_sums(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_alias: str | None = None,
+    sentinel: str = "ALL",
+) -> rd.Dataset:
+    """``GROUP BY ROLLUP(keys)``: the prefix lattice
+    (k1..kn), (k1..kn-1), …, () over one corpus scan."""
+    key_list = list(keys)
+    sets = [key_list[:i] for i in range(len(key_list), -1, -1)]
+    return grouping_sets_sums(ds, key_list, sets, sum_cols, count_alias, sentinel)
+
+
+def cube_sums(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_alias: str | None = None,
+    sentinel: str = "ALL",
+) -> rd.Dataset:
+    """``GROUP BY CUBE(keys)``: every key subset (order-preserving)
+    over one corpus scan — 2^k re-aggregations of the finest
+    residues, zero extra passes over the raw data."""
+    key_list = list(keys)
+    sets: list[list[str]] = [[]]
+    for k in key_list:
+        sets = sets + [s + [k] for s in sets]
+    sets.sort(key=lambda s: -len(s))
+    return grouping_sets_sums(ds, key_list, sets, sum_cols, count_alias, sentinel)
 
 
 def pivot_counts(
@@ -457,6 +494,66 @@ def grouped_exact_quantiles(
         return out.rename(columns={col: "value"})
 
     return partitioned_apply(hist, key_list, qpart)
+
+
+def grouped_winsorize(
+    ds: rd.Dataset,
+    group_cols: str | Sequence[str],
+    col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    out_col: str | None = None,
+) -> rd.Dataset:
+    """Winsorize ``col`` against ITS OWN group's exact quantile band:
+    values are clipped into ``[q_lo, q_hi]`` of their group — the
+    outlier-robust normalization a quality pipeline applies before
+    mixing heterogeneous sources.
+
+    Scale shape (same as :func:`grouped_quantile_gate`): per-group
+    thresholds come from residue counting histograms, collapse to one
+    tiny ``group → (lo, hi)`` table broadcast ONCE, and the clip is a
+    vectorized two-sided ``np.clip`` per batch — the corpus streams
+    through with zero row shuffles. Groups absent from the threshold
+    table (all-null values) are dropped, matching the SQL inner join.
+    Exact for integer-like columns (the clip bounds are actual data
+    values, no interpolation).
+    """
+    import numpy as np
+
+    key_list = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    out_name = out_col or f"{col}_winsorized"
+
+    thr = grouped_exact_quantiles(ds, key_list, col, [lo_q, hi_q]).to_pandas()
+    table = {}
+    for _, r in thr.iterrows():
+        k = tuple(r[c] for c in key_list)
+        lo, hi = table.get(k, (None, None))
+        if r["q"] == float(lo_q):
+            lo = r["value"]
+        else:
+            hi = r["value"]
+        table[k] = (lo, hi)
+    ref = ray.put(table)
+
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            batch[out_name] = pd.Series([], dtype=batch[col].dtype)
+            return batch
+        t = ray.get(ref)
+        keys = pd.Series(zip(*(batch[k] for k in key_list)), index=batch.index)
+        bounds = keys.map(t)
+        ok = bounds.notna()
+        batch = batch[ok.to_numpy(dtype=bool)].copy()
+        if batch.empty:
+            batch[out_name] = pd.Series([], dtype=batch[col].dtype)
+            return batch
+        bounds = bounds[ok]
+        lo = np.array([b[0] for b in bounds])
+        hi = np.array([b[1] for b in bounds])
+        batch[out_name] = np.clip(batch[col].to_numpy(), lo, hi)
+        return batch
+
+    return ds.map_batches(clip, batch_format="pandas")
 
 
 def grouped_min_max(

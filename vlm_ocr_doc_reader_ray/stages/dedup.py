@@ -571,6 +571,84 @@ def jaccard_near_dups(
     return verify_jaccard_pairs(cand, ds, id_col, text_col, threshold)
 
 
+def group_vocab_overlap(
+    ds: rd.Dataset,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Pairwise Jaccard similarity between GROUPS' vocabularies —
+    corpus-overlap analysis across sources/dumps (which crawls dredge
+    the same material?), the group-level twin of document near-dup.
+
+    Scale shape: the corpus collapses in-map to distinct
+    ``(group, word)`` residues (bounded by vocab × groups, not rows);
+    one hash shuffle dedups them globally; per-WORD partitions emit
+    pre-aggregated group-pair counts (each word's bucket is at most
+    ``G`` rows); a residue groupby sums intersections. Only the final
+    ``G + G²`` rows reach the driver, where the Jaccard is one exact
+    integer division per pair. Pairs with empty intersection are
+    omitted (both engines).
+    """
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        distinct_values,
+        grouped_sums,
+        partitioned_apply,
+    )
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            batch[[group_col, text_col]]
+            .assign(word=batch[text_col].str.split(" "))
+            .explode("word")[[group_col, "word"]]
+            .drop_duplicates()
+        )
+        return df
+
+    residues = ds.select_columns([group_col, text_col]).map_batches(
+        emit, batch_format="pandas"
+    )
+    distinct = distinct_values(residues, [group_col, "word"])
+    sizes = grouped_sums(distinct, [group_col], [], count_alias="n_vocab")
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "source_a": pd.Series([], dtype="object"),
+                "source_b": pd.Series([], dtype="object"),
+                "n_shared": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        m = g.merge(g, on="word")
+        m = m[m[f"{group_col}_x"] < m[f"{group_col}_y"]]
+        if m.empty:
+            return empty
+        c = (
+            m.groupby([f"{group_col}_x", f"{group_col}_y"], sort=False)
+            .size()
+            .reset_index(name="n_shared")
+        )
+        c.columns = ["source_a", "source_b", "n_shared"]
+        return c
+
+    pair_counts = partitioned_apply(distinct, ["word"], pairs_part)
+    inter = grouped_sums(pair_counts, ["source_a", "source_b"], ["n_shared"])
+
+    inter_df = inter.to_pandas()  # bounded: at most G^2 rows
+    sizes_df = sizes.to_pandas()  # bounded: G rows
+    out = inter_df.merge(
+        sizes_df.rename(columns={group_col: "source_a", "n_vocab": "n_a"}), on="source_a"
+    ).merge(
+        sizes_df.rename(columns={group_col: "source_b", "n_vocab": "n_b"}), on="source_b"
+    )
+    out["jaccard"] = out["n_shared"].astype("float64") / (
+        out["n_a"] + out["n_b"] - out["n_shared"]
+    )
+    cols = ["source_a", "source_b", "n_shared", "n_a", "n_b", "jaccard"]
+    return out[cols].sort_values(["source_a", "source_b"], ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -239,10 +239,14 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     num_parts: int = 32,
+    allow_exact: bool = True,
 ) -> rd.Dataset:
     """Keyed as-of join: for each left row, the right row with the
     same key and the closest ``right_ts`` <= ``left_ts`` (backward
     direction; the classic events→latest-dimension-version lookup).
+    ``direction="forward"`` flips to the closest ``right_ts`` >=
+    ``left_ts`` (next-event attribution); ``allow_exact=False`` makes
+    either bound strict — DuckDB's ``ASOF JOIN ON l.ts < r.ts``.
 
     Ray Data has no asof join; this composes one from primitives: one
     hash-partitioned shuffle co-locates both sides by key, then each
@@ -295,6 +299,7 @@ def asof_join(
             left_by=left_on,
             right_by=right_on,
             direction=direction,
+            allow_exact_matches=allow_exact,
         )
         probe = right_ts if right_ts != left_ts else right_on
         out = out.dropna(subset=[probe])
