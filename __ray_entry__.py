@@ -1624,6 +1624,16 @@ def _q_winsorize_word_counts(sf_dir: str):
     return grouped_winsorize(words, "lang", "n_words", 0.05, 0.95)
 
 
+def _q_cross_doc_ngram_share(sf_dir: str):
+    """Cross-document duplicated-5-gram share per doc: distinct
+    (doc, gram) residues, one gram-hash shuffle, per-partition exact
+    document frequencies, residue groupby back to docs — the
+    unbounded-shared-set twin of boilerplate_overlap."""
+    from vlm_ocr_doc_reader_ray.stages.scrub import cross_doc_ngram_share
+
+    return cross_doc_ngram_share(_docs(sf_dir), "text", "doc_id", n=5)
+
+
 def _q_source_lang_pivot(sf_dir: str):
     """Wide pivot: per source, document counts per declared language
     column. Residue shuffle + vectorized widen; schema is declared
@@ -2117,6 +2127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next": _q_events_next,
         "winsorize_word_counts": _q_winsorize_word_counts,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "cross_doc_ngram_share": _q_cross_doc_ngram_share,
         # tier 3: green in r2, not re-run since
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -2285,6 +2296,7 @@ def oracle_sql() -> dict[str, str]:
         "events_next": sm.EVENTS_NEXT_SQL,
         "winsorize_word_counts": sm.WINSORIZE_WORD_COUNTS_SQL,
         "source_vocab_overlap": sm.SOURCE_VOCAB_OVERLAP_SQL,
+        "cross_doc_ngram_share": sm.CROSS_DOC_NGRAM_SHARE_SQL,
         "events_last_order": sm.EVENTS_LAST_ORDER_SQL,
         "events_sliding_window": sm.EVENTS_SLIDING_WINDOW_SQL,
         "events_sessions": sm.EVENTS_SESSION_WINDOW_SQL,

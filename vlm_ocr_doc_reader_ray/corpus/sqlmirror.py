@@ -1238,6 +1238,39 @@ FROM w GROUP BY doc_id
 """
 
 
+# Cross-document duplicated-5-gram share: per doc, how many of its
+# DISTINCT word 5-grams appear in >= 2 documents; integer half-up ppm
+# (same convention as repetition dup_ppm). sum() returns HUGEINT in
+# DuckDB — cast back to BIGINT.
+CROSS_DOC_NGRAM_SHARE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), g0 AS (
+  SELECT doc_id, unnest(list_transform(range(0, nw - 4),
+                i -> array_to_string(list_slice(ws, i + 1, i + 5), ' '))) AS ng
+  FROM t WHERE nw >= 5
+), g AS (
+  SELECT DISTINCT doc_id, ng FROM g0
+), f AS (
+  SELECT ng, count(*) AS nd FROM g GROUP BY ng
+), s AS (
+  SELECT g.doc_id,
+         count(*) AS n,
+         sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS n_sh
+  FROM g JOIN f USING (ng) GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(s.n_sh, 0) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN coalesce(s.n, 0) = 0 THEN 0
+            ELSE (s.n_sh * 2000000 + s.n) // (2 * s.n) END AS BIGINT)
+           AS shared_ppm
+FROM t LEFT JOIN s USING (doc_id)
+"""
+
+
 # Benchmark decontamination: eval set = original texts of docs with
 # doc_id % 101 = 0; docs with doc_id % 13 = 5 get the first 13 words
 # of eval doc rank (doc_id % n_eval) appended (LOCKSTEP with

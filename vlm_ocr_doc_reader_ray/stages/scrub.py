@@ -439,6 +439,114 @@ def boilerplate_overlap(
     )
 
 
+def cross_doc_ngram_share(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> rd.Dataset:
+    """Per-document share of its DISTINCT word ``n``-grams that occur
+    in at least one OTHER document — the cross-document duplication
+    signal (RefinedWeb/Dolma-style dedup pressure, the corpus-level
+    twin of the in-document Gopher repetition stats). A doc scoring
+    high is boilerplate-heavy or a diffuse near-duplicate even when no
+    single pair crosses a near-dup threshold.
+
+    Scale shape: docs collapse in-map to distinct ``(doc_id, ngram)``
+    residues; ONE hash shuffle on the gram co-locates every holder of
+    each gram, so a gram-partition computes exact document frequencies
+    locally and emits per-doc PARTIAL shared counts; a residue groupby
+    on ``id_col`` sums partials with the in-map per-doc totals. Unlike
+    :func:`boilerplate_overlap` (threshold-bounded broadcast set), the
+    shared-gram set here is unbounded (any gram held by >= 2 docs), so
+    the attribution is partitioned, never broadcast — no driver or
+    worker ever holds the shared set. Output one row per input doc:
+    ``(id_col, n_ngrams, n_shared, shared_ppm)`` with the engine-wide
+    half-up integer ppm convention; docs with fewer than ``n`` words
+    score 0/0/0.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        grouped_sums,
+        partitioned_apply,
+    )
+
+    src = ds.select_columns([id_col, text_col])
+
+    def residues(batch: pa.Table) -> pd.DataFrame:
+        grams, doc_idx = arrow_word_ngrams(batch.column(text_col), n)
+        ids = batch.column(id_col).take(pa.array(doc_idx, type=pa.int64()))
+        df = pd.DataFrame({id_col: ids.to_pandas(), "__ngram": grams.to_pandas()})
+        return df.drop_duplicates()
+
+    def totals(batch: pa.Table) -> pd.DataFrame:
+        # every input doc appears exactly once, zero-gram docs included
+        grams, doc_idx = arrow_word_ngrams(batch.column(text_col), n)
+        cnt = np.zeros(len(batch), dtype=np.int64)
+        if len(doc_idx):
+            d = pd.DataFrame(
+                {"i": doc_idx, "g": grams.to_pandas()}
+            ).drop_duplicates()
+            vc = d.groupby("i").size()
+            cnt[vc.index.to_numpy()] = vc.to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: batch.column(id_col).to_pandas(),
+                "n_ngrams": cnt,
+                "n_shared": np.zeros(len(batch), dtype=np.int64),
+            }
+        )
+
+    def share_part(g: pd.DataFrame) -> pd.DataFrame:
+        id_dtype = g[id_col].dtype if id_col in g.columns else "int64"
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype=id_dtype),
+                "n_ngrams": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        # all holders of a gram are co-located: transform size IS the
+        # gram's global document frequency
+        freq = g.groupby("__ngram")[id_col].transform("size")
+        shared = g.loc[freq.to_numpy() >= 2]
+        if shared.empty:
+            return empty
+        c = shared.groupby(id_col, sort=False).size().reset_index(name="n_shared")
+        c["n_ngrams"] = np.int64(0)
+        return c[[id_col, "n_ngrams", "n_shared"]]
+
+    res = src.map_batches(residues, batch_format="pyarrow")
+    partials = partitioned_apply(res, ["__ngram"], share_part)
+    base = src.map_batches(totals, batch_format="pyarrow")
+    summed = grouped_sums(base.union(partials), [id_col], ["n_ngrams", "n_shared"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nn = pc.cast(batch.column("n_ngrams"), pa.int64())
+        sh = pc.cast(batch.column("n_shared"), pa.int64())
+        nn_np = nn.to_numpy(zero_copy_only=False)
+        sh_np = sh.to_numpy(zero_copy_only=False)
+        ppm = np.zeros(len(nn_np), dtype=np.int64)
+        m = nn_np > 0
+        ppm[m] = (sh_np[m] * 2_000_000 + nn_np[m]) // (2 * nn_np[m])
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_ngrams": nn,
+                "n_shared": sh,
+                "shared_ppm": pa.array(ppm),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 def blocklist_filter(
     ds: rd.Dataset,
     col: str,
