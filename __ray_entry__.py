@@ -1634,6 +1634,57 @@ def _q_cross_doc_ngram_share(sf_dir: str):
     return cross_doc_ngram_share(_docs(sf_dir), "text", "doc_id", n=5)
 
 
+def _q_link_graph(sf_dir: str):
+    """Outlink table over the synthetic web corpus: one row per
+    ``<a href>`` in document order, href resolved absolute, chrome
+    flagged by the shared nav/aside/header/footer ancestry rule.
+    Stateless Arrow flat-map — the link-graph construction pass of a
+    Common-Crawl-scale pipeline."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import links_table
+
+    return links_table(read_corpus(sf_dir))
+
+
+def _q_host_link_degree(sf_dir: str):
+    """Host-level link profile (out-degree, chrome share, external
+    share, distinct-target frontier size): per-batch combiners reduce
+    both legs to residues before the only shuffle."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        host_link_degree,
+        links_table,
+    )
+
+    return host_link_degree(links_table(read_corpus(sf_dir)))
+
+
+def _q_collocations(sf_dir: str):
+    """PMI-style collocation mining with an exact integer gate
+    (cross-multiplied ``5/4`` threshold — no floats anywhere, so the
+    DuckDB oracle is bit-exact)."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import collocations
+
+    return collocations(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )
+
+
+def _q_chunk_windows(sf_dir: str):
+    """Sliding-window chunking (24-word windows, stride 16) — the
+    RAG / context-window training-prep explode, fully vectorized
+    (np.repeat gather + Arrow binary_join)."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import chunk_windows
+
+    return chunk_windows(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
 def _q_source_lang_pivot(sf_dir: str):
     """Wide pivot: per source, document counts per declared language
     column. Residue shuffle + vectorized widen; schema is declared
@@ -2101,6 +2152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_running_total": _q_customer_running_total,
         "user_event_gaps": _q_user_event_gaps,
         # tier 2: new this round
+        "link_graph": _q_link_graph,
+        "host_link_degree": _q_host_link_degree,
+        "collocations": _q_collocations,
+        "chunk_windows": _q_chunk_windows,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -2218,6 +2273,10 @@ def oracle_sql() -> dict[str, str]:
         "verify_grouped": sm.VERIFY_GROUPED_SQL,
         "registry_upsert": sm.UPSERT_SQL,
         "registry_resume": sm.REGISTRY_RESUME_SQL,
+        "link_graph": sm.LINK_GRAPH_SQL,
+        "host_link_degree": sm.HOST_LINK_DEGREE_SQL,
+        "collocations": sm.COLLOCATIONS_SQL,
+        "chunk_windows": sm.CHUNK_WINDOWS_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

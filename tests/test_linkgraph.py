@@ -1,0 +1,172 @@
+"""Link scanner + link-graph stage + chunk-window math unit tests.
+
+The SQL parity of ``link_graph`` / ``host_link_degree`` /
+``collocations`` / ``chunk_windows`` is pinned corpus-wide in
+``test_queries_vs_duckdb.py``; these pin the edge cases the synthetic
+corpus never produces (nested anchors, RAWTEXT bodies, unclosed
+anchors, non-HTML payloads, chunk boundary arithmetic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from vlm_ocr_doc_reader_ray.extract.links import extract_links, scan_links
+
+
+class TestScanLinks:
+    def test_document_order_and_chrome(self):
+        html = (
+            "<html><body><nav><a href='/a'>A</a></nav>"
+            "<main><a href='/b'>B <b>bold</b></a></main>"
+            "<footer><a href='/c'>C</a></footer></body></html>"
+        )
+        got = scan_links(html)
+        assert got == [("/a", "A", True), ("/b", "B bold", False), ("/c", "C", True)]
+
+    def test_anchor_without_href_skipped(self):
+        assert scan_links("<a name='x'>no link</a><a href='/y'>y</a>") == [
+            ("/y", "y", False)
+        ]
+
+    def test_nested_anchor_closes_previous(self):
+        # browser recovery: <a><a> closes the first anchor
+        got = scan_links("<a href='/1'>one <a href='/2'>two</a> tail")
+        assert got == [("/1", "one", False), ("/2", "two", False)]
+
+    def test_rawtext_body_cannot_fake_tags(self):
+        html = "<script>var s='<a href=\"/fake\">x</a>';</script><a href='/real'>r</a>"
+        assert scan_links(html) == [("/real", "r", False)]
+
+    def test_skip_tags_drop_inner_text(self):
+        got = scan_links("<a href='/x'>keep<svg><desc>drop</desc></svg>ed</a>")
+        assert got == [("/x", "keeped", False)]
+
+    def test_entities_unescaped_and_ws_collapsed(self):
+        got = scan_links("<a href='/e'>a &amp;\n\t b</a>")
+        assert got == [("/e", "a & b", False)]
+
+    def test_unquoted_and_single_quoted_href(self):
+        got = scan_links('<a href=/u>u</a><a href="/d">d</a>')
+        assert got == [("/u", "u", False), ("/d", "d", False)]
+
+    def test_unclosed_anchor_at_eof(self):
+        assert scan_links("<p>x</p><a href='/last'>tail text") == [
+            ("/last", "tail text", False)
+        ]
+
+
+class TestExtractLinks:
+    def test_resolves_relative_against_page_url(self):
+        recs = extract_links(
+            b"<a href='/s/1'>one</a><a href='https://other.com/p'>two</a>",
+            "https://news.example.com/art/7",
+        )
+        assert [r["href"] for r in recs] == [
+            "https://news.example.com/s/1",
+            "https://other.com/p",
+        ]
+        assert [r["pos"] for r in recs] == [0, 1]
+
+    @pytest.mark.parametrize(
+        "payload", [b"", b"%SPDF1\x00junk", b"\xff\xfe broken \x9c"]
+    )
+    def test_non_html_payloads_yield_no_links(self, payload):
+        assert extract_links(payload, "https://h.example.com/") == []
+
+
+class TestChunkWindows:
+    def _run(self, ray_session, texts, window=24, stride=16):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import chunk_windows
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        )
+        return (
+            chunk_windows(ds, window=window, stride=stride)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+        )
+
+    def test_matches_naive_reference(self, ray_session):
+        rng = np.random.default_rng(7)
+        texts = [
+            " ".join(f"w{rng.integers(0, 50)}" for _ in range(int(n)))
+            for n in rng.integers(1, 90, size=40)
+        ]
+        df = self._run(ray_session, texts, window=10, stride=4)
+        got = list(zip(df.doc_id, df.chunk_id, df.chunk_text, df.n_words))
+        want = []
+        for d, t in enumerate(texts):
+            ws = t.split(" ")
+            nw = len(ws)
+            nch = 1 if nw <= 10 else 1 + -(-(nw - 10) // 4)
+            for i in range(nch):
+                seg = ws[i * 4 : min(i * 4 + 10, nw)]
+                want.append((d, i, " ".join(seg), len(seg)))
+        assert got == want
+
+    def test_short_doc_one_chunk(self, ray_session):
+        df = self._run(ray_session, ["a b c"], window=24, stride=16)
+        assert len(df) == 1 and df.chunk_text[0] == "a b c" and df.n_words[0] == 3
+
+    def test_exact_window_boundary(self, ray_session):
+        # nw == window → exactly 1 chunk; nw == window+1 → 2 chunks
+        t24 = " ".join(f"x{i}" for i in range(24))
+        t25 = " ".join(f"x{i}" for i in range(25))
+        df = self._run(ray_session, [t24, t25])
+        assert df[df.doc_id == 0].shape[0] == 1
+        d1 = df[df.doc_id == 1]
+        assert d1.shape[0] == 2
+        assert list(d1.n_words) == [24, 9]  # second chunk: words 16..24
+
+    def test_stride_gt_window_rejected(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import chunk_windows
+
+        with pytest.raises(ValueError):
+            chunk_windows(
+                rd.from_items([{"doc_id": 0, "text": "a"}]), window=4, stride=8
+            )
+
+
+class TestCollocations:
+    def test_integer_gate_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.scrub import collocations
+
+        texts = [
+            "new york is big",
+            "new york never sleeps",
+            "a big apple in new york",
+            "york new style",
+            "the big apple",
+        ]
+        df = (
+            collocations(rd.from_items([{"text": t} for t in texts]))
+            .to_pandas()
+            .sort_values(["w1", "w2"], ignore_index=True)
+        )
+        # brute force
+        from collections import Counter
+
+        uni, big = Counter(), Counter()
+        for t in texts:
+            ws = t.split(" ")
+            uni.update(ws)
+            big.update(zip(ws, ws[1:]))
+        n = sum(big.values())
+        want = sorted(
+            (w1, w2, c, uni[w1], uni[w2])
+            for (w1, w2), c in big.items()
+            if c >= 2 and 4 * c * n > 5 * uni[w1] * uni[w2]
+        )
+        got = [tuple(r) for r in df[["w1", "w2", "cxy", "cx", "cy"]].itertuples(index=False)]
+        assert got == want
+        assert ("new", "york") in {(a, b) for a, b, *_ in got}

@@ -2058,3 +2058,112 @@ SELECT CAST(af.c AS BIGINT) AS cluster, d.lang,
        CAST(count(*) AS BIGINT) AS docs
 FROM af JOIN documents d ON d.doc_id = af.vec_id
 GROUP BY af.c, d.lang"""
+
+
+# ---------------------------------------------------------------------------
+# link graph (corpus/generator.py::build_html anchors, in document order)
+# ---------------------------------------------------------------------------
+
+# One row per <a href> of every HTML page: nav (chrome), sidebar
+# (chrome), the one in-content archive link, footer terms/privacy
+# (chrome). pos is document order. PDF/corrupt docs have no links.
+_LINKS_CTE = r"""
+, html_docs AS (
+  SELECT doc_id, source, url, ent_url,
+         'https://' || source || '.example.com' AS base,
+         4 + doc_id % 5 AS nav_n,
+         3 + doc_id % 4 AS side_n
+  FROM golden WHERE NOT is_corrupt AND NOT is_pdf
+), links AS (
+  SELECT url, CAST(k AS BIGINT) AS pos,
+         base || '/section/' || k AS href,
+         'section ' || k || ' news' AS anchor_text,
+         TRUE AS chrome, source
+  FROM (SELECT *, unnest(range(0, nav_n)) AS k FROM html_docs)
+  UNION ALL
+  SELECT url, CAST(nav_n + k AS BIGINT) AS pos,
+         base || '/story/' || doc_id || '-' || k AS href,
+         'related story number ' || k AS anchor_text,
+         TRUE AS chrome, source
+  FROM (SELECT *, unnest(range(0, side_n)) AS k FROM html_docs)
+  UNION ALL
+  SELECT url, CAST(nav_n + side_n AS BIGINT) AS pos,
+         ent_url AS href, ent_url AS anchor_text, FALSE AS chrome, source
+  FROM html_docs
+  UNION ALL
+  SELECT url, CAST(nav_n + side_n + 1 AS BIGINT) AS pos,
+         base || '/terms' AS href, 'Terms' AS anchor_text,
+         TRUE AS chrome, source
+  FROM html_docs
+  UNION ALL
+  SELECT url, CAST(nav_n + side_n + 2 AS BIGINT) AS pos,
+         base || '/privacy' AS href, 'Privacy' AS anchor_text,
+         TRUE AS chrome, source
+  FROM html_docs
+)
+"""
+
+LINK_GRAPH_SQL = GOLDEN_CTE + _LINKS_CTE + r"""
+SELECT url, pos, href, anchor_text, chrome FROM links
+"""
+
+HOST_LINK_DEGREE_SQL = GOLDEN_CTE + _LINKS_CTE + r"""
+SELECT source || '.example.com' AS host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(sum(CASE WHEN chrome THEN 1 ELSE 0 END) AS BIGINT) AS n_chrome,
+       CAST(sum(CASE WHEN href NOT LIKE 'https://' || source || '.example.com/%'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_external,
+       CAST(count(DISTINCT href) AS BIGINT) AS n_distinct_targets
+FROM links GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# collocations: PMI > log(theta) as an exact integer cross-multiply
+# (stages/scrub.py::collocations — theta 5/4, min_count 2)
+# ---------------------------------------------------------------------------
+
+COLLOCATIONS_SQL = r"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS nw
+  FROM documents
+), uc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w
+), big AS (
+  SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+  FROM (SELECT ws, unnest(range(0, nw - 1)) AS i FROM t WHERE nw >= 2)
+), bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy FROM big GROUP BY 1, 2
+), nt AS (
+  SELECT CAST(sum(cxy) AS BIGINT) AS n FROM bc
+)
+SELECT w1, w2, cxy, u1.c AS cx, u2.c AS cy
+FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2, nt
+WHERE cxy >= 2 AND 4 * cxy * nt.n > 5 * u1.c * u2.c
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking (stages/text_analysis.py::chunk_windows,
+# window 24 / stride 16; integer chunk-count formula, no floats)
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOWS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), c AS (
+  SELECT doc_id, ws, nw,
+         CASE WHEN nw <= 24 THEN 1 ELSE 1 + (nw - 24 + 15) // 16 END AS nch
+  FROM base
+), e AS (
+  SELECT doc_id, ws, nw, unnest(range(0, nch)) AS i FROM c
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(ws, i * 16 + 1, LEAST(i * 16 + 24, nw)),
+                       ' ') AS chunk_text,
+       CAST(LEAST(i * 16 + 24, nw) - i * 16 AS BIGINT) AS n_words
+FROM e
+"""

@@ -106,6 +106,7 @@ def register_for_workers() -> None:
     import vlm_ocr_doc_reader_ray.stages.bpe  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.dedup  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.host_stats  # noqa: F401
+    import vlm_ocr_doc_reader_ray.stages.linkgraph  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.multimodal  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.registry_stage  # noqa: F401
     import vlm_ocr_doc_reader_ray.stages.relational  # noqa: F401

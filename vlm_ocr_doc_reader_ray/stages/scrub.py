@@ -598,3 +598,107 @@ def normalize_text(
         return batch.append_column(out_col, pa.array(out, type=pa.string()))
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def collocations(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    theta_num: int = 5,
+    theta_den: int = 4,
+    min_count: int = 2,
+) -> rd.Dataset:
+    """PMI-style collocation mining with an EXACT integer gate.
+
+    Emits word pairs whose observed bigram count exceeds the
+    independence expectation by the rational factor
+    ``theta_num/theta_den``:
+
+        theta_den * c(w1,w2) * N  >  theta_num * c(w1) * c(w2)
+
+    — the PMI > log(theta) test cleared of floats entirely (cross-
+    multiplied int64 both here and in the DuckDB oracle, so the gate
+    is bit-exact). N is the total number of within-document bigram
+    windows.
+
+    Plan shape: bigram and unigram streams collapse to count residues
+    inside ``map_batches`` (corpus never shuffles); the bigram residue
+    table is materialized ONCE (bounded by distinct bigrams — Heaps'
+    law sublinear; at extreme scale pre-filter with the CMS
+    heavy-hitter pass) to serve both the N total and the candidate
+    rows; candidates with ``c >= min_count`` join the unigram counts
+    through the task-based bucketed hash join (two joins — the native
+    pool-based join deadlocks when chained on small clusters).
+
+    → (w1, w2, cxy, cx, cy) for passing pairs.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    def explode_count(n: int, name: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            grams, _ = arrow_word_ngrams(batch.column(text_col), n)
+            vc = pc.value_counts(grams)
+            return pa.table(
+                {name: vc.field("values"),
+                 f"c_{name}": pc.cast(vc.field("counts"), pa.int64())}
+            )
+        return _f
+
+    def sum_part(name: str):
+        def _s(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(name, sort=False, as_index=False)[f"c_{name}"].sum()
+        return _s
+
+    bigrams = partitioned_apply(
+        ds.map_batches(explode_count(2, "ngram"), batch_format="pyarrow"),
+        ["ngram"],
+        sum_part("ngram"),
+    ).materialize()
+    n_total = int(bigrams.sum("c_ngram") or 0)
+
+    unigrams = partitioned_apply(
+        ds.map_batches(explode_count(1, "w"), batch_format="pyarrow"),
+        ["w"],
+        sum_part("w"),
+    )
+
+    def split_candidates(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater_equal(batch.column("c_ngram"), min_count))
+        parts = pc.split_pattern(keep.column("ngram"), " ", max_splits=1)
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "cxy": keep.column("c_ngram"),
+            }
+        )
+
+    cand = bigrams.map_batches(split_candidates, batch_format="pyarrow")
+
+    u1 = unigrams.map_batches(
+        lambda b: pa.table({"w1": b.column("w"), "cx": b.column("c_w")}),
+        batch_format="pyarrow",
+    )
+    u2 = unigrams.map_batches(
+        lambda b: pa.table({"w2": b.column("w"), "cy": b.column("c_w")}),
+        batch_format="pyarrow",
+    )
+    j1 = partitioned_hash_join(cand, u1, "w1", "w1", num_buckets=8)
+    j2 = partitioned_hash_join(j1, u2, "w2", "w2", num_buckets=8)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        lhs = pc.multiply(
+            pc.multiply(batch.column("cxy"), pa.scalar(theta_den, pa.int64())),
+            pa.scalar(n_total, pa.int64()),
+        )
+        rhs = pc.multiply(
+            pc.multiply(batch.column("cx"), batch.column("cy")),
+            pa.scalar(theta_num, pa.int64()),
+        )
+        out = batch.filter(pc.greater(lhs, rhs))
+        return out.select(["w1", "w2", "cxy", "cx", "cy"])
+
+    return j2.map_batches(gate, batch_format="pyarrow")

@@ -869,3 +869,93 @@ def top_terms_per_group(
         return g[[group_col, "rank", "word", "cnt"]]
 
     return partitioned_apply(totals, [group_col], head)
+
+
+def chunk_windows(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 24,
+    stride: int = 16,
+) -> rd.Dataset:
+    """Sliding-window chunking (RAG / context-window training prep).
+
+    Each document's word sequence (engine-wide ``split(' ')``) becomes
+    overlapping chunks of ``window`` words advancing by ``stride``:
+    n_chunks = 1 if nw <= window else 1 + ceil((nw-window)/stride)
+    (integer formula — ``1 + (nw - window + stride - 1) // stride`` —
+    so the DuckDB mirror is bit-exact); chunk *i* covers words
+    [i*stride, min(i*stride + window, nw)).
+
+    Fully vectorized flat-map: one ``split_pattern`` per batch, chunk
+    membership built with np.repeat/cumsum gather indices over the
+    flat word array, chunk text re-joined with the Arrow
+    ``binary_join`` C kernel — no Python loop over words. Pure
+    per-document projection: no shuffle, streams at any scale.
+
+    → (doc_id, chunk_id, chunk_text, n_words).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride > window:
+        # gaps would make some words unreachable and the last chunk
+        # possibly empty — the chunk-count formula assumes coverage
+        raise ValueError("stride must be <= window (overlapping coverage)")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if len(texts) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "n_words": pa.array([], pa.int64()),
+                }
+            )
+        words = pc.split_pattern(texts, " ")
+        nw = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(words)
+        doc_base = np.concatenate(([0], np.cumsum(nw)[:-1]))  # flat offset per doc
+
+        nch = np.where(nw <= window, 1, 1 + (nw - window + stride - 1) // stride)
+        total_chunks = int(nch.sum())
+        # per-chunk doc index and within-doc chunk id
+        doc_of_chunk = np.repeat(np.arange(len(nw)), nch)
+        chunk_id = np.arange(total_chunks) - np.repeat(
+            np.concatenate(([0], np.cumsum(nch)[:-1])), nch
+        )
+        starts = chunk_id * stride
+        ends = np.minimum(starts + window, nw[doc_of_chunk])
+        lens = ends - starts
+        # gather indices into the flat word array: for each chunk,
+        # range(doc_base+start, doc_base+end) — the cumsum/repeat trick
+        abs_starts = doc_base[doc_of_chunk] + starts
+        total_words = int(lens.sum())
+        idx = np.ones(total_words, dtype=np.int64)
+        chunk_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        idx[chunk_off] = abs_starts - np.concatenate(([0], (abs_starts + lens)[:-1] - 1))
+        idx = np.cumsum(idx)
+        gathered = pc.take(flat, pa.array(idx, type=pa.int64()))
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(lens))), type=pa.int32()
+        )
+        chunk_lists = pa.ListArray.from_arrays(offsets, gathered.combine_chunks() if isinstance(gathered, pa.ChunkedArray) else gathered)
+        sep = pa.scalar(" ", type=flat.type)
+        chunk_text = pc.binary_join(chunk_lists, sep)
+        ids = pc.take(batch.column(id_col), pa.array(doc_of_chunk, type=pa.int64()))
+        return pa.table(
+            {
+                id_col: ids,
+                "chunk_id": pa.array(chunk_id, type=pa.int64()),
+                "chunk_text": pc.cast(chunk_text, pa.string()),
+                "n_words": pa.array(lens, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
