@@ -1685,6 +1685,45 @@ def _q_chunk_windows(sf_dir: str):
     )
 
 
+def _q_anchor_top_terms(sf_dir: str):
+    """Per target-host anchor-text top-5 (count desc, word asc —
+    pure-integer order): the web-search relevance signal, computed
+    from the same outlink table as the graph queries."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        anchor_top_terms,
+        links_table,
+    )
+
+    return anchor_top_terms(links_table(read_corpus(sf_dir)), k=5)
+
+
+def _q_frontier_urls(sf_dir: str):
+    """Crawl frontier: distinct uncrawled hrefs + distinct-referrer
+    counts. The crawled set stays a Dataset end-to-end (distributed
+    Bloom build + exact residual anti-join)."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        frontier_urls,
+        links_table,
+    )
+
+    corpus = read_corpus(sf_dir)
+    return frontier_urls(links_table(corpus), corpus.select_columns(["url"]))
+
+
+def _q_host_inlink_degree(sf_dir: str):
+    """Authority-side in-link profile per target host (total inlinks,
+    distinct source hosts, distinct referring pages)."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        host_inlink_degree,
+        links_table,
+    )
+
+    return host_inlink_degree(links_table(read_corpus(sf_dir)))
+
+
 def _q_source_lang_pivot(sf_dir: str):
     """Wide pivot: per source, document counts per declared language
     column. Residue shuffle + vectorized widen; schema is declared
@@ -2154,6 +2193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tier 2: new this round
         "link_graph": _q_link_graph,
         "host_link_degree": _q_host_link_degree,
+        "anchor_top_terms": _q_anchor_top_terms,
+        "frontier_urls": _q_frontier_urls,
+        "host_inlink_degree": _q_host_inlink_degree,
         "collocations": _q_collocations,
         "chunk_windows": _q_chunk_windows,
         "registry_resume": _q_registry_resume,
@@ -2275,6 +2317,9 @@ def oracle_sql() -> dict[str, str]:
         "registry_resume": sm.REGISTRY_RESUME_SQL,
         "link_graph": sm.LINK_GRAPH_SQL,
         "host_link_degree": sm.HOST_LINK_DEGREE_SQL,
+        "anchor_top_terms": sm.ANCHOR_TOP_TERMS_SQL,
+        "frontier_urls": sm.FRONTIER_URLS_SQL,
+        "host_inlink_degree": sm.HOST_INLINK_DEGREE_SQL,
         "collocations": sm.COLLOCATIONS_SQL,
         "chunk_windows": sm.CHUNK_WINDOWS_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,

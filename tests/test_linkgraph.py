@@ -135,6 +135,86 @@ class TestChunkWindows:
             )
 
 
+class TestLinkAnalytics:
+    """Frontier / anchor-profile / in-degree over a hand-built link
+    table where the expected answer is countable by eye. The
+    corpus-wide SQL parity lives in ``test_queries_vs_duckdb.py``."""
+
+    def _links(self):
+        import ray.data as rd
+
+        rows = [
+            # (page url, href, anchor_text, chrome)
+            ("https://a.example.com/p1", "https://b.example.com/x", "go b now", False),
+            ("https://a.example.com/p1", "https://b.example.com/y", "go b", True),
+            ("https://a.example.com/p2", "https://b.example.com/x", "go b again", False),
+            ("https://c.example.com/p9", "https://b.example.com/x", "best b", False),
+            ("https://c.example.com/p9", "https://a.example.com/p1", "back", False),
+        ]
+        return rd.from_items(
+            [
+                {"url": u, "pos": i, "href": h, "anchor_text": a, "chrome": c}
+                for i, (u, h, a, c) in enumerate(rows)
+            ]
+        )
+
+    def test_frontier_drops_crawled_hrefs(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import frontier_urls
+
+        crawled = rd.from_items(
+            [
+                {"url": "https://a.example.com/p1"},
+                {"url": "https://a.example.com/p2"},
+                {"url": "https://c.example.com/p9"},
+            ]
+        )
+        df = (
+            frontier_urls(self._links(), crawled)
+            .to_pandas()
+            .sort_values("href", ignore_index=True)
+        )
+        # the back-link to the crawled p1 must be dropped; the three
+        # b.example.com targets survive with distinct-referrer counts
+        assert list(df.href) == [
+            "https://b.example.com/x",
+            "https://b.example.com/y",
+        ]
+        assert list(df.n_ref_pages) == [3, 1]
+
+    def test_anchor_top_terms_order(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import anchor_top_terms
+
+        df = (
+            anchor_top_terms(self._links(), k=2)
+            .to_pandas()
+            .sort_values(["target_host", "rank"], ignore_index=True)
+        )
+        b = df[df.target_host == "b.example.com"]
+        # counts over b-anchors: b×4, go×3, again×1, best×1, now×1
+        assert list(b.word) == ["b", "go"] and list(b.cnt) == [4, 3]
+        a = df[df.target_host == "a.example.com"]
+        assert list(a.word) == ["back"] and list(a["rank"]) == [1]
+
+    def test_host_inlink_degree(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import host_inlink_degree
+
+        df = (
+            host_inlink_degree(self._links())
+            .to_pandas()
+            .sort_values("host", ignore_index=True)
+        )
+        got = {
+            r.host: (r.n_inlinks, r.n_src_hosts, r.n_ref_pages)
+            for r in df.itertuples()
+        }
+        assert got == {
+            "a.example.com": (1, 1, 1),
+            "b.example.com": (4, 2, 3),
+        }
+
+
 class TestCollocations:
     def test_integer_gate_matches_bruteforce(self, ray_session):
         import ray.data as rd

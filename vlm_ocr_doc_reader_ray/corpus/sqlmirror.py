@@ -2117,6 +2117,46 @@ SELECT source || '.example.com' AS host,
 FROM links GROUP BY source
 """
 
+# Host-of-URL, the engine's exact rule (stages/linkgraph._host_expr):
+# lowercased authority between scheme:// and the first /?#.
+_HOST_EXPR = (
+    "lower(regexp_extract({c}, "
+    "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))"
+)
+
+ANCHOR_TOP_TERMS_SQL = GOLDEN_CTE + _LINKS_CTE + rf"""
+, tw AS (
+  SELECT {_HOST_EXPR.format(c='href')} AS target_host,
+         unnest(string_split(anchor_text, ' ')) AS word
+  FROM links
+), tc AS (
+  SELECT target_host, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM tw GROUP BY target_host, word
+)
+SELECT target_host,
+       CAST(row_number() OVER (
+         PARTITION BY target_host ORDER BY cnt DESC, word ASC) AS BIGINT)
+         AS rank,
+       word, cnt
+FROM tc QUALIFY rank <= 5
+"""
+
+FRONTIER_URLS_SQL = GOLDEN_CTE + _LINKS_CTE + r"""
+SELECT href, CAST(count(DISTINCT url) AS BIGINT) AS n_ref_pages
+FROM links
+WHERE href NOT IN (SELECT url FROM golden)
+GROUP BY href
+"""
+
+HOST_INLINK_DEGREE_SQL = GOLDEN_CTE + _LINKS_CTE + rf"""
+SELECT {_HOST_EXPR.format(c='href')} AS host,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT {_HOST_EXPR.format(c='url')}) AS BIGINT)
+         AS n_src_hosts,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_ref_pages
+FROM links GROUP BY 1
+"""
+
 
 # ---------------------------------------------------------------------------
 # collocations: PMI > log(theta) as an exact integer cross-multiply

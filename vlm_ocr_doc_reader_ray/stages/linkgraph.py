@@ -137,3 +137,124 @@ def host_link_degree(links: rd.Dataset) -> rd.Dataset:
         )
 
     return joined.map_batches(rename, batch_format="pyarrow")
+
+
+def anchor_top_terms(links: rd.Dataset, k: int = 5) -> rd.Dataset:
+    """Per target-host anchor-text profile — the classic web-search
+    relevance signal (what the REST of the web calls a host).
+
+    Projects each link to (target_host, anchor_text) and reuses the
+    engine's integer-exact grouped top-k
+    (:func:`...text_analysis.top_terms_per_group`): word residues
+    pre-combine per batch, the global order is (count desc, word asc)
+    with no floats, so the DuckDB mirror is bit-exact.
+
+    → (target_host, rank, word, cnt), rank 1..k.
+    """
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import top_terms_per_group
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "target_host": _host_expr(batch.column("href")),
+                "anchor_text": batch.column("anchor_text"),
+            }
+        )
+
+    proj = links.map_batches(project, batch_format="pyarrow")
+    return top_terms_per_group(
+        proj, group_col="target_host", text_col="anchor_text", k=k
+    )
+
+
+def frontier_urls(
+    links: rd.Dataset, crawled: rd.Dataset, crawled_col: str = "url"
+) -> rd.Dataset:
+    """Crawl frontier: distinct link targets not yet crawled, with the
+    number of distinct referring pages (the frontier priority signal).
+
+    Plan shape: links collapse to distinct (href, url) pairs inside
+    ``map_batches``, one residue shuffle counts distinct referrers per
+    href, and the bounded (href, n_ref_pages) table is materialized
+    (counters only — no payloads; at web scale the frontier residue is
+    ~10× the page count but ~60 bytes/row) before the anti-join so its
+    two output branches don't re-execute the link lineage. The crawled
+    side is never collected on the driver: the Bloom filter builds
+    distributed (:func:`...relational.bloom_from_dataset`) and only
+    ~1% Bloom candidates shuffle for the exact residual check.
+
+    → (href, n_ref_pages) for uncrawled hrefs.
+    """
+    from vlm_ocr_doc_reader_ray.stages.relational import bloom_anti_join_dataset
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({"href": batch.column("href"), "url": batch.column("url")})
+        return t.group_by(["href", "url"]).aggregate([])
+
+    distinct_pairs = value_counts(
+        links.map_batches(pairs, batch_format="pyarrow"),
+        ["href", "url"],
+        alias="npairs",
+    )
+    refs = value_counts(
+        distinct_pairs, "href", alias="n_ref_pages"
+    ).materialize()
+    return bloom_anti_join_dataset(
+        refs, crawled.select_columns([crawled_col]), "href", crawled_col
+    )
+
+
+def host_inlink_degree(links: rd.Dataset) -> rd.Dataset:
+    """Per target-host IN-link profile — the authority-side mirror of
+    :func:`host_link_degree`.
+
+    → (host, n_inlinks, n_src_hosts, n_ref_pages): total links into
+    the host, distinct source hosts, distinct referring pages. All
+    three legs pre-combine to residues in ``map_batches``; the joins
+    are the task-based bucketed hash join (the native pool-based join
+    deadlocks when chained on small clusters).
+    """
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": _host_expr(batch.column("href")),
+                "src_host": _host_expr(batch.column("url")),
+                "url": batch.column("url"),
+            }
+        )
+
+    proj = links.map_batches(project, batch_format="pyarrow")
+
+    def distinct(cols: list[str]):
+        def _d(batch: pa.Table) -> pa.Table:
+            return batch.select(cols).group_by(cols).aggregate([])
+
+        return _d
+
+    n_in = value_counts(proj, "host", alias="n_inlinks")
+    n_src = value_counts(
+        value_counts(
+            proj.map_batches(distinct(["host", "src_host"]), batch_format="pyarrow"),
+            ["host", "src_host"],
+            alias="np1",
+        ),
+        "host",
+        alias="n_src_hosts",
+    )
+    n_pages = value_counts(
+        value_counts(
+            proj.map_batches(distinct(["host", "url"]), batch_format="pyarrow"),
+            ["host", "url"],
+            alias="np2",
+        ),
+        "host",
+        alias="n_ref_pages",
+    )
+    j1 = partitioned_hash_join(n_in, n_src, "host", "host", num_buckets=4)
+    j2 = partitioned_hash_join(j1, n_pages, "host", "host", num_buckets=4)
+    return j2.map_batches(
+        lambda b: b.select(["host", "n_inlinks", "n_src_hosts", "n_ref_pages"]),
+        batch_format="pyarrow",
+    )
