@@ -1724,6 +1724,36 @@ def _q_host_inlink_degree(sf_dir: str):
     return host_inlink_degree(links_table(read_corpus(sf_dir)))
 
 
+def _q_host_authority(sf_dir: str):
+    """One integer power-iteration of host authority (2-step inlink
+    mass): the corpus collapses once to the weighted host-edge
+    residue; in-degree, the edge⋈in-degree join, and the re-sum all
+    move residues only. Exact int64 — the eigenvector order without
+    float damping cosmetics."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        host_authority,
+        links_table,
+    )
+
+    return host_authority(links_table(read_corpus(sf_dir)))
+
+
+def _q_page_outdegree_hist(sf_dir: str):
+    """Out-degree histogram over all pages (zero-link PDF/corrupt
+    pages restored by union+re-sum, not an outer join)."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        links_table,
+        page_outdegree_hist,
+    )
+
+    corpus = read_corpus(sf_dir)
+    return page_outdegree_hist(
+        links_table(corpus), corpus.select_columns(["url"])
+    )
+
+
 def _q_source_lang_pivot(sf_dir: str):
     """Wide pivot: per source, document counts per declared language
     column. Residue shuffle + vectorized widen; schema is declared
@@ -2196,6 +2226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_top_terms": _q_anchor_top_terms,
         "frontier_urls": _q_frontier_urls,
         "host_inlink_degree": _q_host_inlink_degree,
+        "host_authority": _q_host_authority,
+        "page_outdegree_hist": _q_page_outdegree_hist,
         "collocations": _q_collocations,
         "chunk_windows": _q_chunk_windows,
         "registry_resume": _q_registry_resume,
@@ -2320,6 +2352,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_top_terms": sm.ANCHOR_TOP_TERMS_SQL,
         "frontier_urls": sm.FRONTIER_URLS_SQL,
         "host_inlink_degree": sm.HOST_INLINK_DEGREE_SQL,
+        "host_authority": sm.HOST_AUTHORITY_SQL,
+        "page_outdegree_hist": sm.PAGE_OUTDEGREE_HIST_SQL,
         "collocations": sm.COLLOCATIONS_SQL,
         "chunk_windows": sm.CHUNK_WINDOWS_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,

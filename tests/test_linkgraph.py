@@ -197,6 +197,39 @@ class TestLinkAnalytics:
         a = df[df.target_host == "a.example.com"]
         assert list(a.word) == ["back"] and list(a["rank"]) == [1]
 
+    def test_host_authority_integer_step(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import host_authority
+
+        df = (
+            host_authority(self._links())
+            .to_pandas()
+            .sort_values("host", ignore_index=True)
+        )
+        got = {r.host: (r.n_inlinks, r.authority) for r in df.itertuples()}
+        # edges: a→b ×3, c→b ×1, c→a ×1; indeg a=1, b=4, c absent(0)
+        # authority(b) = 3·indeg(a) + 1·indeg(c) = 3; authority(a) = 1·0
+        assert got == {"a.example.com": (1, 0), "b.example.com": (4, 3)}
+
+    def test_page_outdegree_hist_includes_zero(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import page_outdegree_hist
+
+        pages = rd.from_items(
+            [
+                {"url": "https://a.example.com/p1"},  # 2 links
+                {"url": "https://a.example.com/p2"},  # 1 link
+                {"url": "https://c.example.com/p9"},  # 2 links
+                {"url": "https://d.example.com/empty"},  # 0 links
+            ]
+        )
+        df = (
+            page_outdegree_hist(self._links(), pages)
+            .to_pandas()
+            .sort_values("outdeg", ignore_index=True)
+        )
+        assert list(zip(df.outdeg, df.n_pages)) == [(0, 1), (1, 1), (2, 2)]
+
     def test_host_inlink_degree(self, ray_session):
         from vlm_ocr_doc_reader_ray.stages.linkgraph import host_inlink_degree
 

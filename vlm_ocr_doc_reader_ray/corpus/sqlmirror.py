@@ -2157,6 +2157,40 @@ SELECT {_HOST_EXPR.format(c='href')} AS host,
 FROM links GROUP BY 1
 """
 
+# One integer power-iteration of link authority: authority(v) =
+# Σ_{edges u→v} inlinks(u), over the weighted host-edge residue.
+# Sources with zero inlinks contribute zero (cnt * NULL under the
+# left join sums away); hosts with only-zero contributions keep a row.
+HOST_AUTHORITY_SQL = GOLDEN_CTE + _LINKS_CTE + rf"""
+, he AS (
+  SELECT {_HOST_EXPR.format(c='url')} AS src,
+         {_HOST_EXPR.format(c='href')} AS dst,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM links GROUP BY 1, 2
+), indeg AS (
+  SELECT dst AS host, CAST(sum(cnt) AS BIGINT) AS n_inlinks
+  FROM he GROUP BY dst
+)
+SELECT i.host, i.n_inlinks,
+       CAST(coalesce(sum(e.cnt * s.n_inlinks), 0) AS BIGINT) AS authority
+FROM indeg i
+LEFT JOIN he e ON e.dst = i.host
+LEFT JOIN indeg s ON s.host = e.src
+GROUP BY i.host, i.n_inlinks
+"""
+
+# Out-degree histogram over ALL pages (zero-link PDF/corrupt pages
+# included via the left join).
+PAGE_OUTDEGREE_HIST_SQL = GOLDEN_CTE + _LINKS_CTE + r"""
+, od AS (
+  SELECT g.url, CAST(count(l.href) AS BIGINT) AS outdeg
+  FROM golden g LEFT JOIN links l ON l.url = g.url
+  GROUP BY g.url
+)
+SELECT outdeg, CAST(count(*) AS BIGINT) AS n_pages
+FROM od GROUP BY outdeg
+"""
+
 
 # ---------------------------------------------------------------------------
 # collocations: PMI > log(theta) as an exact integer cross-multiply

@@ -258,3 +258,133 @@ def host_inlink_degree(links: rd.Dataset) -> rd.Dataset:
         lambda b: b.select(["host", "n_inlinks", "n_src_hosts", "n_ref_pages"]),
         batch_format="pyarrow",
     )
+
+
+def host_authority(links: rd.Dataset) -> rd.Dataset:
+    """One integer power-iteration of link authority per host.
+
+    ``authority(v) = Σ over edges u→v of inlinks(u)`` — the 2-step
+    inlink mass (an eigenvector-centrality / PageRank numerator step
+    kept in exact int64, so the DuckDB mirror is bit-exact; damping
+    and normalization are float cosmetics applied after the ranking,
+    not part of the order).
+
+    Plan shape: the corpus-sized link stream collapses ONCE to the
+    weighted host-edge residue (src, dst, cnt) — web graphs: ~1e8
+    distinct host pairs — and every later step (in-degree sum, the
+    edge⋈in-degree hash join, the authority re-sum) moves residues
+    only. Iterating k steps = repeating the join+sum on the same edge
+    residue, which a caller can checkpoint once and reuse.
+
+    → (host, n_inlinks, authority).
+    """
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": _host_expr(batch.column("url")),
+                "dst": _host_expr(batch.column("href")),
+            }
+        )
+
+    edges = value_counts(
+        links.map_batches(project, batch_format="pyarrow"),
+        ["src", "dst"],
+        alias="cnt",
+    ).materialize()  # bounded: distinct host pairs; two consumers below
+
+    indeg = grouped_sums(
+        edges.map_batches(
+            lambda b: pa.table({"host": b.column("dst"), "n_inlinks": b.column("cnt")}),
+            batch_format="pyarrow",
+        ),
+        "host",
+        ["n_inlinks"],
+    )
+
+    # weight each edge by its SOURCE's in-degree, then re-sum per dst.
+    # INNER join is exact here: an edge whose source has no inlinks
+    # contributes cnt*0 = 0, so dropping it never changes a sum —
+    # and every authority recipient is by definition an inlink
+    # recipient, so the zero-padded union below restores hosts whose
+    # every contribution was zero (left-outer semantics, no join).
+    j = partitioned_hash_join(
+        edges,
+        indeg.map_batches(
+            lambda b: pa.table(
+                {"src": b.column("host"), "src_in": b.column("n_inlinks")}
+            ),
+            batch_format="pyarrow",
+        ),
+        "src",
+        "src",
+        num_buckets=4,
+    )
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("dst"),
+                "n_inlinks": pa.array([0] * len(batch), type=pa.int64()),
+                "authority": pc.multiply(
+                    pc.cast(batch.column("cnt"), pa.int64()),
+                    pc.cast(batch.column("src_in"), pa.int64()),
+                ),
+            }
+        )
+
+    def pad(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_inlinks": batch.column("n_inlinks"),
+                "authority": pa.array([0] * len(batch), type=pa.int64()),
+            }
+        )
+
+    both = indeg.map_batches(pad, batch_format="pyarrow").union(
+        j.map_batches(weigh, batch_format="pyarrow")
+    )
+    return grouped_sums(both, "host", ["n_inlinks", "authority"])
+
+
+def page_outdegree_hist(links: rd.Dataset, pages: rd.Dataset) -> rd.Dataset:
+    """Out-degree distribution over ALL pages — the graph-shape
+    profile (a heavy zero bucket means parse failures or non-HTML;
+    a fat tail means link farms).
+
+    Zero-link pages (PDF/corrupt payloads here) are restored by
+    unioning a zero row per page with the per-page link counts —
+    union + re-sum instead of an outer join, so nothing but (url,
+    count) residues ever shuffles.
+
+    → (outdeg, n_pages).
+    """
+
+    def zero(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "outdeg": pa.array([0] * len(batch), type=pa.int64()),
+            }
+        )
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(
+            batch.column("url").combine_chunks()
+            if isinstance(batch.column("url"), pa.ChunkedArray)
+            else batch.column("url")
+        )
+        return pa.table(
+            {
+                "url": vc.field("values"),
+                "outdeg": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    both = pages.select_columns(["url"]).map_batches(
+        zero, batch_format="pyarrow"
+    ).union(links.map_batches(per_batch, batch_format="pyarrow"))
+    per_page = grouped_sums(both, "url", ["outdeg"])
+    return value_counts(per_page, "outdeg", alias="n_pages")
