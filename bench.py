@@ -247,6 +247,17 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     curate(docs9, MIX_WEIGHTS, seq_len=2048).count()
     queries["curate"] = round(time.time() - t0, 3)
 
+    # q10: outlink table (tag scan over every html payload) → host
+    # link-degree residues — the link-graph construction pass
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        host_link_degree,
+        links_table,
+    )
+
+    t0 = time.time()
+    host_link_degree(links_table(_corpus(["url", "html"]))).to_pandas()
+    queries["link_graph"] = round(time.time() - t0, 3)
+
     n_docs = rd.read_parquet(corpus_path).count()
     headline = queries["extract_full_write"]
     result = {

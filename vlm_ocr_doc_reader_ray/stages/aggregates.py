@@ -146,8 +146,22 @@ def distinct_values(
     return partitioned_apply(combined, col_list, local, num_parts)
 
 
-def value_counts(ds: rd.Dataset, keys: str | Sequence[str], alias: str = "n") -> rd.Dataset:
-    """Distinct-value counts of ``keys`` (pre-aggregated groupby)."""
+def value_counts(
+    ds: rd.Dataset,
+    keys: str | Sequence[str],
+    alias: str = "n",
+    checkpoint: bool = False,
+) -> rd.Dataset:
+    """Distinct-value counts of ``keys`` (pre-aggregated groupby).
+
+    ``checkpoint=True`` materializes the per-batch residues BEFORE the
+    shuffle. Ray's sort-based groupby re-executes its upstream lineage
+    for boundary sampling, so when ``ds`` is an expensive lineage (a
+    tag scan, a model stage) the default re-runs it ~2×; pinning the
+    residues — bounded by batch-distinct keys, never the raw rows —
+    makes the shuffle read from the object store instead (measured on
+    the link-graph stages: the whole query 40.8s → lineage-once).
+    """
     key_list = [keys] if isinstance(keys, str) else list(keys)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -156,6 +170,8 @@ def value_counts(ds: rd.Dataset, keys: str | Sequence[str], alias: str = "n") ->
         return out.rename_columns(key_list + [alias])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    if checkpoint:
+        partials = partials.materialize()
     return partials.groupby(key_list[0] if len(key_list) == 1 else key_list).aggregate(
         Sum(alias, alias_name=alias)
     )
@@ -166,8 +182,14 @@ def grouped_sums(
     keys: str | Sequence[str],
     sum_cols: Sequence[str],
     count_alias: str | None = None,
+    checkpoint: bool = False,
 ) -> rd.Dataset:
-    """Per-key sums (and optional row count) with per-batch combining."""
+    """Per-key sums (and optional row count) with per-batch combining.
+
+    ``checkpoint=True`` pins the per-batch residues before the shuffle
+    so an expensive upstream lineage executes once (see
+    :func:`value_counts` for the measured rationale).
+    """
     key_list = [keys] if isinstance(keys, str) else list(keys)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -180,6 +202,8 @@ def grouped_sums(
         return out.rename_columns(names)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    if checkpoint:
+        partials = partials.materialize()
     aggs = [Sum(c, alias_name=c) for c in sum_cols]
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))

@@ -821,19 +821,23 @@ def top_terms_per_group(
     group_col: str = "lang",
     text_col: str = "text",
     k: int = 10,
+    checkpoint: bool = False,
 ) -> rd.Dataset:
     """Top-k terms by occurrence count per group with a pure-integer
     total order (count desc, word asc — no float idf, so the SQL
     mirror is exact). Per-batch vectorized (group, word, count)
-    residues bound the shuffle by group × batch-vocabulary; the global
-    sum is pre-aggregated; the top-k is one hash-partitioned
-    vectorized head per group. Output: (group, rank, word, cnt)."""
+    residues bound the shuffle by group × batch-vocabulary; ONE
+    hash-partition-by-group shuffle then does the global sum AND the
+    top-k head vectorized per partition ((group, word) keys are
+    many-distinct, where Ray's native sort-groupby is measured
+    pathological — the repo's standing finding). Partitioning
+    assumption: one group's vocabulary fits a partition.
+    ``checkpoint=True`` pins the word residues first so an expensive
+    upstream lineage (e.g. the link-graph tag scan) executes once.
+    Output: (group, rank, word, cnt)."""
     import pandas as pd
 
-    from vlm_ocr_doc_reader_ray.stages.aggregates import (
-        grouped_sums,
-        partitioned_apply,
-    )
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
     from vlm_ocr_doc_reader_ray.stages.scrub import _batch_word_ngrams
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -859,16 +863,23 @@ def top_terms_per_group(
     residues = ds.select_columns([group_col, text_col]).map_batches(
         explode, batch_format="pandas"
     )
-    totals = grouped_sums(residues, [group_col, "word"], ["cnt"])
+    if checkpoint:
+        residues = residues.materialize()
 
-    def head(g: pd.DataFrame) -> pd.DataFrame:
+    def sum_and_head(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby([group_col, "word"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        g["cnt"] = g["cnt"].astype("int64")
         g = g.sort_values([group_col, "cnt", "word"],
                           ascending=[True, False, True], ignore_index=True)
         g = g.groupby(group_col, sort=False).head(k).copy()
         g["rank"] = (g.groupby(group_col, sort=False).cumcount() + 1).astype("int64")
         return g[[group_col, "rank", "word", "cnt"]]
 
-    return partitioned_apply(totals, [group_col], head)
+    return partitioned_apply(residues, [group_col], sum_and_head)
 
 
 def chunk_windows(
