@@ -1739,6 +1739,44 @@ def _q_host_authority(sf_dir: str):
     return host_authority(links_table(read_corpus(sf_dir)))
 
 
+def _q_frontier_schedule(sf_dir: str):
+    """Politeness-aware crawl scheduling: per-host fetch rounds of 25
+    over the frontier, higher-referrer URLs first (total integer
+    order, so the window-function mirror is bit-exact)."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        frontier_schedule,
+        frontier_urls,
+        links_table,
+    )
+
+    corpus = read_corpus(sf_dir)
+    frontier = frontier_urls(links_table(corpus), corpus.select_columns(["url"]))
+    return frontier_schedule(frontier, per_host_budget=25)
+
+
+def _q_host_profile(sf_dir: str):
+    """Cross-layer composition: per-host text-extraction stats joined
+    to the link-graph authority step on one key — the extraction and
+    graph layers compose (one native hash join of two residue
+    tables)."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.host_stats import host_stats
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        host_authority,
+        links_table,
+    )
+    from vlm_ocr_doc_reader_ray.stages.relational import native_hash_join
+
+    stats = host_stats(_extracted(sf_dir)).drop_columns(["total_blocks_kept"])
+    auth = host_authority(links_table(read_corpus(sf_dir)))
+    joined = native_hash_join(stats, auth, "host", "host", num_partitions=4)
+    return joined.select_columns(
+        ["host", "n_docs", "total_chars", "parse_failures",
+         "n_inlinks", "authority"]
+    )
+
+
 def _q_page_outdegree_hist(sf_dir: str):
     """Out-degree histogram over all pages (zero-link PDF/corrupt
     pages restored by union+re-sum, not an outer join)."""
@@ -2228,6 +2266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_inlink_degree": _q_host_inlink_degree,
         "host_authority": _q_host_authority,
         "page_outdegree_hist": _q_page_outdegree_hist,
+        "frontier_schedule": _q_frontier_schedule,
+        "host_profile": _q_host_profile,
         "collocations": _q_collocations,
         "chunk_windows": _q_chunk_windows,
         "registry_resume": _q_registry_resume,
@@ -2354,6 +2394,8 @@ def oracle_sql() -> dict[str, str]:
         "host_inlink_degree": sm.HOST_INLINK_DEGREE_SQL,
         "host_authority": sm.HOST_AUTHORITY_SQL,
         "page_outdegree_hist": sm.PAGE_OUTDEGREE_HIST_SQL,
+        "frontier_schedule": sm.FRONTIER_SCHEDULE_SQL,
+        "host_profile": sm.HOST_PROFILE_SQL,
         "collocations": sm.COLLOCATIONS_SQL,
         "chunk_windows": sm.CHUNK_WINDOWS_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,

@@ -210,6 +210,30 @@ class TestLinkAnalytics:
         # authority(b) = 3·indeg(a) + 1·indeg(c) = 3; authority(a) = 1·0
         assert got == {"a.example.com": (1, 0), "b.example.com": (4, 3)}
 
+    def test_frontier_schedule_rounds(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import frontier_schedule
+
+        frontier = rd.from_items(
+            [
+                {"href": f"https://b.example.com/{i}", "n_ref_pages": refs}
+                for i, refs in enumerate([5, 5, 3, 1, 1])
+            ]
+            + [{"href": "https://z.example.com/only", "n_ref_pages": 9}]
+        )
+        df = (
+            frontier_schedule(frontier, per_host_budget=2)
+            .to_pandas()
+            .sort_values(["host", "fetch_round", "href"], ignore_index=True)
+        )
+        b = df[df.host == "b.example.com"]
+        # order: refs desc then href asc → /0,/1 | /2,/3 | /4
+        assert list(b.href.str[-1]) == ["0", "1", "2", "3", "4"]
+        assert list(b.fetch_round) == [0, 0, 1, 1, 2]
+        z = df[df.host == "z.example.com"]
+        assert list(z.fetch_round) == [0]
+
     def test_page_outdegree_hist_includes_zero(self, ray_session):
         import ray.data as rd
 

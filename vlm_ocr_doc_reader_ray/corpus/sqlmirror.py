@@ -2161,7 +2161,7 @@ FROM links GROUP BY 1
 # Σ_{edges u→v} inlinks(u), over the weighted host-edge residue.
 # Sources with zero inlinks contribute zero (cnt * NULL under the
 # left join sums away); hosts with only-zero contributions keep a row.
-HOST_AUTHORITY_SQL = GOLDEN_CTE + _LINKS_CTE + rf"""
+_AUTH_CTE = rf"""
 , he AS (
   SELECT {_HOST_EXPR.format(c='url')} AS src,
          {_HOST_EXPR.format(c='href')} AS dst,
@@ -2170,14 +2170,55 @@ HOST_AUTHORITY_SQL = GOLDEN_CTE + _LINKS_CTE + rf"""
 ), indeg AS (
   SELECT dst AS host, CAST(sum(cnt) AS BIGINT) AS n_inlinks
   FROM he GROUP BY dst
+), auth AS (
+  SELECT i.host, i.n_inlinks,
+         CAST(coalesce(sum(e.cnt * s.n_inlinks), 0) AS BIGINT) AS authority
+  FROM indeg i
+  LEFT JOIN he e ON e.dst = i.host
+  LEFT JOIN indeg s ON s.host = e.src
+  GROUP BY i.host, i.n_inlinks
 )
-SELECT i.host, i.n_inlinks,
-       CAST(coalesce(sum(e.cnt * s.n_inlinks), 0) AS BIGINT) AS authority
-FROM indeg i
-LEFT JOIN he e ON e.dst = i.host
-LEFT JOIN indeg s ON s.host = e.src
-GROUP BY i.host, i.n_inlinks
 """
+
+HOST_AUTHORITY_SQL = GOLDEN_CTE + _LINKS_CTE + _AUTH_CTE + r"""
+SELECT host, n_inlinks, authority FROM auth
+"""
+
+# Cross-layer composition: the text-extraction host stats joined to
+# the link-graph authority step — proves the graph layer composes
+# with the extraction layer on one key.
+HOST_PROFILE_SQL = GOLDEN_CTE + _LINKS_CTE + _AUTH_CTE + r"""
+, hs AS (
+  SELECT source || '.example.com' AS host,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(extracted_text)) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN parse_status = 'failed' THEN 1 ELSE 0 END)
+              AS BIGINT) AS parse_failures
+  FROM golden GROUP BY 1
+)
+SELECT hs.host, hs.n_docs, hs.total_chars, hs.parse_failures,
+       a.n_inlinks, a.authority
+FROM hs JOIN auth a ON a.host = hs.host
+"""
+
+# Politeness-aware crawl scheduling: within each target host the
+# frontier is ranked (referrers desc, href asc — a total integer
+# order) and sliced into fetch rounds of 25.
+FRONTIER_SCHEDULE_SQL = GOLDEN_CTE + _LINKS_CTE + rf"""
+, fr AS (
+  SELECT href, CAST(count(DISTINCT url) AS BIGINT) AS n_ref_pages
+  FROM links
+  WHERE href NOT IN (SELECT url FROM golden)
+  GROUP BY href
+)
+SELECT href, {_HOST_EXPR.format(c='href')} AS host, n_ref_pages,
+       CAST((row_number() OVER (
+           PARTITION BY {_HOST_EXPR.format(c='href')}
+           ORDER BY n_ref_pages DESC, href ASC) - 1) // 25 AS BIGINT)
+         AS fetch_round
+FROM fr
+"""
+
 
 # Out-degree histogram over ALL pages (zero-link PDF/corrupt pages
 # included via the left join).

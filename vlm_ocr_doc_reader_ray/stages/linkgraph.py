@@ -217,6 +217,54 @@ def frontier_urls(
     )
 
 
+def frontier_schedule(
+    frontier: rd.Dataset, per_host_budget: int = 25
+) -> rd.Dataset:
+    """Politeness-aware crawl scheduling over a frontier table.
+
+    Each target host may be fetched at most ``per_host_budget`` times
+    per round, so a host's frontier URLs are ranked (more referrers
+    first — ``n_ref_pages`` desc, ``href`` asc for a total integer
+    order) and assigned ``fetch_round = rank // budget``. One
+    hash-partition-by-host pass, vectorized (sort + cumcount per
+    partition); the frontier is already a bounded residue table, so
+    this streams at any scale. Partitioning assumption: one host's
+    frontier fits a partition — split pathological hosts across
+    rounds upstream if one doesn't.
+
+    → (href, host, n_ref_pages, fetch_round).
+    """
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    if per_host_budget <= 0:
+        raise ValueError("per_host_budget must be positive")
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "href": batch.column("href"),
+                "host": _host_expr(batch.column("href")),
+                "n_ref_pages": pc.cast(batch.column("n_ref_pages"), pa.int64()),
+            }
+        )
+
+    hosted = frontier.map_batches(add_host, batch_format="pyarrow")
+
+    def sched(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["host", "n_ref_pages", "href"],
+            ascending=[True, False, True],
+            ignore_index=True,
+        )
+        rank = g.groupby("host", sort=False).cumcount()
+        g["fetch_round"] = (rank // per_host_budget).astype("int64")
+        return g[["href", "host", "n_ref_pages", "fetch_round"]]
+
+    return partitioned_apply(hosted, ["host"], sched)
+
+
 def host_inlink_degree(links: rd.Dataset) -> rd.Dataset:
     """Per target-host IN-link profile — the authority-side mirror of
     :func:`host_link_degree`.
