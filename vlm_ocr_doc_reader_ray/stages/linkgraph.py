@@ -32,6 +32,15 @@ _HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<host>[^/?#]+)"
 LINK_COLUMNS = ["url", "pos", "href", "anchor_text", "chrome"]
 
 
+def _empty_typed(**cols: pa.DataType) -> rd.Dataset:
+    """Schema-stable empty Dataset — a zero-link corpus must yield an
+    empty result with the CONTRACT columns, not Ray's schema-less
+    empty (which breaks select_columns/joins downstream)."""
+    return rd.from_arrow(
+        pa.table({name: pa.array([], type=t) for name, t in cols.items()})
+    )
+
+
 def _links_batch(batch: pa.Table) -> pa.Table:
     urls: list[str] = []
     poss: list[int] = []
@@ -118,6 +127,11 @@ def host_link_degree(links: rd.Dataset) -> rd.Dataset:
     residues = links.map_batches(
         edge_residues, batch_format="pyarrow"
     ).materialize()
+    if residues.count() == 0:  # free: already materialized
+        return _empty_typed(
+            host=pa.string(), n_links=pa.int64(), n_chrome=pa.int64(),
+            n_external=pa.int64(), n_distinct_targets=pa.int64(),
+        )
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         g = g.assign(
@@ -204,6 +218,8 @@ def frontier_urls(
         return t.group_by(["href", "url"]).aggregate([])
 
     resid = links.map_batches(pairs, batch_format="pyarrow").materialize()
+    if resid.count() == 0:
+        return _empty_typed(href=pa.string(), n_ref_pages=pa.int64())
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["href", "url"])
@@ -250,7 +266,12 @@ def frontier_schedule(
             }
         )
 
-    hosted = frontier.map_batches(add_host, batch_format="pyarrow")
+    hosted = frontier.map_batches(add_host, batch_format="pyarrow").materialize()
+    if hosted.count() == 0:
+        return _empty_typed(
+            href=pa.string(), host=pa.string(),
+            n_ref_pages=pa.int64(), fetch_round=pa.int64(),
+        )
 
     def sched(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -301,6 +322,11 @@ def host_inlink_degree(links: rd.Dataset) -> rd.Dataset:
     residues = links.map_batches(
         residues_fn, batch_format="pyarrow"
     ).materialize()
+    if residues.count() == 0:
+        return _empty_typed(
+            host=pa.string(), n_inlinks=pa.int64(),
+            n_src_hosts=pa.int64(), n_ref_pages=pa.int64(),
+        )
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -340,18 +366,24 @@ def host_authority(links: rd.Dataset) -> rd.Dataset:
     from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
 
     def project(batch: pa.Table) -> pa.Table:
-        return pa.table(
+        t = pa.table(
             {
                 "src": _host_expr(batch.column("url")),
                 "dst": _host_expr(batch.column("href")),
             }
         )
+        out = t.group_by(["src", "dst"]).aggregate([([], "count_all")])
+        return out.rename_columns(["src", "dst", "cnt"])
 
-    edges = value_counts(
-        links.map_batches(project, batch_format="pyarrow"),
-        ["src", "dst"],
-        alias="cnt",
-        checkpoint=True,  # pin per-batch pair counts: tag scan runs once
+    # pin per-batch pair counts: the tag scan runs once, and the empty
+    # guard sits BEFORE any groupby (empty groupbys lose schema)
+    partials = links.map_batches(project, batch_format="pyarrow").materialize()
+    if partials.count() == 0:
+        return _empty_typed(
+            host=pa.string(), n_inlinks=pa.int64(), authority=pa.int64()
+        )
+    edges = grouped_sums(
+        partials, ["src", "dst"], ["cnt"]
     ).materialize()  # bounded: distinct host pairs; two consumers below
 
     indeg = grouped_sums(
@@ -455,6 +487,8 @@ def page_outdegree_hist(links: rd.Dataset, pages: rd.Dataset) -> rd.Dataset:
         .union(links.map_batches(per_batch, batch_format="pyarrow"))
         .materialize()
     )
+    if both.count() == 0:
+        return _empty_typed(outdeg=pa.int64(), n_pages=pa.int64())
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("url", sort=False)["outdeg"].sum().reset_index()

@@ -865,6 +865,21 @@ def top_terms_per_group(
     )
     if checkpoint:
         residues = residues.materialize()
+        if residues.count() == 0:  # schema-stable empty, not Ray's
+            import pyarrow as _pa
+
+            import ray.data as _rd
+
+            return _rd.from_arrow(
+                _pa.table(
+                    {
+                        group_col: _pa.array([], _pa.string()),
+                        "rank": _pa.array([], _pa.int64()),
+                        "word": _pa.array([], _pa.string()),
+                        "cnt": _pa.array([], _pa.int64()),
+                    }
+                )
+            )
 
     def sum_and_head(g: pd.DataFrame) -> pd.DataFrame:
         g = (
