@@ -52,6 +52,42 @@ def auto_num_parts(
     return max(floor, -(-size // target_bytes))
 
 
+_SIZE_WARN_SILENCED = False
+
+
+def silence_empty_block_size_warnings() -> None:
+    """Drop Ray's per-block 'Error calculating size for column …:
+    cannot call `vectorize` on size 0 inputs' warning — WORKER-side.
+
+    Ray sizes every pandas block it receives; on an EMPTY block with
+    object-dtype columns its ``np.vectorize`` sampler raises and logs
+    a warning per column per block. Hash-partitioned appliers
+    legitimately emit empty partitions (a key range with no rows), so
+    this fires thousands of times at scale — pure noise (the size of
+    an empty block is zero; nothing is mis-estimated). The filter is
+    installed lazily from inside worker batch fns because workers
+    don't run the driver's logging setup; idempotent per process.
+    Genuine size-calculation failures on NON-empty data still log.
+    """
+    global _SIZE_WARN_SILENCED
+    if _SIZE_WARN_SILENCED:
+        return
+    import logging
+
+    class _DropEmptySizeWarning(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                "Error calculating size for column" in msg
+                and "size 0 inputs" in msg
+            )
+
+    logging.getLogger("ray.data._internal.pandas_block").addFilter(
+        _DropEmptySizeWarning()
+    )
+    _SIZE_WARN_SILENCED = True
+
+
 def partitioned_apply(
     ds: rd.Dataset,
     key_cols: Sequence[str],
@@ -95,6 +131,7 @@ def partitioned_apply(
     parted = ds.map_batches(add_part, batch_format="pandas")
 
     def apply_part(g: pd.DataFrame) -> pd.DataFrame:
+        silence_empty_block_size_warnings()
         return fn(g.drop(columns="__part"))
 
     return parted.groupby("__part").map_groups(apply_part, batch_format="pandas")

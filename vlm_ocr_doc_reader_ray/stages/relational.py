@@ -18,7 +18,10 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+from vlm_ocr_doc_reader_ray.stages.aggregates import (
+    grouped_sums,
+    silence_empty_block_size_warnings,
+)
 
 
 def cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -507,6 +510,7 @@ def broadcast_anti_join(
     ref = ray.put(set(right_keys))
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        silence_empty_block_size_warnings()
         keys = ray.get(ref)
         return batch[~batch[left_on].isin(keys)]
 
@@ -584,6 +588,7 @@ def bloom_anti_join(
     ref = ray.put((bf, set(keys) if exact else None))
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        silence_empty_block_size_warnings()
         f, exact_keys = ray.get(ref)
         maybe = f.might_contain(batch[left_on])
         if exact_keys is None:
