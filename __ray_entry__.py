@@ -1755,6 +1755,24 @@ def _q_frontier_schedule(sf_dir: str):
     return frontier_schedule(frontier, per_host_budget=25)
 
 
+def _q_warc_link_graph(sf_dir: str):
+    """Link-graph layer fed from WARC shards instead of Parquet —
+    the graph ops compose with the archive source format; same
+    host-degree oracle as the Parquet path, so a WARC round-trip
+    that loses a byte of markup fails the gate."""
+    import os
+
+    from vlm_ocr_doc_reader_ray.sources.warc import corpus_warc, read_warc
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        host_link_degree,
+        links_table,
+    )
+
+    shard_dir = corpus_warc(sf_dir, shards=4)
+    paths = sorted(os.path.join(shard_dir, p) for p in os.listdir(shard_dir))
+    return host_link_degree(links_table(read_warc(paths)))
+
+
 def _q_host_profile(sf_dir: str):
     """Cross-layer composition: per-host text-extraction stats joined
     to the link-graph authority step on one key — the extraction and
@@ -2268,6 +2286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_outdegree_hist": _q_page_outdegree_hist,
         "frontier_schedule": _q_frontier_schedule,
         "host_profile": _q_host_profile,
+        "warc_link_graph": _q_warc_link_graph,
         "collocations": _q_collocations,
         "chunk_windows": _q_chunk_windows,
         "registry_resume": _q_registry_resume,
@@ -2396,6 +2415,7 @@ def oracle_sql() -> dict[str, str]:
         "page_outdegree_hist": sm.PAGE_OUTDEGREE_HIST_SQL,
         "frontier_schedule": sm.FRONTIER_SCHEDULE_SQL,
         "host_profile": sm.HOST_PROFILE_SQL,
+        "warc_link_graph": sm.HOST_LINK_DEGREE_SQL,
         "collocations": sm.COLLOCATIONS_SQL,
         "chunk_windows": sm.CHUNK_WINDOWS_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
