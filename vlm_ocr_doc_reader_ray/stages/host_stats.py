@@ -25,9 +25,18 @@ from ray.data.aggregate import Sum
 
 
 def _host_of(urls: pa.ChunkedArray) -> pa.Array:
-    st = pc.extract_regex(urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls,
-                          r"^https?://(?P<host>[^/]+)")
-    return st.field("host") if hasattr(st, "field") else pc.struct_field(st, "host")
+    """Host-of-URL — the ENGINE-WIDE rule: lowercased authority
+    between scheme:// and the first /?#, '' on no match. Must stay
+    identical to ``stages/linkgraph._host_expr`` — ``host_profile``
+    inner-joins the extraction layer to the graph layer on this key,
+    and a casing or query-string divergence would silently drop
+    hosts from the join."""
+    st = pc.extract_regex(
+        urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls,
+        r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<host>[^/?#]+)",
+    )
+    host = st.field("host") if hasattr(st, "field") else pc.struct_field(st, "host")
+    return pc.utf8_lower(pc.fill_null(host, ""))
 
 
 def _partial(batch: pa.Table) -> pa.Table:

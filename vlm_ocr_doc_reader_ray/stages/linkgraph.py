@@ -8,14 +8,18 @@ Ray-Data-first:
 - :func:`links_table` is a stateless ``map_batches`` flat-map — the
   per-payload tag scan is inherent row work (same shape as the
   extraction kernel), everything around it is Arrow;
-- :func:`host_link_degree` never shuffles raw links: per-batch
-  combiners reduce to (host, sums) and distinct (host, target_host)
-  residues, so the all-to-all moves O(hosts + distinct host pairs),
-  not O(links).
+- every aggregate here follows one discipline: collapse to per-batch
+  residues in ``map_batches``, ``materialize()`` the bounded residue
+  (so no shuffle's boundary sampling re-runs the tag scan, and the
+  empty-corpus guard is free), then ONE hash-partitioned vectorized
+  pass (``partitioned_apply``) — never Ray's native sort-groupby over
+  many-distinct keys (measured 9.3s per ~200k keys) and never a join
+  where a zero-padded union + re-sum gives the same answer.
 
-At 10^12 documents the outlink table is ~50× the page count; the
-degree aggregate's shuffle stays proportional to distinct host pairs
-(web graphs: ~10^8), which a 256-node cluster absorbs in one pass.
+At 10^12 documents the outlink table is ~50× the page count; each
+aggregate's shuffle stays proportional to its residue (distinct host
+pairs ~1e8, frontier ~10× pages), which a 256-node cluster absorbs
+in one pass.
 """
 
 from __future__ import annotations
@@ -393,7 +397,7 @@ def host_authority(links: rd.Dataset) -> rd.Dataset:
         ),
         "host",
         ["n_inlinks"],
-    )
+    ).materialize()  # two consumers (pad leg + join side); tiny: one row/host
 
     # weight each edge by its SOURCE's in-degree, then re-sum per dst.
     # INNER join is exact here: an edge whose source has no inlinks
@@ -411,15 +415,17 @@ def host_authority(links: rd.Dataset) -> rd.Dataset:
         ),
         "src",
         "src",
-        num_buckets=4,
     )
 
     def weigh(batch: pa.Table) -> pa.Table:
+        # multiply_checked: at hot-host scale cnt*src_in can exceed
+        # int64 — fail loudly (as DuckDB's mirror does) instead of
+        # wrapping and silently corrupting the ranking
         return pa.table(
             {
                 "host": batch.column("dst"),
                 "n_inlinks": pa.array([0] * len(batch), type=pa.int64()),
-                "authority": pc.multiply(
+                "authority": pc.multiply_checked(
                     pc.cast(batch.column("cnt"), pa.int64()),
                     pc.cast(batch.column("src_in"), pa.int64()),
                 ),

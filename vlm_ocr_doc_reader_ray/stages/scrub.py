@@ -690,12 +690,14 @@ def collocations(
     j2 = partitioned_hash_join(j1, u2, "w2", "w2", num_buckets=8)
 
     def gate(batch: pa.Table) -> pa.Table:
-        lhs = pc.multiply(
-            pc.multiply(batch.column("cxy"), pa.scalar(theta_den, pa.int64())),
+        # multiply_checked: cxy*N can exceed int64 at corpus scale —
+        # fail loudly (as DuckDB does) instead of wrapping the gate
+        lhs = pc.multiply_checked(
+            pc.multiply_checked(batch.column("cxy"), pa.scalar(theta_den, pa.int64())),
             pa.scalar(n_total, pa.int64()),
         )
-        rhs = pc.multiply(
-            pc.multiply(batch.column("cx"), batch.column("cy")),
+        rhs = pc.multiply_checked(
+            pc.multiply_checked(batch.column("cx"), batch.column("cy")),
             pa.scalar(theta_num, pa.int64()),
         )
         out = batch.filter(pc.greater(lhs, rhs))
