@@ -1795,6 +1795,22 @@ def _q_host_profile(sf_dir: str):
     )
 
 
+def _q_host_authority_iter2(sf_dir: str):
+    """Two power-iterations of integer link authority — the
+    iterative-graph-algorithm path: the pinned edge residue is reused
+    by every superstep, per-host scores re-pinned per superstep; the
+    oracle unrolls the same recurrence as a 2-level CTE chain. Scores
+    grow as cnt^k, so k=2 stays inside int64 through sf1 (k=3 would
+    overflow at sf0.1 — both engines fail loudly, by design)."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        host_authority,
+        links_table,
+    )
+
+    return host_authority(links_table(read_corpus(sf_dir)), iters=2)
+
+
 def _q_page_outdegree_hist(sf_dir: str):
     """Out-degree histogram over all pages (zero-link PDF/corrupt
     pages restored by union+re-sum, not an outer join)."""
@@ -2283,6 +2299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_urls": _q_frontier_urls,
         "host_inlink_degree": _q_host_inlink_degree,
         "host_authority": _q_host_authority,
+        "host_authority_iter2": _q_host_authority_iter2,
         "page_outdegree_hist": _q_page_outdegree_hist,
         "frontier_schedule": _q_frontier_schedule,
         "host_profile": _q_host_profile,
@@ -2412,6 +2429,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_urls": sm.FRONTIER_URLS_SQL,
         "host_inlink_degree": sm.HOST_INLINK_DEGREE_SQL,
         "host_authority": sm.HOST_AUTHORITY_SQL,
+        "host_authority_iter2": sm.host_authority_sql(2),
         "page_outdegree_hist": sm.PAGE_OUTDEGREE_HIST_SQL,
         "frontier_schedule": sm.FRONTIER_SCHEDULE_SQL,
         "host_profile": sm.HOST_PROFILE_SQL,

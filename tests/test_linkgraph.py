@@ -321,6 +321,35 @@ class TestLinkAnalytics:
         )
         assert list(zip(df.outdeg, df.n_pages)) == [(0, 1), (1, 1), (2, 2)]
 
+    def test_host_authority_iterated_cycle(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import host_authority
+
+        rows = [
+            ("https://x.com/p1", "https://y.com/a"),
+            ("https://x.com/p1", "https://y.com/a"),
+            ("https://y.com/p1", "https://x.com/b"),
+            ("https://y.com/p1", "https://y.com/c"),
+        ]
+        links = rd.from_items(
+            [
+                {"url": u, "pos": i, "href": h, "anchor_text": "t",
+                 "chrome": False}
+                for i, (u, h) in enumerate(rows)
+            ]
+        )
+        # edges: x→y cnt2, y→x cnt1, y→y cnt1; indeg x=1, y=3
+        # score1: x = 1·3 = 3;  y = 2·1 + 1·3 = 5
+        # score2: x = 1·5 = 5;  y = 2·3 + 1·5 = 11
+        for iters, want in [
+            (1, {"x.com": (1, 3), "y.com": (3, 5)}),
+            (2, {"x.com": (1, 5), "y.com": (3, 11)}),
+        ]:
+            df = host_authority(links, iters=iters).to_pandas()
+            got = {r.host: (r.n_inlinks, r.authority) for r in df.itertuples()}
+            assert got == want, (iters, got)
+
     def test_host_inlink_degree(self, ray_session):
         from vlm_ocr_doc_reader_ray.stages.linkgraph import host_inlink_degree
 

@@ -2184,6 +2184,39 @@ HOST_AUTHORITY_SQL = GOLDEN_CTE + _LINKS_CTE + _AUTH_CTE + r"""
 SELECT host, n_inlinks, authority FROM auth
 """
 
+
+def host_authority_sql(iters: int) -> str:
+    """k power-iterations of integer link authority, unrolled as a CTE
+    chain (the same device as the k-means oracle): ``a0 = indeg``,
+    ``a{i}(v) = Σ_{u→v} cnt·a{i-1}(u)`` with zero-padded hosts kept.
+    Mirrors ``stages/linkgraph.host_authority(iters=k)`` exactly —
+    all integer, no floats anywhere."""
+    chain = GOLDEN_CTE + _LINKS_CTE + rf"""
+, he AS (
+  SELECT {_HOST_EXPR.format(c='url')} AS src,
+         {_HOST_EXPR.format(c='href')} AS dst,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM links GROUP BY 1, 2
+), indeg AS (
+  SELECT dst AS host, CAST(sum(cnt) AS BIGINT) AS n_inlinks
+  FROM he GROUP BY dst
+), a0 AS (
+  SELECT host, n_inlinks AS score FROM indeg
+)"""
+    for i in range(1, iters + 1):
+        chain += f""", a{i} AS (
+  SELECT i.host,
+         CAST(coalesce(sum(e.cnt * s.score), 0) AS BIGINT) AS score
+  FROM indeg i
+  LEFT JOIN he e ON e.dst = i.host
+  LEFT JOIN a{i - 1} s ON s.host = e.src
+  GROUP BY i.host
+)"""
+    return chain + f"""
+SELECT i.host, i.n_inlinks, a.score AS authority
+FROM indeg i JOIN a{iters} a ON a.host = i.host
+"""
+
 # Cross-layer composition: the text-extraction host stats joined to
 # the link-graph authority step — proves the graph layer composes
 # with the extraction layer on one key.

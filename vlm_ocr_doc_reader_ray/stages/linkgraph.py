@@ -349,24 +349,29 @@ def host_inlink_degree(links: rd.Dataset) -> rd.Dataset:
     return partitioned_apply(residues, ["host"], agg)
 
 
-def host_authority(links: rd.Dataset) -> rd.Dataset:
-    """One integer power-iteration of link authority per host.
+def host_authority(links: rd.Dataset, iters: int = 1) -> rd.Dataset:
+    """``iters`` integer power-iterations of link authority per host.
 
-    ``authority(v) = Σ over edges u→v of inlinks(u)`` — the 2-step
-    inlink mass (an eigenvector-centrality / PageRank numerator step
-    kept in exact int64, so the DuckDB mirror is bit-exact; damping
-    and normalization are float cosmetics applied after the ranking,
-    not part of the order).
+    ``score_0(v) = inlinks(v)``;
+    ``score_i(v) = Σ over edges u→v of cnt(u→v) · score_{i-1}(u)`` —
+    the iterated inlink mass (the eigenvector-centrality / PageRank
+    power method kept in exact int64, so the DuckDB mirror — an
+    unrolled CTE chain, same device as the k-means oracle — is
+    bit-exact; damping and normalization are float cosmetics applied
+    after the ranking, not part of the order).
 
     Plan shape: the corpus-sized link stream collapses ONCE to the
     weighted host-edge residue (src, dst, cnt) — web graphs: ~1e8
-    distinct host pairs — and every later step (in-degree sum, the
-    edge⋈in-degree hash join, the authority re-sum) moves residues
-    only. Iterating k steps = repeating the join+sum on the same edge
-    residue, which a caller can checkpoint once and reuse.
+    distinct host pairs — pinned and reused by every iteration; each
+    superstep is one residue⋈scores hash join + one residue sum, and
+    the per-host score table is re-pinned per superstep with a small
+    block count (iterative Dataset algorithms must pin block counts —
+    the repo's measured groupby block-explosion trap).
 
-    → (host, n_inlinks, authority).
+    → (host, n_inlinks, authority) where authority = score_iters.
     """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
 
     def project(batch: pa.Table) -> pa.Table:
@@ -399,40 +404,62 @@ def host_authority(links: rd.Dataset) -> rd.Dataset:
         ["n_inlinks"],
     ).materialize()  # two consumers (pad leg + join side); tiny: one row/host
 
-    # weight each edge by its SOURCE's in-degree, then re-sum per dst.
-    # INNER join is exact here: an edge whose source has no inlinks
-    # contributes cnt*0 = 0, so dropping it never changes a sum —
-    # and every authority recipient is by definition an inlink
+    # Each superstep weighs every edge by its SOURCE's previous score
+    # and re-sums per dst. INNER join is exact: an edge whose source
+    # has no score row contributes cnt*0 = 0, so dropping it never
+    # changes a sum — and every recipient is by definition an inlink
     # recipient, so the zero-padded union below restores hosts whose
     # every contribution was zero (left-outer semantics, no join).
-    j = partitioned_hash_join(
-        edges,
-        indeg.map_batches(
-            lambda b: pa.table(
-                {"src": b.column("host"), "src_in": b.column("n_inlinks")}
-            ),
-            batch_format="pyarrow",
-        ),
-        "src",
-        "src",
-    )
-
     def weigh(batch: pa.Table) -> pa.Table:
-        # multiply_checked: at hot-host scale cnt*src_in can exceed
+        # multiply_checked: at hot-host scale cnt*score can exceed
         # int64 — fail loudly (as DuckDB's mirror does) instead of
         # wrapping and silently corrupting the ranking
         return pa.table(
             {
                 "host": batch.column("dst"),
-                "n_inlinks": pa.array([0] * len(batch), type=pa.int64()),
-                "authority": pc.multiply_checked(
+                "score": pc.multiply_checked(
                     pc.cast(batch.column("cnt"), pa.int64()),
-                    pc.cast(batch.column("src_in"), pa.int64()),
+                    pc.cast(batch.column("src_score"), pa.int64()),
                 ),
             }
         )
 
-    def pad(batch: pa.Table) -> pa.Table:
+    def zero_scores(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "score": pa.array([0] * len(batch), type=pa.int64()),
+            }
+        )
+
+    scores = indeg.map_batches(
+        lambda b: pa.table(
+            {"host": b.column("host"), "score": b.column("n_inlinks")}
+        ),
+        batch_format="pyarrow",
+    )
+    for _ in range(iters):
+        j = partitioned_hash_join(
+            edges,
+            scores.map_batches(
+                lambda b: pa.table(
+                    {"src": b.column("host"), "src_score": b.column("score")}
+                ),
+                batch_format="pyarrow",
+            ),
+            "src",
+            "src",
+        )
+        both = indeg.map_batches(zero_scores, batch_format="pyarrow").union(
+            j.map_batches(weigh, batch_format="pyarrow")
+        )
+        scores = (
+            grouped_sums(both, "host", ["score"])
+            .repartition(4)
+            .materialize()  # pin per superstep: tiny (one row per host)
+        )
+
+    def out_pad(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "host": batch.column("host"),
@@ -441,10 +468,19 @@ def host_authority(links: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    both = indeg.map_batches(pad, batch_format="pyarrow").union(
-        j.map_batches(weigh, batch_format="pyarrow")
+    def out_score(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_inlinks": pa.array([0] * len(batch), type=pa.int64()),
+                "authority": batch.column("score"),
+            }
+        )
+
+    final = indeg.map_batches(out_pad, batch_format="pyarrow").union(
+        scores.map_batches(out_score, batch_format="pyarrow")
     )
-    return grouped_sums(both, "host", ["n_inlinks", "authority"])
+    return grouped_sums(final, "host", ["n_inlinks", "authority"])
 
 
 def page_outdegree_hist(links: rd.Dataset, pages: rd.Dataset) -> rd.Dataset:
