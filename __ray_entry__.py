@@ -1811,6 +1811,33 @@ def _q_host_authority_iter2(sf_dir: str):
     return host_authority(links_table(read_corpus(sf_dir)), iters=2)
 
 
+def _q_source_token_cap(sf_dir: str):
+    """RefinedWeb-style domain cap: each source keeps whole documents
+    in md5 order while its running token total stays ≤ 1200 — the
+    anti-domination gate for mixture building. Exclusive-prefix local
+    combiner makes the prune exact (docstring has the proof)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import grouped_token_cap
+
+    def project(batch: _pa.Table) -> _pa.Table:
+        words = _pc.split_pattern(batch.column("text"), " ")
+        return _pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_tokens": _pc.cast(_pc.list_value_length(words), _pa.int64()),
+            }
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(project, batch_format="pyarrow")
+    return grouped_token_cap(docs, "source", "doc_id", "n_tokens", budget=1200)
+
+
 def _q_page_outdegree_hist(sf_dir: str):
     """Out-degree histogram over all pages (zero-link PDF/corrupt
     pages restored by union+re-sum, not an outer join)."""
@@ -2300,6 +2327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_inlink_degree": _q_host_inlink_degree,
         "host_authority": _q_host_authority,
         "host_authority_iter2": _q_host_authority_iter2,
+        "source_token_cap": _q_source_token_cap,
         "page_outdegree_hist": _q_page_outdegree_hist,
         "frontier_schedule": _q_frontier_schedule,
         "host_profile": _q_host_profile,
@@ -2430,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
         "host_inlink_degree": sm.HOST_INLINK_DEGREE_SQL,
         "host_authority": sm.HOST_AUTHORITY_SQL,
         "host_authority_iter2": sm.host_authority_sql(2),
+        "source_token_cap": sm.SOURCE_TOKEN_CAP_SQL,
         "page_outdegree_hist": sm.PAGE_OUTDEGREE_HIST_SQL,
         "frontier_schedule": sm.FRONTIER_SCHEDULE_SQL,
         "host_profile": sm.HOST_PROFILE_SQL,

@@ -1568,3 +1568,52 @@ def test_grouped_zscore_exactness_and_degenerate_groups(ray_session):
     assert (got.loc[got.g == "a", "z"].to_numpy() == want).all()
     assert got.loc[got.g == "flat", "z"].isna().all()
     assert got.loc[got.g == "solo", "z"].isna().all()
+
+
+def test_grouped_token_cap_matches_naive(ray_session):
+    """Multi-block exactness of the per-group token cap: the
+    exclusive-prefix local combiner must reproduce the single-process
+    prefix semantics (keep while inclusive cumsum <= budget; first
+    crossing doc and everything after drop) at any block layout —
+    the inclusive-prefix prune would wrongly re-admit short docs
+    ranked after a long dropped one."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import grouped_token_cap
+
+    rng = np.random.default_rng(11)
+    rows = [
+        {
+            "doc_id": int(i),
+            "grp": f"g{int(rng.integers(0, 5))}",
+            "n_tokens": int(rng.integers(1, 900)),
+        }
+        for i in range(400)
+    ]
+    budget = 2000
+    # naive single-process reference
+    want: set[int] = set()
+    for g in {r["grp"] for r in rows}:
+        members = sorted(
+            (r for r in rows if r["grp"] == g),
+            key=lambda r: (
+                hashlib.md5(f"hostcap:{r['doc_id']}".encode()).hexdigest(),
+                r["doc_id"],
+            ),
+        )
+        cum = 0
+        for r in members:
+            cum += r["n_tokens"]
+            if cum > budget:
+                break
+            want.add(r["doc_id"])
+    for nblocks in (1, 7, 40):
+        ds = rd.from_items(rows).repartition(nblocks)
+        got = set(
+            grouped_token_cap(ds, "grp", "doc_id", "n_tokens", budget)
+            .to_pandas()["doc_id"]
+        )
+        assert got == want, (nblocks, len(got), len(want))

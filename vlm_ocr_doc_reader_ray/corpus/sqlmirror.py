@@ -2234,6 +2234,26 @@ SELECT hs.host, hs.n_docs, hs.total_chars, hs.parse_failures,
 FROM hs JOIN auth a ON a.host = hs.host
 """
 
+# RefinedWeb-style per-source token cap: whole docs kept in md5 order
+# while the inclusive running token total stays <= 1200; the first
+# crossing doc and everything after it drop. Mirrors
+# stages/text_analysis.grouped_token_cap (seed 'hostcap').
+SOURCE_TOKEN_CAP_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5('hostcap:' || CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, source, n_tokens FROM c WHERE cum <= 1200
+"""
+
+
 # Politeness-aware crawl scheduling: within each target host the
 # frontier is ranked (referrers desc, href asc — a total integer
 # order) and sliced into fetch rounds of 25.

@@ -374,6 +374,71 @@ def stratified_top_k(
     return partitioned_apply(local, [strata_col], merge)
 
 
+def grouped_token_cap(
+    ds: rd.Dataset,
+    group_col: str,
+    key_col: str,
+    len_col: str,
+    budget: int,
+    seed: str = "hostcap",
+) -> rd.Dataset:
+    """Per-group token budget — the RefinedWeb/Gopher-style domain
+    cap ("no group contributes more than B tokens").
+
+    Each group keeps whole documents in deterministic md5-of-key order
+    while the inclusive running token total stays ≤ ``budget``; the
+    first document that would cross the cap — and everything ranked
+    after it — drops. Exact integers throughout, so the SQL mirror
+    (a windowed running sum) is bit-exact, and the kept set is
+    identical at any parallelism.
+
+    Local combiner: each batch forwards its group-local EXCLUSIVE
+    budget prefix — the docs whose cumsum before themselves is ≤
+    budget, i.e. the local kept-prefix PLUS the first locally-crossing
+    doc. Forwarding the crossing doc is what makes the prune sound:
+    every doc ranked before the GLOBAL crossing is locally kept (its
+    local cumsum ≤ its global cumsum ≤ budget), and the global
+    crossing doc is either locally kept or its batch's first crossing
+    — so the final pass always sees exact cumsums up to and including
+    the global crossing, and everything after it drops. A prune that
+    forwarded only the inclusive prefix would let a later short doc
+    sneak under a cumsum missing the dropped doc's length. The
+    shuffle moves O(budget/avg_len + 1) rows per group per block,
+    never the corpus.
+
+    → input rows kept, original columns.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+
+    def prefix(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__rk"] = [
+            hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()
+            for v in batch[key_col]
+        ]
+        batch = batch.sort_values(["__rk", key_col])
+        cum = batch.groupby(group_col, sort=False)[len_col].cumsum()
+        excl = np.asarray(cum) - np.asarray(batch[len_col])
+        return batch[excl <= budget]
+
+    local = ds.map_batches(prefix, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__rk", key_col])
+        cum = g.groupby(group_col, sort=False)[len_col].cumsum()
+        return g[np.asarray(cum) <= budget].drop(columns="__rk")
+
+    return partitioned_apply(local, [group_col], final)
+
+
 def analyze(ds: rd.Dataset, text_col: str = "text", concurrency: int | None = None) -> rd.Dataset:
     kwargs = dict(batch_format="pyarrow", batch_size=1024)
     if concurrency is None:
