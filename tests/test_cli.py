@@ -178,3 +178,33 @@ def test_cli_shards_subprocess(ray_session, sf_small):
         p.name: hashlib.md5(p.read_bytes()).hexdigest()
         for p in sorted(pathlib.Path(out).iterdir())
     }
+
+
+def test_cli_links_subprocess(ray_session, sf_small):
+    """`links` writes the outlink table; --degree adds the per-host
+    profile fed from the just-written parquet (no second tag scan).
+    Row counts must agree between the two outputs."""
+    import shutil
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import corpus_parquet
+
+    corpus = corpus_parquet(sf_small, reps=1)
+    out = "/tmp/cli_links_test"
+    shutil.rmtree(out, ignore_errors=True)
+    r = subprocess.run(
+        [sys.executable, "-m", "vlm_ocr_doc_reader_ray.cli", "--num-cpus", "2",
+         "links", corpus, "-o", out, "--degree"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    links = pd.read_parquet(f"{out}/links")
+    deg = pd.read_parquet(f"{out}/host_degree")
+    assert set(links.columns) == {"url", "pos", "href", "anchor_text", "chrome"}
+    assert set(deg.columns) == {
+        "host", "n_links", "n_chrome", "n_external", "n_distinct_targets"
+    }
+    assert deg["n_links"].sum() == len(links) > 0

@@ -123,6 +123,17 @@ def main(argv: List[str] | None = None) -> int:
     p_res.add_argument("--pages", default=None)
     p_res.add_argument("--chunk-size", type=int, default=5)
 
+    p_lk = sub.add_parser(
+        "links",
+        help="corpus → outlink table parquet (one row per <a href>, "
+        "href resolved absolute, chrome flagged); --degree adds the "
+        "per-host link profile alongside",
+    )
+    p_lk.add_argument("corpus")
+    p_lk.add_argument("-o", "--output", required=True)
+    p_lk.add_argument("--degree", action="store_true",
+                      help="also write host_degree/ (per-host profile)")
+
     p_sh = sub.add_parser(
         "shards",
         help="corpus → balanced training shards in deterministic "
@@ -149,6 +160,25 @@ def main(argv: List[str] | None = None) -> int:
             ds = extract(rd.read_parquet(args.corpus), emit_spans=True, emit_registry=True)
             ds.write_parquet(args.output)
             print(f"wrote extracted rows to {args.output}")
+        elif args.cmd == "links":
+            import os
+
+            from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+                host_link_degree,
+                links_table,
+            )
+
+            corpus = rd.read_parquet(args.corpus, columns=["url", "html"])
+            links = links_table(corpus)
+            links_dir = os.path.join(args.output, "links")
+            links.write_parquet(links_dir)
+            print(f"wrote outlink table to {links_dir}")
+            if args.degree:
+                deg_dir = os.path.join(args.output, "host_degree")
+                # feed from the just-written parquet: the degree pass
+                # must not re-run the tag scan
+                host_link_degree(rd.read_parquet(links_dir)).write_parquet(deg_dir)
+                print(f"wrote host degree profile to {deg_dir}")
         elif args.cmd == "registry":
             axes = parse_axes_arg(args.axes)
             pages = parse_pages_arg(args.pages)
