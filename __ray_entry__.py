@@ -1393,13 +1393,13 @@ def _q_wet_text_analysis(sf_dir: str):
     )
 
 
-def _q_url_parse(sf_dir: str):
-    """Crawl URL canonicalization over deterministically injected URL
-    shapes (uppercase hosts, default + explicit ports, fragments,
-    root paths, garbage) — LOCKSTEP with sqlmirror.URL_PARSE_SQL."""
+def _inject_urls(sf_dir: str):
+    """Deterministic crawl-URL testbed (uppercase hosts, default +
+    explicit ports, fragments, root paths, garbage, and colliding
+    shapes — ``doc_id%5`` picks the form, so forms 1/2 collide after
+    canonicalization) — LOCKSTEP with the ``u`` CTE of
+    sqlmirror.URL_PARSE_SQL. → Dataset(doc_id, url)."""
     import pandas as pd
-
-    from vlm_ocr_doc_reader_ray.stages.urltools import parse_urls
 
     import ray.data as rd
 
@@ -1423,7 +1423,65 @@ def _q_url_parse(sf_dir: str):
         )
         return pd.DataFrame({"doc_id": d, "url": url})
 
-    return parse_urls(docs.map_batches(inject, batch_format="pandas"))
+    return docs.map_batches(inject, batch_format="pandas")
+
+
+def _q_url_parse(sf_dir: str):
+    """Crawl URL canonicalization over the injected URL shapes —
+    LOCKSTEP with sqlmirror.URL_PARSE_SQL."""
+    from vlm_ocr_doc_reader_ray.stages.urltools import parse_urls
+
+    return parse_urls(_inject_urls(sf_dir))
+
+
+def _q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup over the injected shapes: forms 1/2
+    collide after canonicalization (10 distinct + 1 global), forms
+    0/4 stay unique, form 3 is unparseable and dropped — keep min
+    doc_id per url_norm with the dupe count."""
+    from vlm_ocr_doc_reader_ray.stages.urltools import url_dedup
+
+    return url_dedup(_inject_urls(sf_dir))
+
+
+def _q_span_dedup(sf_dir: str):
+    """Lee-et-al-style duplicated-span removal (8-gram granularity):
+    words covered by any corpus-duplicated 8-gram are dropped and
+    docs reassembled — exact-dup texts (~46% of the corpus) collapse
+    to empty, partial overlaps lose only the shared spans. One gram
+    shuffle + one residue join; hash-gated against a window-max
+    DuckDB mirror."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import span_dedup
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return span_dedup(docs, n=8, min_count=2)
+
+
+def _q_keyword_search(sf_dir: str):
+    """Literal-keyword retrieval top-10 per query: integer occurrence
+    scores, ties by doc_id; the 4-query term set is broadcast in the
+    batch closure and mirrored as a literal table in SQL."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import keyword_search
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return keyword_search(
+        docs,
+        {
+            1: ["sort", "merge"],
+            2: ["spark", "stream"],
+            3: ["customer", "filter", "query"],
+            4: ["window"],
+        },
+        k=10,
+    )
 
 
 def _q_hll_registers(sf_dir: str):
@@ -2334,6 +2392,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_link_graph": _q_warc_link_graph,
         "collocations": _q_collocations,
         "chunk_windows": _q_chunk_windows,
+        "span_dedup": _q_span_dedup,
+        "keyword_search": _q_keyword_search,
+        "url_dedup": _q_url_dedup,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -2465,6 +2526,9 @@ def oracle_sql() -> dict[str, str]:
         "warc_link_graph": sm.HOST_LINK_DEGREE_SQL,
         "collocations": sm.COLLOCATIONS_SQL,
         "chunk_windows": sm.CHUNK_WINDOWS_SQL,
+        "span_dedup": sm.SPAN_DEDUP_SQL,
+        "keyword_search": sm.KEYWORD_SEARCH_SQL,
+        "url_dedup": sm.URL_DEDUP_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

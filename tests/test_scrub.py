@@ -253,3 +253,113 @@ def test_normalize_text_unicode_and_ws(ray_session):
     ).df()["n"]
     assert list(got) == list(want)
     assert got[0] == "Café x"
+
+
+class TestSpanDedup:
+    """Duplicated-span removal: interval semantics, the no-dup
+    passthrough guard, and partitioning invariance."""
+
+    def _run(self, texts, n=3, nblocks=1):
+        from vlm_ocr_doc_reader_ray.stages.scrub import span_dedup
+
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        out = span_dedup(_ds(df, nblocks), n=n).to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)
+
+    def test_exact_dup_docs_fully_covered(self, ray_session):
+        t = "a b c d e f"
+        out = self._run([t, t], n=3)
+        assert list(out["text"]) == ["", ""]
+        assert list(out["n_kept"]) == [0, 0]
+        assert list(out["n_dropped"]) == [6, 6]
+
+    def test_partial_overlap_drops_only_shared_span(self, ray_session):
+        # docs share the 3-gram "x y z"; surrounding words survive
+        out = self._run(["p q x y z r s", "t u x y z v w"], n=3)
+        assert list(out["text"]) == ["p q r s", "t u v w"]
+        assert list(out["n_dropped"]) == [3, 3]
+
+    def test_within_doc_repeat_counts(self, ray_session):
+        # the SAME doc repeating an n-gram twice reaches min_count=2
+        out = self._run(["a b c k a b c", "clean words only here"], n=3)
+        assert out.loc[0, "text"] == "k"
+        assert out.loc[1, "text"] == "clean words only here"
+
+    def test_no_dups_passthrough(self, ray_session):
+        texts = ["one two three four", "five six seven eight"]
+        out = self._run(texts, n=3)
+        assert list(out["text"]) == texts
+        assert list(out["n_dropped"]) == [0, 0]
+        assert list(out["n_kept"]) == [4, 4]
+
+    def test_short_docs_never_covered(self, ray_session):
+        # docs shorter than n contribute no grams even if identical
+        out = self._run(["a b", "a b"], n=3)
+        assert list(out["text"]) == ["a b", "a b"]
+
+    def test_partitioning_invariance(self, ray_session):
+        texts = [f"w{i % 4} x y z tail{i}" for i in range(40)]
+        a = self._run(texts, n=3, nblocks=1)
+        b = self._run(texts, n=3, nblocks=7)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestKeywordSearch:
+    def _run(self, texts, queries, k=3, nblocks=1):
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import keyword_search
+
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        out = keyword_search(_ds(df, nblocks), queries, k=k).to_pandas()
+        return out.sort_values(["query_id", "rank"], ignore_index=True)
+
+    def test_scores_and_ranks(self, ray_session):
+        out = self._run(
+            ["cat cat dog", "cat dog dog dog", "bird"],
+            {1: ["cat"], 2: ["dog", "bird"]},
+        )
+        q1 = out[out.query_id == 1]
+        assert list(q1["doc_id"]) == [0, 1]
+        assert list(q1["score"]) == [2, 1]
+        q2 = out[out.query_id == 2]
+        assert list(q2["doc_id"]) == [1, 0, 2]
+        assert list(q2["score"]) == [3, 1, 1]
+        assert list(q2["rank"]) == [1, 2, 3]
+
+    def test_ties_break_by_doc_id_and_k_caps(self, ray_session):
+        out = self._run(["x"] * 5, {7: ["x"]}, k=2, nblocks=3)
+        assert list(out["doc_id"]) == [0, 1]
+        assert list(out["rank"]) == [1, 2]
+
+    def test_no_hits_empty_with_schema(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import keyword_search
+        import ray.data as rd
+
+        df = pd.DataFrame({"doc_id": [0], "text": ["nothing relevant"]})
+        ds = keyword_search(rd.from_pandas(df), {1: ["absent"]})
+        assert ds.count() == 0
+
+
+class TestUrlDedup:
+    def test_min_id_wins_and_counts(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.urltools import url_dedup
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [5, 3, 9, 7, 1],
+                "url": [
+                    "https://A.com:443/x",   # canon https://a.com/x
+                    "https://a.com/x",        # same
+                    "https://a.com/x#frag",   # same
+                    "http://b.org/",          # unique
+                    "garbage",                # dropped
+                ],
+            }
+        )
+        out = (
+            url_dedup(_ds(df, 2))
+            .to_pandas()
+            .sort_values("url_norm", ignore_index=True)
+        )
+        assert list(out["url_norm"]) == ["http://b.org/", "https://a.com/x"]
+        assert list(out["doc_id"]) == [7, 3]
+        assert list(out["n_dupes"]) == [1, 3]

@@ -2335,3 +2335,96 @@ SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
        CAST(LEAST(i * 16 + 24, nw) - i * 16 AS BIGINT) AS n_words
 FROM e
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span removal (stages/scrub.py::span_dedup, n=8,
+# min_count=2): a word is dropped iff its position is covered by any
+# corpus-duplicated 8-gram; window-max over duplicate-start flags ==
+# the engine's diff/cumsum interval marking
+# ---------------------------------------------------------------------------
+
+SPAN_DEDUP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), wu AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, nw + 1),
+                i -> struct_pack(p := i, w := ws[i]))) AS u
+  FROM t
+), words AS (
+  SELECT doc_id, CAST(u.p AS BIGINT) - 1 AS pos, u.w AS word FROM wu
+), gu AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, nw - 8 + 2),
+                i -> struct_pack(s := i,
+                                 g := array_to_string(ws[i:i+7], ' ')))) AS u
+  FROM t WHERE nw >= 8
+), grams AS (
+  SELECT doc_id, CAST(u.s AS BIGINT) - 1 AS s, u.g AS gram FROM gu
+), dupg AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), dstart AS (
+  SELECT doc_id, s FROM grams WHERE gram IN (SELECT gram FROM dupg)
+), flag AS (
+  SELECT w.doc_id, w.pos, w.word,
+         CASE WHEN d.s IS NULL THEN 0 ELSE 1 END AS dup_start
+  FROM words w LEFT JOIN dstart d
+    ON d.doc_id = w.doc_id AND d.s = w.pos
+), cov AS (
+  SELECT doc_id, pos, word,
+         max(dup_start) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+  FROM flag
+)
+SELECT doc_id,
+       coalesce(string_agg(word, ' ' ORDER BY pos)
+                FILTER (WHERE covered = 0), '') AS text,
+       CAST(count(*) FILTER (WHERE covered = 0) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE covered = 1) AS BIGINT) AS n_dropped
+FROM cov GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# literal-keyword retrieval (stages/text_analysis.py::keyword_search,
+# k=10): integer occurrence score, ties by doc_id — the fixed query
+# set is the same literal table the engine broadcasts
+# ---------------------------------------------------------------------------
+
+KEYWORD_SEARCH_SQL = r"""
+WITH q(query_id, term) AS (
+  VALUES (1, 'sort'), (1, 'merge'),
+         (2, 'spark'), (2, 'stream'),
+         (3, 'customer'), (3, 'filter'), (3, 'query'),
+         (4, 'window')
+), w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), s AS (
+  SELECT q.query_id, w.doc_id, CAST(count(*) AS BIGINT) AS score
+  FROM w JOIN q ON q.term = w.term
+  GROUP BY q.query_id, w.doc_id
+), r AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS BIGINT) AS "rank"
+  FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, "rank"
+FROM r WHERE "rank" <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# canonical-URL dedup (stages/urltools.py::url_dedup): GROUP BY over
+# the URL_PARSE_SQL canonicalization, keep min doc_id + dupe count
+# ---------------------------------------------------------------------------
+
+URL_DEDUP_SQL = (
+    "WITH base AS (\n" + URL_PARSE_SQL + "\n)\n"
+    "SELECT url_norm, CAST(min(doc_id) AS BIGINT) AS doc_id,\n"
+    "       CAST(count(*) AS BIGINT) AS n_dupes\n"
+    "FROM base WHERE url_norm <> '' GROUP BY url_norm\n"
+)

@@ -143,18 +143,19 @@ def _batch_word_ngrams(texts: pd.Series, n: int):
     return grams.to_numpy(), doc_idx.astype(np.int64)
 
 
-def arrow_word_ngrams(texts, n: int):
+def arrow_word_ngram_positions(texts, n: int):
     """Arrow-native word n-gram builder: ``split_pattern`` →
     ``list_flatten`` → shifted ``binary_join_element_wise`` — every
     step a C kernel, no Python string objects (measured ~4× the
     pandas :func:`_batch_word_ngrams` on the 500k-doc census).
 
     ``texts`` is a pyarrow String(Chunked)Array; returns
-    ``(grams, doc_idx)``: a pyarrow StringArray of the n-grams (doc
-    boundary windows masked out, same contract as the pandas twin —
-    ``split_pattern(' ')`` matches Python ``split(' ')`` including
-    empty-token runs) and the int64 batch-position of each gram's
-    document."""
+    ``(grams, doc_idx, pos)``: a pyarrow StringArray of the n-grams
+    (doc boundary windows masked out, same contract as the pandas
+    twin — ``split_pattern(' ')`` matches Python ``split(' ')``
+    including empty-token runs), the int64 batch-position of each
+    gram's document, and the 0-based WORD offset of the window start
+    within that document (what span-level dedup needs)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -163,6 +164,7 @@ def arrow_word_ngrams(texts, n: int):
         texts = texts.combine_chunks()
     empty = (
         pa.array([], type=pa.string()),
+        np.array([], dtype=np.int64),
         np.array([], dtype=np.int64),
     )
     if len(texts) == 0:
@@ -191,11 +193,19 @@ def arrow_word_ngrams(texts, n: int):
         grams = pc.binary_join_element_wise(*parts, sep)
     win_starts = np.nonzero(valid)[0]
     doc_idx = np.searchsorted(starts, win_starts, side="right") - 1
+    pos = win_starts - starts[doc_idx]
     mask = pa.array(valid)
     grams = grams if valid.all() else pc.array_filter(grams, mask)
     if isinstance(grams, pa.ChunkedArray):
         grams = grams.combine_chunks()
-    return grams, doc_idx.astype(np.int64)
+    return grams, doc_idx.astype(np.int64), pos.astype(np.int64)
+
+
+def arrow_word_ngrams(texts, n: int):
+    """(grams, doc_idx) view of :func:`arrow_word_ngram_positions`
+    for callers that don't need within-doc offsets."""
+    grams, doc_idx, _ = arrow_word_ngram_positions(texts, n)
+    return grams, doc_idx
 
 
 def ngram_counts(
@@ -296,6 +306,137 @@ def line_dedup(
         return out.rename(columns={"line": "text"})
 
     return partitioned_apply(winners, [id_col], reassemble)
+
+
+def span_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> rd.Dataset:
+    """Exact duplicated-SPAN removal, the substring-level companion to
+    :func:`line_dedup` (the "dedup the repeated spans, keep the rest
+    of the doc" step of Lee et al. 2022, approximated at word-n-gram
+    granularity): every word whose position is covered by ANY word
+    n-gram occurring >= ``min_count`` times corpus-wide is dropped,
+    and each document is reassembled from its surviving words in
+    order. → ``(doc_id, text, n_kept, n_dropped)``.
+
+    Reference analog: none — beyond-reference training-data op.
+    DuckDB mirror: ``sqlmirror.SPAN_DEDUP_SQL`` (window-max over the
+    duplicate-start flags == the diff/cumsum interval marking here).
+
+    Stages:
+    1. per-batch Arrow n-gram explode to ``(gram, doc_id, pos)`` — C
+       kernels, no shuffle;
+    2. ONE hash shuffle by gram: each partition holds every
+       occurrence of its grams, so a vectorized ``transform('size')``
+       finds the duplicated ones and emits their ``(doc_id, pos)``;
+    3. the duplicate-span starts collapse to one list row per doc
+       (residue shuffle) and LEFT-join back to the input via Ray's
+       hash-partitioned join; a final ``map_batches`` rebuilds each
+       text by diff-marking covered intervals ``[pos, pos+n)``.
+
+    Scale shape: the gram shuffle is the n-gram census residue (same
+    volume as :func:`ngram_counts`); the join's right side holds one
+    row per doc that contains a duplicated span. At 100 TB hash the
+    gram to 16 bytes before the shuffle — kept as the raw string here
+    so the DuckDB mirror stays bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+    from vlm_ocr_doc_reader_ray.stages.relational import native_hash_join
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        grams, doc_idx, pos = arrow_word_ngram_positions(
+            batch.column(text_col), n
+        )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "gram": pd.Series(grams.to_pandas(), dtype="object"),
+                id_col: pd.Series(
+                    ids[doc_idx] if len(doc_idx) else [], dtype="int64"
+                ),
+                "pos": pd.Series(pos, dtype="int64"),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("gram", sort=False)["gram"].transform("size")
+        return g.loc[c >= min_count, [id_col, "pos"]]
+
+    covered = partitioned_apply(exploded, ["gram"], dup_positions)
+
+    def to_lists(g: pd.DataFrame) -> pd.DataFrame:
+        # comma-joined string, not a list column: Arrow's acero join
+        # (inside Ray's native hash join) rejects list-typed payload
+        # fields
+        agg = (
+            g.groupby(id_col, sort=False)["pos"]
+            .agg(lambda s: ",".join(map(str, s)))
+            .reset_index()
+        )
+        agg = agg.rename(columns={"pos": "dup_starts", id_col: "__did"})
+        return agg
+
+    # bounded residue (one row per dup-containing doc); materialized so
+    # the empty-right-side join guard (schema loss, see dedup.py) is a
+    # cheap count, not a lineage re-run
+    starts_per_doc = partitioned_apply(covered, [id_col], to_lists).materialize()
+
+    def passthrough(batch: pd.DataFrame) -> pd.DataFrame:
+        nw = batch[text_col].astype(str).str.split(" ").str.len()
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].astype("int64"),
+                "text": batch[text_col].astype(str),
+                "n_kept": nw.astype("int64"),
+                "n_dropped": pd.Series(0, index=batch.index, dtype="int64"),
+            }
+        )
+
+    if starts_per_doc.count() == 0:
+        return ds.map_batches(passthrough, batch_format="pandas")
+
+    joined = native_hash_join(
+        ds, starts_per_doc, id_col, "__did", join_type="left_outer"
+    )
+
+    def rebuild(batch: pd.DataFrame) -> pd.DataFrame:
+        out_text: list = []
+        out_kept: list = []
+        out_drop: list = []
+        for t, st in zip(batch[text_col].astype(str), batch["dup_starts"]):
+            ws = t.split(" ")
+            if st is None or (isinstance(st, float) and np.isnan(st)) or len(st) == 0:
+                out_text.append(t)
+                out_kept.append(len(ws))
+                out_drop.append(0)
+                continue
+            st = np.array(st.split(","), dtype=np.int64)
+            diff = np.zeros(len(ws) + 1, dtype=np.int64)
+            np.add.at(diff, st, 1)
+            np.add.at(diff, np.minimum(st + n, len(ws)), -1)
+            cov = np.cumsum(diff[:-1]) > 0
+            kept = [w for w, c in zip(ws, cov) if not c]
+            out_text.append(" ".join(kept))
+            out_kept.append(len(kept))
+            out_drop.append(len(ws) - len(kept))
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].astype("int64"),
+                "text": pd.Series(out_text, dtype="object"),
+                "n_kept": pd.Series(out_kept, dtype="int64"),
+                "n_dropped": pd.Series(out_drop, dtype="int64"),
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pandas")
 
 
 def eval_ngram_set(

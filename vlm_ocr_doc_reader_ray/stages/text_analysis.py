@@ -658,6 +658,90 @@ def term_postings(
     return partitioned_apply(pairs, ["term"], finish)
 
 
+def keyword_search(
+    ds: rd.Dataset,
+    queries: "dict[int, list[str]]",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Literal-keyword retrieval: for each query (a bag of terms),
+    the top-``k`` documents by total term-occurrence count, ties
+    broken by ``doc_id``. → ``(query_id, doc_id, score, rank)``,
+    ``score`` = summed occurrences of the query's terms, integer.
+
+    Reference analog: none — beyond-reference retrieval op; the
+    integer-score baseline under a BM25-style ranker (whose idf/len
+    normalization is a per-doc float on top of exactly these counts).
+
+    The query set is broadcast in the batch-fn closure (tiny — this
+    is the "small side never ships per row" rule); each batch scores
+    its docs vectorized (``Series.isin`` over the flattened word
+    array + ``bincount`` per query) and keeps only its local top-k
+    per query, so at most ``k × blocks`` rows per query ever shuffle.
+    One residue hash-partition by query then merges the partials —
+    the :func:`stratified_top_k` shape."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    _empty = {
+        "query_id": pd.Series([], dtype="int64"),
+        id_col: pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="int64"),
+    }
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern(batch.column(text_col), " ")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        if len(lens) == 0:
+            return pd.DataFrame(_empty)
+        flat = pd.Series(pc.list_flatten(words).to_pandas(), dtype="object")
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        parts = []
+        for qid, terms in queries.items():
+            mask = flat.isin(terms).to_numpy()
+            if not mask.any():
+                continue
+            counts = np.bincount(doc_idx[mask], minlength=len(lens))
+            nz = np.nonzero(counts)[0]
+            part = pd.DataFrame(
+                {
+                    "query_id": np.full(len(nz), qid, dtype=np.int64),
+                    id_col: ids[nz].astype(np.int64),
+                    "score": counts[nz].astype(np.int64),
+                }
+            )
+            parts.append(
+                part.sort_values(
+                    ["score", id_col], ascending=[False, True]
+                ).head(k)
+            )
+        if not parts:
+            return pd.DataFrame(_empty)
+        return pd.concat(parts, ignore_index=True)
+
+    local_ds = ds.select_columns([id_col, text_col]).map_batches(
+        local, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["query_id", "score", id_col], ascending=[True, False, True]
+        )
+        g = g.groupby("query_id", sort=False, group_keys=False).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = (
+            g.groupby("query_id", sort=False).cumcount() + 1
+        ).astype("int64")
+        return g
+
+    return partitioned_apply(local_ds, ["query_id"], merge)
+
+
 def word_count_table(batch: pa.Table, keep_cols, text_col: str = "text",
                      out_col: str = "nw") -> pa.Table:
     """The engine-wide word-count projection — ``split(' ')`` length

@@ -65,3 +65,48 @@ def parse_urls(
         )
 
     return ds.map_batches(parse, batch_format="pandas")
+
+
+def url_dedup(
+    ds: rd.Dataset, url_col: str = "url", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Canonical-URL deduplication — the crawl-side dedup that runs
+    BEFORE any content hash (CC/C4-style: the same page fetched as
+    ``http://Host:80/a#x`` and ``http://host/a`` is one document):
+    normalize via :func:`parse_urls`, drop unparseable rows, keep the
+    minimum ``id_col`` per ``url_norm``. → ``(url_norm, doc_id,
+    n_dupes)`` with ``n_dupes`` = total rows sharing the canonical
+    form.
+
+    Reference analog: none — beyond-reference crawl op. DuckDB
+    mirror: ``sqlmirror.URL_DEDUP_SQL`` (a GROUP BY over the
+    URL_PARSE_SQL canonicalization).
+
+    Per-batch combiner first (min id + partial count per canonical
+    URL inside each batch), then ONE residue hash-partition by
+    ``url_norm`` merges the partials — duplicate-heavy crawls
+    collapse before the shuffle moves anything."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    parsed = parse_urls(ds, url_col=url_col, id_col=id_col).select_columns(
+        [id_col, "url_norm"]
+    )
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["url_norm"] != ""]
+        g = batch.groupby("url_norm", sort=False)[id_col]
+        out = g.min().reset_index(name=id_col)
+        out["n_dupes"] = g.size().to_numpy().astype("int64")
+        out[id_col] = out[id_col].astype("int64")
+        return out
+
+    partial = parsed.map_batches(combine, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gr = g.groupby("url_norm", sort=False)
+        out = gr[id_col].min().reset_index(name=id_col)
+        out["n_dupes"] = gr["n_dupes"].sum().to_numpy().astype("int64")
+        out[id_col] = out[id_col].astype("int64")
+        return out
+
+    return partitioned_apply(partial, ["url_norm"], merge)
