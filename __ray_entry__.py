@@ -1717,6 +1717,20 @@ def _q_host_link_degree(sf_dir: str):
     return host_link_degree(links_table(read_corpus(sf_dir)))
 
 
+def _q_host_components(sf_dir: str):
+    """Connected components of the undirected host graph (domain
+    clusters): distinct host-pair residue → md5-id min-label
+    supersteps → min-host canonical + component size; the oracle is
+    a recursive min-string closure that never sees the ids."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        host_components,
+        links_table,
+    )
+
+    return host_components(links_table(read_corpus(sf_dir)))
+
+
 def _q_collocations(sf_dir: str):
     """PMI-style collocation mining with an exact integer gate
     (cross-multiplied ``5/4`` threshold — no floats anywhere, so the
@@ -2395,6 +2409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": _q_span_dedup,
         "keyword_search": _q_keyword_search,
         "url_dedup": _q_url_dedup,
+        "host_components": _q_host_components,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -2529,6 +2544,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": sm.SPAN_DEDUP_SQL,
         "keyword_search": sm.KEYWORD_SEARCH_SQL,
         "url_dedup": sm.URL_DEDUP_SQL,
+        "host_components": sm.HOST_COMPONENTS_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

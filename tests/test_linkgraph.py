@@ -403,3 +403,82 @@ class TestCollocations:
         got = [tuple(r) for r in df[["w1", "w2", "cxy", "cx", "cy"]].itertuples(index=False)]
         assert got == want
         assert ("new", "york") in {(a, b) for a, b, *_ in got}
+
+
+class TestHostComponents:
+    def _links(self, edges):
+        import ray.data as rd
+
+        return rd.from_items(
+            [
+                {
+                    "url": f"https://{s}/p",
+                    "pos": 0,
+                    "href": f"https://{d}/q",
+                    "anchor_text": "x",
+                    "chrome": False,
+                }
+                for s, d in edges
+            ]
+        )
+
+    def test_two_components_min_host_canonical(self, ray_session):
+        # {a,b,e} via a→b, b→e; {c,d} via d→c; self-loop a→a ignored
+        ds = self._links(
+            [("a.com", "b.com"), ("b.com", "e.com"), ("d.com", "c.com"),
+             ("a.com", "a.com")]
+        )
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import host_components
+
+        df = (
+            host_components(ds)
+            .to_pandas()
+            .sort_values("host", ignore_index=True)
+        )
+        got = {r.host: (r.comp_host, r.comp_size) for r in df.itertuples()}
+        assert got == {
+            "a.com": ("a.com", 3),
+            "b.com": ("a.com", 3),
+            "e.com": ("a.com", 3),
+            "c.com": ("c.com", 2),
+            "d.com": ("c.com", 2),
+        }
+
+    def test_direction_irrelevant(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import host_components
+
+        fwd = self._links([("a.com", "b.com"), ("c.com", "b.com")])
+        rev = self._links([("b.com", "a.com"), ("b.com", "c.com")])
+        a = host_components(fwd).to_pandas().sort_values("host", ignore_index=True)
+        b = host_components(rev).to_pandas().sort_values("host", ignore_index=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_schema_stable(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import host_components
+
+        empty = rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "pos": pa.array([], pa.int64()),
+                    "href": pa.array([], pa.string()),
+                    "anchor_text": pa.array([], pa.string()),
+                    "chrome": pa.array([], pa.bool_()),
+                }
+            )
+        )
+        ds = host_components(empty)
+        assert sorted(ds.schema().names) == ["comp_host", "comp_size", "host"]
+        assert ds.count() == 0
+
+    def test_self_loops_only_is_empty(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import host_components
+
+        ds = self._links([("a.com", "a.com"), ("b.com", "b.com")])
+        out = host_components(ds)
+        assert out.count() == 0
+        assert sorted(out.schema().names) == ["comp_host", "comp_size", "host"]

@@ -2428,3 +2428,37 @@ URL_DEDUP_SQL = (
     "       CAST(count(*) AS BIGINT) AS n_dupes\n"
     "FROM base WHERE url_norm <> '' GROUP BY url_norm\n"
 )
+
+
+# ---------------------------------------------------------------------------
+# host connected components (stages/linkgraph.py::host_components):
+# recursive min-STRING-label closure over the distinct undirected
+# cross-host edge set — the engine's internal 60-bit ids never appear
+# ---------------------------------------------------------------------------
+
+HOST_COMPONENTS_SQL = (
+    GOLDEN_CTE.replace("WITH base AS", "WITH RECURSIVE base AS", 1)
+    + _LINKS_CTE
+    + f"""
+, hp AS (
+  SELECT DISTINCT {_HOST_EXPR.format(c='url')} AS src,
+                  {_HOST_EXPR.format(c='href')} AS dst
+  FROM links
+), hpf AS (
+  SELECT src, dst FROM hp WHERE src <> '' AND dst <> '' AND src <> dst
+), ed AS (
+  SELECT src AS u, dst AS v FROM hpf UNION SELECT dst, src FROM hpf
+), reach AS (
+  SELECT u AS a, u AS b FROM ed
+  UNION
+  SELECT r.a, e.v AS b FROM reach r JOIN ed e ON e.u = r.b
+), comp AS (
+  SELECT a AS host, min(b) AS comp_host FROM reach GROUP BY a
+), sizes AS (
+  SELECT comp_host, CAST(count(*) AS BIGINT) AS comp_size
+  FROM comp GROUP BY comp_host
+)
+SELECT c.host, c.comp_host, s.comp_size
+FROM comp c JOIN sizes s ON s.comp_host = c.comp_host
+"""
+)
