@@ -1717,6 +1717,28 @@ def _q_host_link_degree(sf_dir: str):
     return host_link_degree(links_table(read_corpus(sf_dir)))
 
 
+def _q_robots_gate(sf_dir: str):
+    """Robots-style frontier gating: longest matching path-prefix
+    rule decides, allow wins length ties, unmatched URLs default to
+    allowed ('/story/1' re-allows under the '/story/' disallow —
+    the precedence case). Pure broadcast projection on top of the
+    frontier pipeline."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        frontier_urls,
+        links_table,
+        robots_gate,
+    )
+
+    corpus = read_corpus(sf_dir)
+    frontier = frontier_urls(links_table(corpus), corpus.select_columns(["url"]))
+    return robots_gate(
+        frontier,
+        [("/terms", False), ("/privacy", False),
+         ("/story/", False), ("/story/1", True)],
+    )
+
+
 def _q_host_components(sf_dir: str):
     """Connected components of the undirected host graph (domain
     clusters): distinct host-pair residue → md5-id min-label
@@ -2410,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": _q_keyword_search,
         "url_dedup": _q_url_dedup,
         "host_components": _q_host_components,
+        "robots_gate": _q_robots_gate,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -2545,6 +2568,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": sm.KEYWORD_SEARCH_SQL,
         "url_dedup": sm.URL_DEDUP_SQL,
         "host_components": sm.HOST_COMPONENTS_SQL,
+        "robots_gate": sm.ROBOTS_GATE_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

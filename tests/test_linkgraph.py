@@ -482,3 +482,53 @@ class TestHostComponents:
         out = host_components(ds)
         assert out.count() == 0
         assert sorted(out.schema().names) == ["comp_host", "comp_size", "host"]
+
+
+class TestRobotsGate:
+    def _frontier(self, hrefs):
+        import ray.data as rd
+
+        return rd.from_items(
+            [{"href": h, "n_ref_pages": 1} for h in hrefs]
+        )
+
+    def test_longest_prefix_and_ties(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import robots_gate
+
+        rules = [
+            ("/private/", False),
+            ("/private/public", True),   # longer → overrides
+            ("/dup", False),
+            ("/dup", True),              # equal length → allow wins
+        ]
+        hrefs = [
+            "https://h.com/private/a",
+            "https://h.com/private/public/b",
+            "https://h.com/dup/x",
+            "https://h.com/other",
+            "https://h.com",             # empty path → '/'
+            "not a url",                 # unparseable → '/', default
+        ]
+        df = robots_gate(self._frontier(hrefs), rules).to_pandas()
+        got = dict(zip(df["href"], df["allowed"]))
+        assert got == {
+            "https://h.com/private/a": False,
+            "https://h.com/private/public/b": True,
+            "https://h.com/dup/x": True,
+            "https://h.com/other": True,
+            "https://h.com": True,
+            "not a url": True,
+        }
+
+    def test_rule_order_irrelevant_for_ties(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import robots_gate
+
+        hrefs = ["https://h.com/dup/x"]
+        a = robots_gate(
+            self._frontier(hrefs), [("/dup", True), ("/dup", False)]
+        ).to_pandas()
+        b = robots_gate(
+            self._frontier(hrefs), [("/dup", False), ("/dup", True)]
+        ).to_pandas()
+        assert bool(a["allowed"][0]) is True
+        assert bool(b["allowed"][0]) is True

@@ -2462,3 +2462,42 @@ SELECT c.host, c.comp_host, s.comp_size
 FROM comp c JOIN sizes s ON s.comp_host = c.comp_host
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# robots-style frontier gating (stages/linkgraph.py::robots_gate):
+# longest matching path prefix decides, allow wins length ties,
+# unmatched defaults to allowed
+# ---------------------------------------------------------------------------
+
+_PATH_EXPR = (
+    "regexp_extract({c}, "
+    "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+)
+
+ROBOTS_GATE_SQL = GOLDEN_CTE + _LINKS_CTE + f"""
+, fr AS (
+  SELECT href, CAST(count(DISTINCT url) AS BIGINT) AS n_ref_pages
+  FROM links WHERE href NOT IN (SELECT url FROM golden)
+  GROUP BY href
+), rules(prefix, allow) AS (
+  VALUES ('/terms', FALSE), ('/privacy', FALSE),
+         ('/story/', FALSE), ('/story/1', TRUE)
+), p AS (
+  SELECT href, n_ref_pages,
+         CASE WHEN {_PATH_EXPR.format(c='href')} = '' THEN '/'
+              ELSE {_PATH_EXPR.format(c='href')} END AS path
+  FROM fr
+), m AS (
+  SELECT p.href, r.allow, len(r.prefix) AS plen
+  FROM p JOIN rules r ON p.path LIKE r.prefix || '%'
+), best AS (
+  SELECT href, max(plen) AS plen FROM m GROUP BY href
+), dec AS (
+  SELECT m.href, bool_or(m.allow) AS allow
+  FROM m JOIN best b ON b.href = m.href AND b.plen = m.plen
+  GROUP BY m.href
+)
+SELECT p.href, p.n_ref_pages, coalesce(d.allow, TRUE) AS allowed
+FROM p LEFT JOIN dec d ON d.href = p.href
+"""

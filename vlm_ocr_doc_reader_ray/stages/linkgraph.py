@@ -641,3 +641,48 @@ def host_components(links: rd.Dataset) -> rd.Dataset:
     return partitioned_apply(
         joined.select_columns(["host", "cluster"]), ["cluster"], finish
     )
+
+
+def robots_gate(
+    frontier: rd.Dataset,
+    rules: "list[tuple[str, bool]]",
+    href_col: str = "href",
+) -> rd.Dataset:
+    """Robots-style path gating of the crawl frontier: each rule is a
+    literal PATH-prefix ``(prefix, allow)``; the longest matching
+    prefix decides, allow wins length ties (the standard robots.txt
+    precedence), and an unmatched URL defaults to allowed. Appends an
+    ``allowed`` flag rather than filtering, so the gate's decisions
+    are auditable (and both classes are oracle-checked).
+
+    Pure per-batch projection — the rule set is broadcast in the
+    closure (small side never ships per row), the path comes from the
+    engine-wide URL authority rule, and the per-rule matching is a
+    vectorized ``startswith`` sweep: O(|rules|) C-speed passes per
+    batch, no shuffle. DuckDB mirror: ROBOTS_GATE_SQL (LIKE-prefix
+    join + max-length + ``bool_or`` for allow-wins ties)."""
+    import numpy as np
+    import pandas as pd
+
+    path_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)"
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        path = batch[href_col].astype(str).str.extract(path_re)[0].fillna("")
+        path = path.where(path != "", "/")
+        best = np.full(len(batch), -1, dtype=np.int64)
+        allowed = np.ones(len(batch), dtype=bool)
+        for prefix, allow in rules:
+            m = path.str.startswith(prefix).to_numpy()
+            plen = len(prefix)
+            upd = m & (plen > best)
+            allowed[upd] = allow
+            best[upd] = plen
+            if allow:
+                # equal-length conflict: allow wins regardless of
+                # rule order
+                allowed[m & (plen == best)] = True
+        out = batch.copy()
+        out["allowed"] = allowed
+        return out
+
+    return frontier.map_batches(gate, batch_format="pandas")
