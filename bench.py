@@ -258,6 +258,18 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     host_link_degree(links_table(_corpus(["url", "html"]))).to_pandas()
     queries["link_graph"] = round(time.time() - t0, 3)
 
+    # q11: duplicated-span removal over the corpus (Lee-et-al-style)
+    # in the hashed 100-TB mode: 64-bit gram/id keys, pinned explode
+    # residue, Arrow-vectorized interval rebuild
+    from vlm_ocr_doc_reader_ray.stages.scrub import span_dedup
+
+    t0 = time.time()
+    span_dedup(
+        _corpus(["url", "text"]), text_col="text", id_col="url",
+        n=8, min_count=2, hashed=True,
+    ).count()
+    queries["span_dedup"] = round(time.time() - t0, 3)
+
     n_docs = rd.read_parquet(corpus_path).count()
     headline = queries["extract_full_write"]
     result = {

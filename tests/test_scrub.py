@@ -363,3 +363,40 @@ class TestUrlDedup:
         assert list(out["url_norm"]) == ["http://b.org/", "https://a.com/x"]
         assert list(out["doc_id"]) == [7, 3]
         assert list(out["n_dupes"]) == [1, 3]
+
+
+class TestSpanDedupHashed:
+    def test_hashed_equals_string_mode(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.scrub import span_dedup
+
+        texts = [f"w{i % 4} x y z tail{i}" for i in range(40)] + [
+            "a b c d e f", "a b c d e f"
+        ]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        a = (
+            span_dedup(_ds(df, 5), n=3)
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        b = (
+            span_dedup(_ds(df, 5), n=3, hashed=True)
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_hashed_string_ids(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.scrub import span_dedup
+
+        df = pd.DataFrame(
+            {
+                "url": [f"https://h/{i}" for i in range(4)],
+                "text": ["p q x y z r s", "t u x y z v w",
+                         "clean doc one", "clean doc two"],
+            }
+        )
+        out = (
+            span_dedup(_ds(df, 2), id_col="url", n=3, hashed=True)
+            .to_pandas().sort_values("url", ignore_index=True)
+        )
+        assert list(out["text"]) == [
+            "p q r s", "t u v w", "clean doc one", "clean doc two"
+        ]
