@@ -1717,6 +1717,38 @@ def _q_host_link_degree(sf_dir: str):
     return host_link_degree(links_table(read_corpus(sf_dir)))
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact-phrase retrieval top-10: one Arrow n-gram pass per
+    distinct phrase length, equality against the broadcast phrase,
+    local top-k per batch; SQL mirror unions per-length explodes."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import phrase_search
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return phrase_search(
+        docs,
+        {1: "batch batch batch", 2: "batch batch", 3: "sort merge"},
+        k=10,
+    )
+
+
+def _q_source_dup_profile(sf_dir: str):
+    """Per-source duplication triage: span_dedup composed with one
+    co-partitioned join back to the source column and a pre-combined
+    group sum — which crawls carry the duplicated tokens."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import source_dup_profile
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return source_dup_profile(docs, group_col="source")
+
+
 def _q_robots_gate(sf_dir: str):
     """Robots-style frontier gating: longest matching path-prefix
     rule decides, allow wins length ties, unmatched URLs default to
@@ -2433,6 +2465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "host_components": _q_host_components,
         "robots_gate": _q_robots_gate,
+        "phrase_search": _q_phrase_search,
+        "source_dup_profile": _q_source_dup_profile,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -2569,6 +2603,8 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": sm.URL_DEDUP_SQL,
         "host_components": sm.HOST_COMPONENTS_SQL,
         "robots_gate": sm.ROBOTS_GATE_SQL,
+        "phrase_search": sm.PHRASE_SEARCH_SQL,
+        "source_dup_profile": sm.SOURCE_DUP_PROFILE_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

@@ -400,3 +400,61 @@ class TestSpanDedupHashed:
         assert list(out["text"]) == [
             "p q r s", "t u v w", "clean doc one", "clean doc two"
         ]
+
+
+class TestPhraseSearch:
+    def test_adjacency_required(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import phrase_search
+        import ray.data as rd
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "red fox red fox",      # 2 occurrences of "red fox"
+                    "red big fox",          # words present, not adjacent
+                    "the red fox runs",     # 1 occurrence
+                ],
+            }
+        )
+        out = (
+            phrase_search(rd.from_pandas(df).repartition(2), {7: "red fox"}, k=5)
+            .to_pandas()
+            .sort_values("rank", ignore_index=True)
+        )
+        assert list(out["doc_id"]) == [0, 2]
+        assert list(out["score"]) == [2, 1]
+        assert list(out["rank"]) == [1, 2]
+
+    def test_overlapping_occurrences_count(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import phrase_search
+        import ray.data as rd
+
+        df = pd.DataFrame({"doc_id": [0], "text": ["a a a a"]})
+        out = phrase_search(rd.from_pandas(df), {1: "a a"}, k=5).to_pandas()
+        assert list(out["score"]) == [3]  # sliding windows overlap
+
+
+class TestSourceDupProfile:
+    def test_profile_attributes_drops_to_group(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.scrub import source_dup_profile
+        import ray.data as rd
+
+        dup = "x y z w v u t s"  # 8 words, shared 8-gram
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [dup, dup, "clean words here now"],
+                "source": ["a", "b", "b"],
+            }
+        )
+        out = (
+            source_dup_profile(rd.from_pandas(df).repartition(2), n=8)
+            .to_pandas()
+            .sort_values("source", ignore_index=True)
+        )
+        got = {
+            r.source: (r.n_docs, r.tok_kept, r.tok_dropped)
+            for r in out.itertuples()
+        }
+        assert got == {"a": (1, 0, 8), "b": (2, 4, 8)}

@@ -2501,3 +2501,61 @@ ROBOTS_GATE_SQL = GOLDEN_CTE + _LINKS_CTE + f"""
 SELECT p.href, p.n_ref_pages, coalesce(d.allow, TRUE) AS allowed
 FROM p LEFT JOIN dec d ON d.href = p.href
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-phrase retrieval (stages/text_analysis.py::phrase_search,
+# k=10): per-length gram explodes UNION'd, integer scores, ties by
+# doc_id
+# ---------------------------------------------------------------------------
+
+PHRASE_SEARCH_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, nw),
+                i -> array_to_string(ws[i:i+1], ' '))) AS gram
+  FROM t WHERE nw >= 2
+), g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, nw - 1),
+                i -> array_to_string(ws[i:i+2], ' '))) AS gram
+  FROM t WHERE nw >= 3
+), q2(query_id, phrase) AS (
+  VALUES (2, 'batch batch'), (3, 'sort merge')
+), q3(query_id, phrase) AS (
+  VALUES (1, 'batch batch batch')
+), s AS (
+  SELECT q.query_id, g.doc_id, CAST(count(*) AS BIGINT) AS score
+  FROM g2 g JOIN q2 q ON g.gram = q.phrase GROUP BY 1, 2
+  UNION ALL
+  SELECT q.query_id, g.doc_id, CAST(count(*) AS BIGINT) AS score
+  FROM g3 g JOIN q3 q ON g.gram = q.phrase GROUP BY 1, 2
+), r AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS BIGINT) AS "rank"
+  FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, "rank"
+FROM r WHERE "rank" <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source duplication profile (stages/scrub.py::source_dup_profile):
+# SPAN_DEDUP_SQL as a derived table joined back to the group column
+# ---------------------------------------------------------------------------
+
+SOURCE_DUP_PROFILE_SQL = (
+    "WITH sd AS (\n" + SPAN_DEDUP_SQL + "\n)\n"
+    "SELECT d.source,\n"
+    "       CAST(sum(sd.n_kept) AS BIGINT) AS tok_kept,\n"
+    "       CAST(sum(sd.n_dropped) AS BIGINT) AS tok_dropped,\n"
+    "       CAST(count(*) AS BIGINT) AS n_docs\n"
+    "FROM sd JOIN documents d ON d.doc_id = sd.doc_id\n"
+    "GROUP BY d.source\n"
+)

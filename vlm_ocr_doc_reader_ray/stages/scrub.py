@@ -412,13 +412,16 @@ def span_dedup(
     def to_lists(g: pd.DataFrame) -> pd.DataFrame:
         # comma-joined string, not a list column: Arrow's acero join
         # (inside Ray's native hash join) rejects list-typed payload
-        # fields
+        # fields. Positions stringify ONCE as a column (C path), so
+        # the per-group call is a plain ','.join, not a map(str, ...)
+        pos_str = g["pos"].astype(str)
         agg = (
-            g.groupby(key, sort=False)["pos"]
-            .agg(lambda s: ",".join(map(str, s)))
+            pos_str.groupby(g[key].to_numpy(), sort=False)
+            .agg(",".join)
+            .rename("dup_starts")
+            .rename_axis("__did")
             .reset_index()
         )
-        agg = agg.rename(columns={"pos": "dup_starts", key: "__did"})
         return agg
 
     # bounded residue (one row per dup-containing doc); materialized so
@@ -943,3 +946,68 @@ def collocations(
         return out.select(["w1", "w2", "cxy", "cx", "cy"])
 
     return j2.map_batches(gate, batch_format="pyarrow")
+
+
+def source_dup_profile(
+    docs: rd.Dataset,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+    hashed: bool = False,
+) -> rd.Dataset:
+    """Per-group duplication profile — which crawls/sources carry the
+    duplicated material (the triage view that decides where a dedup
+    pass pays for itself): run :func:`span_dedup`, re-attach each
+    doc's group, and aggregate. → ``(group_col, n_docs, tok_kept,
+    tok_dropped)``.
+
+    Composition shape: span_dedup's streaming output joins the
+    ``(id, group)`` projection on ONE co-partitioned hash join (the
+    group column never rides through the gram shuffle), then
+    :func:`...aggregates.grouped_sums` collapses per-batch residues
+    before the final tiny group shuffle. The join here is the
+    TASK-based :func:`...relational.partitioned_hash_join`, not the
+    native one — span_dedup already runs one native join, and two
+    HashShuffleAggregator actor pools in one pipeline deadlock small
+    clusters (the repo's measured 4-CPU starvation trap). DuckDB
+    mirror: SOURCE_DUP_PROFILE_SQL (SPAN_DEDUP_SQL as a derived
+    table)."""
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    sd = span_dedup(
+        docs.select_columns([id_col, text_col]),
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        min_count=min_count,
+        hashed=hashed,
+    )
+
+    def side_proj(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"__sid": batch[id_col], group_col: batch[group_col]}
+        )
+
+    side = docs.select_columns([id_col, group_col]).map_batches(
+        side_proj, batch_format="pandas"
+    )
+    joined = partitioned_hash_join(sd, side, id_col, "__sid")
+
+    def residue(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                group_col: batch[group_col],
+                "tok_kept": batch["n_kept"].astype("int64"),
+                "tok_dropped": batch["n_dropped"].astype("int64"),
+            }
+        )
+
+    return grouped_sums(
+        joined.map_batches(residue, batch_format="pandas"),
+        group_col,
+        ["tok_kept", "tok_dropped"],
+        count_alias="n_docs",
+    )

@@ -742,6 +742,92 @@ def keyword_search(
     return partitioned_apply(local_ds, ["query_id"], merge)
 
 
+def phrase_search(
+    ds: rd.Dataset,
+    phrases: "dict[int, str]",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Exact-phrase retrieval: for each query phrase (a literal word
+    sequence), the top-``k`` documents by occurrence count of that
+    exact sequence, ties by ``doc_id``. → ``(query_id, doc_id, score,
+    rank)`` — the positional companion to :func:`keyword_search`
+    (bag-of-terms scoring cannot express adjacency).
+
+    Reference analog: none — beyond-reference retrieval op.
+
+    One Arrow n-gram pass per DISTINCT phrase length per batch (the
+    same shifted-join builder as the census), equality against the
+    broadcast phrase, ``bincount`` per doc, local top-k per batch —
+    only ``k × blocks`` rows per query ever shuffle; one residue
+    hash-partition merges. DuckDB mirror: PHRASE_SEARCH_SQL (per-
+    length gram explodes UNION'd)."""
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+    from vlm_ocr_doc_reader_ray.stages.scrub import arrow_word_ngrams
+
+    by_len: dict[int, list] = {}
+    for qid, phrase in phrases.items():
+        by_len.setdefault(len(phrase.split(" ")), []).append((qid, phrase))
+
+    _empty = {
+        "query_id": pd.Series([], dtype="int64"),
+        id_col: pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="int64"),
+    }
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        nb = len(batch)
+        if nb == 0:
+            return pd.DataFrame(_empty)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        parts = []
+        for length, plist in by_len.items():
+            grams, doc_idx = arrow_word_ngrams(batch.column(text_col), length)
+            s = pd.Series(grams.to_pandas(), dtype="object")
+            for qid, phrase in plist:
+                mask = (s == phrase).to_numpy()
+                if not mask.any():
+                    continue
+                counts = np.bincount(doc_idx[mask], minlength=nb)
+                nz = np.nonzero(counts)[0]
+                part = pd.DataFrame(
+                    {
+                        "query_id": np.full(len(nz), qid, dtype=np.int64),
+                        id_col: ids[nz].astype(np.int64),
+                        "score": counts[nz].astype(np.int64),
+                    }
+                )
+                parts.append(
+                    part.sort_values(
+                        ["score", id_col], ascending=[False, True]
+                    ).head(k)
+                )
+        if not parts:
+            return pd.DataFrame(_empty)
+        return pd.concat(parts, ignore_index=True)
+
+    local_ds = ds.select_columns([id_col, text_col]).map_batches(
+        local, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["query_id", "score", id_col], ascending=[True, False, True]
+        )
+        g = g.groupby("query_id", sort=False, group_keys=False).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = (
+            g.groupby("query_id", sort=False).cumcount() + 1
+        ).astype("int64")
+        return g
+
+    return partitioned_apply(local_ds, ["query_id"], merge)
+
+
 def word_count_table(batch: pa.Table, keep_cols, text_col: str = "text",
                      out_col: str = "nw") -> pa.Table:
     """The engine-wide word-count projection — ``split(' ')`` length
