@@ -208,3 +208,54 @@ def test_cli_links_subprocess(ray_session, sf_small):
         "host", "n_links", "n_chrome", "n_external", "n_distinct_targets"
     }
     assert deg["n_links"].sum() == len(links) > 0
+
+
+def test_cli_dedup_spans_subprocess(ray_session, sf_small):
+    """`dedup-spans` writes the span-deduplicated corpus; with
+    reps=1 the corpus still carries cross-doc duplicated texts, so
+    some tokens must drop while every doc row survives."""
+    import shutil
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import corpus_parquet
+
+    corpus = corpus_parquet(sf_small, reps=1)
+    out = "/tmp/cli_sd_test"
+    shutil.rmtree(out, ignore_errors=True)
+    r = subprocess.run(
+        [sys.executable, "-m", "vlm_ocr_doc_reader_ray.cli", "--num-cpus", "2",
+         "dedup-spans", corpus, "-o", out],
+        cwd="/root/repo", capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    df = pd.read_parquet(out)
+    assert set(df.columns) == {"url", "text", "n_kept", "n_dropped"}
+    assert len(df) == 500
+    assert (df["n_dropped"] > 0).any()
+    assert (df["n_kept"] + df["n_dropped"] > 0).all()
+
+
+def test_cli_curate_subprocess(ray_session, sf_small):
+    """`curate` writes packed training sequences from the corpus."""
+    import shutil
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import corpus_parquet
+
+    corpus = corpus_parquet(sf_small, reps=1)
+    out = "/tmp/cli_curate_test"
+    shutil.rmtree(out, ignore_errors=True)
+    r = subprocess.run(
+        [sys.executable, "-m", "vlm_ocr_doc_reader_ray.cli", "--num-cpus", "2",
+         "curate", corpus, "-o", out, "--seq-len", "512"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    df = pd.read_parquet(out)
+    assert len(df) > 0

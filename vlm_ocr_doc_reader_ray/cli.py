@@ -146,6 +146,30 @@ def main(argv: List[str] | None = None) -> int:
                       help="shuffle key column (default: url)")
     p_sh.add_argument("--seed", default="shuffle")
 
+    p_cu = sub.add_parser(
+        "curate",
+        help="corpus → curated training sequences (quality gate → "
+        "exact dedup → mixture rebalance → packing)",
+    )
+    p_cu.add_argument("corpus")
+    p_cu.add_argument("-o", "--output", required=True)
+    p_cu.add_argument("--seq-len", type=int, default=2048)
+
+    p_sd = sub.add_parser(
+        "dedup-spans",
+        help="corpus → span-deduplicated corpus (drop every word "
+        "covered by a corpus-duplicated n-gram, Lee-et-al-style); "
+        "hashed 64-bit keys by default, --exact for the bit-exact "
+        "string mode",
+    )
+    p_sd.add_argument("corpus")
+    p_sd.add_argument("-o", "--output", required=True)
+    p_sd.add_argument("--n", type=int, default=8)
+    p_sd.add_argument("--min-count", type=int, default=2)
+    p_sd.add_argument("--id-col", default="url")
+    p_sd.add_argument("--text-col", default="text")
+    p_sd.add_argument("--exact", action="store_true")
+
     args = ap.parse_args(argv)
     from vlm_ocr_doc_reader_ray.runtime import register_for_workers
 
@@ -264,6 +288,44 @@ def main(argv: List[str] | None = None) -> int:
                 f"wrote {n_new} shards, skipped {len(manifest) - n_new} "
                 f"finished, {int(manifest['rows'].sum())} rows to {args.output}"
             )
+        elif args.cmd == "curate":
+            import pyarrow as _pa
+
+            from vlm_ocr_doc_reader_ray.corpus.sqlmirror import MIX_WEIGHTS
+            from vlm_ocr_doc_reader_ray.pipelines.curation import curate
+
+            def _as_docs(batch):
+                return _pa.table(
+                    {
+                        "doc_id": batch.column("url"),
+                        "text": batch.column("text"),
+                        "lang": batch.column("lang"),
+                    }
+                )
+
+            docs = rd.read_parquet(
+                args.corpus, columns=["url", "text", "lang"]
+            ).map_batches(_as_docs, batch_format="pyarrow")
+            curate(docs, MIX_WEIGHTS, seq_len=args.seq_len).write_parquet(
+                args.output
+            )
+            print(f"wrote curated sequences to {args.output}")
+        elif args.cmd == "dedup-spans":
+            from vlm_ocr_doc_reader_ray.stages.scrub import span_dedup
+
+            ds = rd.read_parquet(
+                args.corpus, columns=[args.id_col, args.text_col]
+            )
+            out = span_dedup(
+                ds,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                n=args.n,
+                min_count=args.min_count,
+                hashed=not args.exact,
+            )
+            out.write_parquet(args.output)
+            print(f"wrote span-deduped corpus to {args.output}")
         elif args.cmd == "run":
             from vlm_ocr_doc_reader_ray.pipelines.checkpoint import run_checkpointed
 
