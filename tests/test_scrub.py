@@ -458,3 +458,54 @@ class TestSourceDupProfile:
             for r in out.itertuples()
         }
         assert got == {"a": (1, 0, 8), "b": (2, 4, 8)}
+
+
+def test_span_dedup_matches_bruteforce(ray_session):
+    """Randomized differential check against a naive per-doc reference
+    (independent of the SQL oracle): tiny vocab + short grams so
+    duplicated spans are dense and overlapping."""
+    import numpy as np
+    from collections import Counter
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import span_dedup
+
+    rng = np.random.default_rng(7)
+    vocab = np.array(list("abcdefg"))
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+        for _ in range(60)
+    ]
+    n = 4
+
+    cnt: Counter = Counter()
+    grams_per_doc = []
+    for t in texts:
+        ws = t.split(" ")
+        gs = [" ".join(ws[i: i + n]) for i in range(len(ws) - n + 1)]
+        grams_per_doc.append(gs)
+        cnt.update(gs)
+    expected = {}
+    for d, t in enumerate(texts):
+        ws = t.split(" ")
+        cov = [False] * len(ws)
+        for i, g in enumerate(grams_per_doc[d]):
+            if cnt[g] >= 2:
+                for j in range(i, i + n):
+                    cov[j] = True
+        kept = [w for w, c in zip(ws, cov) if not c]
+        expected[d] = (" ".join(kept), len(kept), len(ws) - len(kept))
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    for hashed in (False, True):
+        out = (
+            span_dedup(_ds(df, 4), n=n, hashed=hashed)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        got = {
+            r.doc_id: (r.text, r.n_kept, r.n_dropped)
+            for r in out.itertuples()
+        }
+        assert got == expected, f"hashed={hashed}"
