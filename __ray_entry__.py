@@ -1717,6 +1717,19 @@ def _q_host_link_degree(sf_dir: str):
     return host_link_degree(links_table(read_corpus(sf_dir)))
 
 
+def _q_component_profile(sf_dir: str):
+    """Per-domain-cluster crawl profile: host_components joined to
+    host_link_degree (task-based join — one native join already runs
+    inside the components pass) and aggregated per component."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        component_profile,
+        links_table,
+    )
+
+    return component_profile(links_table(read_corpus(sf_dir)))
+
+
 def _q_phrase_search(sf_dir: str):
     """Exact-phrase retrieval top-10: one Arrow n-gram pass per
     distinct phrase length, equality against the broadcast phrase,
@@ -2467,6 +2480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_gate": _q_robots_gate,
         "phrase_search": _q_phrase_search,
         "source_dup_profile": _q_source_dup_profile,
+        "component_profile": _q_component_profile,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -2605,6 +2619,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate": sm.ROBOTS_GATE_SQL,
         "phrase_search": sm.PHRASE_SEARCH_SQL,
         "source_dup_profile": sm.SOURCE_DUP_PROFILE_SQL,
+        "component_profile": sm.COMPONENT_PROFILE_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

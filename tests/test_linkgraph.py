@@ -532,3 +532,56 @@ class TestRobotsGate:
         ).to_pandas()
         assert bool(a["allowed"][0]) is True
         assert bool(b["allowed"][0]) is True
+
+
+class TestComponentProfile:
+    def test_two_components_profiles(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import component_profile
+
+        rows = []
+        # host a: 2 links (1 external to b, 1 self) ; host b: 1 link to a
+        # host c: 1 link to d ; d never crawls
+        for s, d in [("a.com", "b.com"), ("a.com", "a.com"),
+                     ("b.com", "a.com"), ("c.com", "d.com")]:
+            rows.append(
+                {"url": f"https://{s}/p", "pos": 0, "href": f"https://{d}/q",
+                 "anchor_text": "x", "chrome": False}
+            )
+        df = (
+            component_profile(rd.from_items(rows).repartition(2))
+            .to_pandas()
+            .sort_values("comp_host", ignore_index=True)
+        )
+        got = {
+            r.comp_host: (r.n_hosts, r.n_crawled_hosts, r.links_total,
+                          r.external_total)
+            for r in df.itertuples()
+        }
+        # {a,b}: both crawled, 3 links total, 2 external
+        # {c,d}: only c crawled, 1 link, 1 external
+        assert got == {"a.com": (2, 2, 3, 2), "c.com": (2, 1, 1, 1)}
+
+    def test_empty_schema_stable(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import component_profile
+
+        empty = rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "pos": pa.array([], pa.int64()),
+                    "href": pa.array([], pa.string()),
+                    "anchor_text": pa.array([], pa.string()),
+                    "chrome": pa.array([], pa.bool_()),
+                }
+            )
+        )
+        ds = component_profile(empty)
+        assert sorted(ds.schema().names) == [
+            "comp_host", "external_total", "links_total",
+            "n_crawled_hosts", "n_hosts",
+        ]
+        assert ds.count() == 0

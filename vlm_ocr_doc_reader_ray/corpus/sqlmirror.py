@@ -2559,3 +2559,22 @@ SOURCE_DUP_PROFILE_SQL = (
     "FROM sd JOIN documents d ON d.doc_id = sd.doc_id\n"
     "GROUP BY d.source\n"
 )
+
+
+# ---------------------------------------------------------------------------
+# per-component crawl profile (stages/linkgraph.py::component_profile):
+# the components closure and the degree profile as derived tables,
+# inner-joined on host
+# ---------------------------------------------------------------------------
+
+COMPONENT_PROFILE_SQL = (
+    "WITH comp AS (\n" + HOST_COMPONENTS_SQL + "\n), deg AS (\n"
+    + HOST_LINK_DEGREE_SQL + "\n)\n"
+    "SELECT c.comp_host,\n"
+    "       CAST(min(c.comp_size) AS BIGINT) AS n_hosts,\n"
+    "       CAST(count(*) AS BIGINT) AS n_crawled_hosts,\n"
+    "       CAST(sum(d.n_links) AS BIGINT) AS links_total,\n"
+    "       CAST(sum(d.n_external) AS BIGINT) AS external_total\n"
+    "FROM comp c JOIN deg d ON d.host = c.host\n"
+    "GROUP BY c.comp_host\n"
+)

@@ -686,3 +686,68 @@ def robots_gate(
         return out
 
     return frontier.map_batches(gate, batch_format="pandas")
+
+
+def component_profile(links: rd.Dataset) -> rd.Dataset:
+    """Per-component crawl profile — :func:`host_components` joined to
+    :func:`host_link_degree` and aggregated: how big each domain
+    cluster is and how much link mass it emits (the unit a
+    per-component crawl budget or spam-cluster score hangs off).
+
+    → ``(comp_host, n_hosts, n_crawled_hosts, links_total,
+    external_total)``: ``n_hosts`` counts every member host
+    (including target-only hosts like a link hub), ``n_crawled_hosts``
+    only members that are page hosts (have a degree row).
+
+    The join is the TASK-based :func:`...relational.partitioned_hash_join`
+    — host_components already runs one native join internally, and two
+    HashShuffleAggregator pools in a pipeline starve small clusters
+    (the repo's measured 4-CPU trap). Both legs re-execute the links
+    lineage once each; at scale feed this from a written links
+    parquet (the CLI `links` output), as the shards pipeline does."""
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    comps = host_components(links)
+    if comps.count() == 0:  # already materialized inside → cheap
+        return _empty_typed(
+            comp_host=pa.string(), n_hosts=pa.int64(),
+            n_crawled_hosts=pa.int64(), links_total=pa.int64(),
+            external_total=pa.int64(),
+        )
+
+    def deg_proj(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "__dh": batch["host"],
+                "n_links": batch["n_links"].astype("int64"),
+                "n_external": batch["n_external"].astype("int64"),
+            }
+        )
+
+    deg = host_link_degree(links).map_batches(deg_proj, batch_format="pandas")
+    joined = partitioned_hash_join(comps, deg, "host", "__dh")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("comp_host", sort=False)
+            .agg(
+                n_hosts=("comp_size", "min"),
+                n_crawled_hosts=("comp_host", "size"),
+                links_total=("n_links", "sum"),
+                external_total=("n_external", "sum"),
+            )
+            .reset_index()
+        )
+        return out.astype(
+            {
+                "n_hosts": "int64",
+                "n_crawled_hosts": "int64",
+                "links_total": "int64",
+                "external_total": "int64",
+            }
+        )
+
+    return partitioned_apply(joined, ["comp_host"], agg)
