@@ -69,6 +69,30 @@ def main() -> None:
             os.path.getsize(os.path.join(r, f))
             for r, _d, fs in os.walk(spill) for f in fs
         )
+        pins.clear()
+
+        # span_dedup (hashed scale mode) must pin only int64 residues
+        # and the per-doc position lists — never document text
+        from vlm_ocr_doc_reader_ray.stages.scrub import span_dedup
+
+        span_dedup(
+            docs.select_columns(["doc_id", "text"]), n=8, hashed=True
+        ).count()
+        span_pins = [p[:] for p in pins]
+        pins.clear()
+
+        # the graph layer pins link/edge residues (urls, hosts,
+        # counters) — never an html payload
+        from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+            component_profile,
+            links_table,
+        )
+
+        component_profile(
+            links_table(read_corpus("/root/testdata/sf0.001"))
+        ).to_pandas()
+        graph_pins = [p[:] for p in pins]
     finally:
         rd.Dataset.materialize = orig
 
@@ -79,7 +103,12 @@ def main() -> None:
         "shard_writer_pins": shard_pins,
         "curate_pins": curate_pins,
         "curate_disk_spill_bytes": spilled,
-        "payload_columns_pinned": offenders(shard_pins) + offenders(curate_pins),
+        "span_dedup_pins": span_pins,
+        "graph_pins": graph_pins,
+        "payload_columns_pinned": offenders(shard_pins)
+        + offenders(curate_pins)
+        + offenders(span_pins)
+        + offenders(graph_pins),
     }
     print(json.dumps(result))
     assert not result["payload_columns_pinned"], result["payload_columns_pinned"]
