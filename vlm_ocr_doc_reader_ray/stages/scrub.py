@@ -102,6 +102,36 @@ def repetition_stats(
     return ds.map_batches(stats, batch_format="pandas")
 
 
+_SIZE_WARN_SILENCED = False
+
+
+def _silence_size_warnings() -> None:
+    """Worker-side: drop Ray's empty-block size-estimation warning —
+    the join and union legs here legitimately emit empty pandas
+    blocks. Deliberately a DUPLICATE of
+    ``aggregates.silence_empty_block_size_warnings``: worker batch
+    fns must not import package modules at call time (the real
+    import fails on workers that only have the pickled-by-value
+    module, e.g. under a foreign cwd)."""
+    global _SIZE_WARN_SILENCED
+    if _SIZE_WARN_SILENCED:
+        return
+    import logging
+
+    class _DropEmptySizeWarning(logging.Filter):
+        def filter(self, record: "logging.LogRecord") -> bool:
+            msg = record.getMessage()
+            return not (
+                "Error calculating size for column" in msg
+                and "size 0 inputs" in msg
+            )
+
+    logging.getLogger("ray.data._internal.pandas_block").addFilter(
+        _DropEmptySizeWarning()
+    )
+    _SIZE_WARN_SILENCED = True
+
+
 def _batch_word_ngrams(texts: pd.Series, n: int):
     """Vectorized word n-gram builder over a batch of texts.
 
@@ -433,6 +463,7 @@ def span_dedup(
     starts_per_doc = partitioned_apply(covered, [key], to_lists).materialize()
 
     def passthrough(batch: pd.DataFrame) -> pd.DataFrame:
+        _silence_size_warnings()
         nw = batch[text_col].astype(str).str.split(" ").str.len()
         return pd.DataFrame(
             {
@@ -458,6 +489,7 @@ def span_dedup(
     if hashed:
 
         def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+            _silence_size_warnings()
             batch = batch.copy()
             # same construction as the explode side, so the 64-bit
             # keys agree
@@ -496,6 +528,7 @@ def span_dedup(
             clean = clean.select_columns([id_col, text_col])
 
     def rebuild(batch: pd.DataFrame) -> pd.DataFrame:
+        _silence_size_warnings()
         # fully vectorized interval marking over the batch's FLAT word
         # array: one C-speed split, one diff/cumsum over all docs at
         # once, one list-join back — no per-word Python (the row-loop
@@ -1011,6 +1044,7 @@ def source_dup_profile(
     )
 
     def side_proj(batch: pd.DataFrame) -> pd.DataFrame:
+        _silence_size_warnings()
         return pd.DataFrame(
             {"__sid": batch[id_col], group_col: batch[group_col]}
         )
@@ -1021,6 +1055,7 @@ def source_dup_profile(
     joined = partitioned_hash_join(sd, side, id_col, "__sid")
 
     def residue(batch: pd.DataFrame) -> pd.DataFrame:
+        _silence_size_warnings()
         return pd.DataFrame(
             {
                 group_col: batch[group_col],
