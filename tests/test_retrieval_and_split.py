@@ -1,0 +1,141 @@
+"""Semantics of the round-4 retrieval/split batch: latest_by_key
+(recrawl collapse), host_holdout (leakage-free split), bm25_search.
+
+The DuckDB-oracle parity for the driver queries is covered by
+test_queries_vs_duckdb.py's auto-parametrization; these pin the
+operator CONTRACTS (winner rule, disjointness, subset stability,
+parallelism invariance) on hand-built fixtures.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+def _pdf(ds):
+    return ds.to_pandas()
+
+
+class TestLatestByKey:
+    def _fixture(self):
+        import ray.data as rd
+
+        rows = pd.DataFrame(
+            {
+                "url": ["a", "b", "a", "c", "b", "a"],
+                "ts": [3, 10, 7, 1, 2, 5],
+                "payload": ["a3", "b10", "a7", "c1", "b2", "a5"],
+            }
+        )
+        return rd.from_pandas(rows)
+
+    def test_winner_per_key(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.relational import latest_by_key
+
+        out = _pdf(latest_by_key(self._fixture(), "url", "ts"))
+        got = dict(zip(out["url"], out["payload"]))
+        assert got == {"a": "a7", "b": "b10", "c": "c1"}
+
+    def test_identity_under_partitioning(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.relational import latest_by_key
+
+        base = self._fixture()
+        a = _pdf(latest_by_key(base, "url", "ts"))
+        b = _pdf(latest_by_key(base.repartition(5), "url", "ts"))
+        key = lambda d: d.sort_values("url", ignore_index=True)
+        pd.testing.assert_frame_equal(key(a), key(b))
+
+
+class TestHostHoldout:
+    def test_split_rule_and_disjointness(self, ray_session, sf_small):
+        from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+        from vlm_ocr_doc_reader_ray.stages.dedup import md5_u64
+        from vlm_ocr_doc_reader_ray.stages.host_stats import host_holdout
+
+        out = _pdf(host_holdout(read_corpus(sf_small)))
+        # one row per host => structurally disjoint; rule recomputed
+        assert out["host"].is_unique
+        for _, r in out.iterrows():
+            want = (
+                "valid" if md5_u64(f"holdout:{r['host']}") % 10 == 0 else "train"
+            )
+            assert r["split"] == want
+        assert set(out["split"]) <= {"train", "valid"}
+        assert (out["n_docs"] > 0).all()
+
+    def test_subset_stability(self, ray_session, sf_small):
+        """A host keeps its side when the corpus is subset — the
+        incremental-crawl property the hash rule exists for."""
+        from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+        from vlm_ocr_doc_reader_ray.stages.host_stats import host_holdout
+
+        full = _pdf(host_holdout(read_corpus(sf_small)))
+        half_corpus = read_corpus(sf_small).filter(
+            lambda row: int(row["url"][-1]) % 2 == 0
+        )
+        half = _pdf(host_holdout(half_corpus))
+        assert 0 < len(half) <= len(full)
+        merged = half.merge(full, on="host", suffixes=("_half", "_full"))
+        assert len(merged) == len(half)
+        assert (merged["split_half"] == merged["split_full"]).all()
+
+
+class TestBm25:
+    def _docs(self):
+        import ray.data as rd
+
+        # doc 1: dense in 'cat'; doc 2: one 'cat' in a long doc;
+        # doc 3: one 'cat' in a short doc; doc 4: no 'cat'.
+        rows = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "cat cat cat dog",
+                    "cat " + " ".join(["filler"] * 40),
+                    "cat dog",
+                    "dog dog dog",
+                ],
+            }
+        )
+        return rd.from_pandas(rows)
+
+    def test_ranking_semantics(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import bm25_search
+
+        out = _pdf(bm25_search(self._docs(), {1: ["cat"]}, k=10))
+        out = out.sort_values("rank")
+        # only docs containing the term appear
+        assert set(out["doc_id"]) == {1, 2, 3}
+        # higher tf wins; among tf=1, shorter doc wins (length norm)
+        assert list(out["doc_id"]) == [1, 3, 2]
+        assert (out["score"] > 0).all()
+
+    def test_k_truncation_and_ties(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import bm25_search
+
+        rows = pd.DataFrame(
+            {"doc_id": list(range(20)), "text": ["x y"] * 20}
+        )
+        out = _pdf(bm25_search(rd.from_pandas(rows), {7: ["x"]}, k=5))
+        # identical docs => identical scores; ties break by doc_id
+        assert list(out.sort_values("rank")["doc_id"]) == [0, 1, 2, 3, 4]
+        assert out["score"].nunique() == 1
+
+    def test_identity_under_partitioning(self, ray_session, sf_small):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import bm25_search
+
+        docs = rd.read_parquet(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+        )
+        q = {1: ["sort", "stream"], 2: ["customer"]}
+        a = _pdf(bm25_search(docs, q, k=10))
+        b = _pdf(bm25_search(docs.repartition(13), q, k=10))
+        key = lambda d: d.sort_values(
+            ["query_id", "rank"], ignore_index=True
+        )
+        pd.testing.assert_frame_equal(key(a), key(b))

@@ -2578,3 +2578,118 @@ COMPONENT_PROFILE_SQL = (
     "FROM comp c JOIN deg d ON d.host = c.host\n"
     "GROUP BY c.comp_host\n"
 )
+
+
+# ---------------------------------------------------------------------------
+# recrawl collapse: latest snapshot per URL. Engine twin:
+# relational.latest_by_key over the synthesized snapshot table
+# (snapshot s = text minus its first s words, ts strictly increasing
+# per snapshot). n_words/md5 recompute the engine's post-collapse
+# projection on the winning snapshot's text.
+# ---------------------------------------------------------------------------
+
+RECRAWL_LATEST_SQL = r"""
+WITH s AS (
+  SELECT doc_id, lang, source, text,
+         unnest(range(0, 1 + doc_id % 3)) AS snap
+  FROM documents
+), t AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/' ||
+             lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         CAST(snap AS BIGINT) AS snap,
+         CAST(1735689600000000 + doc_id * 1000000
+              + snap * 86400000000 AS BIGINT) AS ts_us,
+         array_to_string(
+           list_slice(string_split(text, ' '), snap + 1,
+                      len(string_split(text, ' '))), ' ') AS snap_text
+  FROM s
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY ts_us DESC) AS rn
+  FROM t
+)
+SELECT url, snap, ts_us,
+       CAST(len(string_split(snap_text, ' ')) AS BIGINT) AS n_words,
+       md5(snap_text) AS text_md5
+FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# host-granular holdout split. Engine twin: host_stats.host_holdout —
+# same md5_u64 membership contract as HASH_SAMPLE_SQL, applied to the
+# host so the train/valid boundary can never split a site.
+# ---------------------------------------------------------------------------
+
+HOST_HOLDOUT_SQL = r"""
+WITH d AS (
+  SELECT lower(source || '.example.com') AS host,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+  FROM documents
+), g AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nw) AS BIGINT) AS total_words
+  FROM d GROUP BY host
+)
+SELECT host,
+       CASE WHEN CAST(('0x' || substr(md5('holdout:' || host), 1, 16))
+                      AS UBIGINT) % 10 = 0
+            THEN 'valid' ELSE 'train' END AS split,
+       n_docs, total_words
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval. Engine twin: text_analysis.bm25_search — the ONE
+# fixed float expression per (doc, term), quantized to integer
+# millionths with floor(x*1e6 + 0.5) BEFORE the per-query sum, so the
+# BIGINT score is associativity-proof and libm-identical on both
+# sides. Keep the expression text in lockstep with the numpy twin.
+# ---------------------------------------------------------------------------
+
+BM25_SEARCH_SQL = r"""
+WITH q(query_id, term) AS (
+  VALUES (1, 'sort'), (1, 'stream'),
+         (2, 'customer'), (2, 'window'),
+         (3, 'merge'), (3, 'filter'), (3, 'query')
+), w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) AS sumdl
+  FROM dl
+), df AS (
+  SELECT w.term, CAST(count(DISTINCT w.doc_id) AS DOUBLE) AS df
+  FROM w JOIN (SELECT DISTINCT term FROM q) qt ON qt.term = w.term
+  GROUP BY w.term
+), tf AS (
+  SELECT q.query_id, w.doc_id, w.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM w JOIN q ON q.term = w.term
+  GROUP BY q.query_id, w.doc_id, w.term
+), c AS (
+  SELECT tf.query_id, tf.doc_id,
+         CAST(floor(
+           ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                            / (s.sumdl / s.n))))
+           * 1000000.0 + 0.5) AS BIGINT) AS contrib
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+), sc AS (
+  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+  FROM c GROUP BY query_id, doc_id
+), r AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS BIGINT) AS "rank"
+  FROM sc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, "rank"
+FROM r WHERE "rank" <= 10
+"""

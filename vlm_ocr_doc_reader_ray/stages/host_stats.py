@@ -164,3 +164,72 @@ def host_stats(extracted: rd.Dataset) -> rd.Dataset:
         Sum("total_blocks_kept", alias_name="total_blocks_kept"),
         Sum("parse_failures", alias_name="parse_failures"),
     )
+
+
+def host_holdout(
+    corpus: rd.Dataset,
+    mod: int = 10,
+    valid_residue: int = 0,
+    seed: str = "holdout",
+) -> rd.Dataset:
+    """Leakage-free train/validation split at HOST granularity.
+
+    Splitting a web corpus by row leaks near-duplicate pages (same
+    site, same template) across the boundary; the standard fix is to
+    assign every page of a host to one side. Membership is a pure
+    hash of the host — ``md5_u64(f"{seed}:{host}") % mod ==
+    valid_residue`` → 'valid', else 'train' — so the split is
+    deterministic at any parallelism and any corpus subset (an
+    incremental crawl lands new pages of a known host on the side the
+    host already lives on).
+
+    → one row per host: (host, split, n_docs, total_words). Host
+    disjointness is structural (split is a function of host), and the
+    driver's oracle recomputes the identical md5 rule in SQL.
+
+    Reference analog: none — beyond-reference training-data op.
+
+    Scale shape: per-batch (host, 1, n_words) residues → ONE hash
+    aggregation over distinct hosts (bounded by the web's host count,
+    ~1e8 at CC scale) → the split label is a vectorized hash over that
+    residue. Document rows never shuffle.
+    """
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+    from vlm_ocr_doc_reader_ray.stages.dedup import md5_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        return pa.table(
+            {
+                "host": _host_of(batch.column("url")),
+                "total_words": pc.cast(
+                    pc.list_value_length(words), pa.int64()
+                ),
+            }
+        )
+
+    residue = grouped_sums(
+        corpus.select_columns(["url", "text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        "host",
+        ["total_words"],
+        count_alias="n_docs",
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        split = pa.array(
+            [
+                "valid"
+                if md5_u64(f"{seed}:{h}") % mod == valid_residue
+                else "train"
+                for h in hosts
+            ],
+            type=pa.string(),
+        )
+        return batch.append_column("split", split)
+
+    return residue.map_batches(label, batch_format="pyarrow").select_columns(
+        ["host", "split", "n_docs", "total_words"]
+    )

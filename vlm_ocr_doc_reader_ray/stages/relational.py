@@ -1338,3 +1338,45 @@ def windowed_distinct_users(
     )
     pairs = distinct_values(projected, ["window_start_s", user_col])
     return value_counts(pairs, ["window_start_s"], alias="users")
+
+
+def latest_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Keep each key's newest row (max ``ts_col``; ties impossible by
+    contract — callers pass a strictly increasing snapshot clock, and
+    the vectorized keep-first-after-sort rule would break them by the
+    LAST sort column deterministically anyway).
+
+    The recrawl-collapse primitive: a crawl that refetches URLs across
+    snapshots collapses to the latest capture per URL. Reference
+    analog: none — the reference reads each document once
+    (``core/reader.py``); at CC scale the same URL appears in many
+    snapshots and latest-wins is the standard collapse.
+
+    Scale shape: a distributed argmax. Each batch first reduces to ONE
+    candidate row per key (vectorized sort + drop_duplicates — no
+    per-key dispatch), so only per-(batch, key) winners enter the
+    single hash shuffle; the final per-partition pass applies the same
+    vectorized rule. Full rows ride along with their key (the winner's
+    payload must survive), but the shuffle volume is bounded by
+    distinct keys x payload, never total rows x payload.
+    """
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    def local_best(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.sort_values(
+            [key_col, ts_col], ascending=[True, False]
+        ).drop_duplicates(key_col, keep="first")
+
+    candidates = ds.map_batches(local_best, batch_format="pandas")
+    return partitioned_apply(
+        candidates, [key_col], local_best, num_parts=num_partitions
+    )

@@ -1220,3 +1220,165 @@ def chunk_windows(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def bm25_search(
+    ds: rd.Dataset,
+    queries: "dict[int, list[str]]",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """BM25 retrieval: top-``k`` documents per query under the Okapi
+    ranking function (k1=1.2, b=0.75), ties by ``doc_id``.
+    → ``(query_id, doc_id, score, rank)``.
+
+    Reference analog: none — beyond-reference retrieval op; the
+    idf/length-normalized ranker on top of :func:`keyword_search`'s
+    raw term counts.
+
+    EXACTNESS CONTRACT: each term's contribution is ONE fixed float
+    expression — ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``contrib = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl /
+    avgdl)))`` — quantized to integer millionths with
+    ``floor(x * 1e6 + 0.5)`` BEFORE the per-query summation, so the
+    score is an associativity-proof BIGINT sum and the DuckDB oracle
+    (same expression text, same libm) matches bit-for-bit at any
+    parallelism. Never sum raw doubles across terms: float addition
+    order is engine-dependent.
+
+    Scale shape: two streaming passes. Pass 1 collapses to a BOUNDED
+    stats residue (per-batch df partials for the query's terms only +
+    one (n_docs, sum_dl) row — at most ``terms x blocks`` rows ever
+    leave a task). Pass 2 broadcasts the tiny stats in the batch
+    closure, scores each batch vectorized (flattened word array +
+    per-query bincounts), keeps a local top-k, and ONE residue
+    hash-partition merges the partials — identical shuffle volume to
+    :func:`keyword_search`.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    terms_all = sorted({t for ts in queries.values() for t in ts})
+    narrow = ds.select_columns([id_col, text_col])
+
+    # ---- pass 1: corpus stats (bounded residue -> driver) ----------
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern(batch.column(text_col), " ")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        if len(lens) == 0:
+            return pd.DataFrame(
+                {"term": pd.Series([], dtype="object"),
+                 "df": pd.Series([], dtype="int64"),
+                 "n_docs": pd.Series([], dtype="int64"),
+                 "sum_dl": pd.Series([], dtype="int64")}
+            )
+        flat = pd.Series(pc.list_flatten(words).to_pandas(), dtype="object")
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        rows = [("", 0, int(len(lens)), int(lens.sum()))]
+        for t in terms_all:
+            mask = (flat == t).to_numpy()
+            if mask.any():
+                ndocs_with = len(np.unique(doc_idx[mask]))
+                rows.append((t, ndocs_with, 0, 0))
+        return pd.DataFrame(
+            rows, columns=["term", "df", "n_docs", "sum_dl"]
+        )
+
+    stats = (
+        narrow.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("term", as_index=False)
+        .sum()
+    )
+    n_docs = float(stats["n_docs"].sum())
+    sum_dl = float(stats["sum_dl"].sum())
+    if n_docs == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 id_col: pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="int64"),
+                 "rank": pd.Series([], dtype="int64")}
+            )
+        )
+    avgdl = sum_dl / n_docs
+    df_of = dict(zip(stats["term"], stats["df"].astype(float)))
+    # fixed float expression — lockstep with sqlmirror.BM25_SEARCH_SQL
+    idf_of = {
+        t: float(np.log(1.0 + (n_docs - df_of.get(t, 0.0) + 0.5)
+                        / (df_of.get(t, 0.0) + 0.5)))
+        for t in terms_all
+    }
+
+    _empty = {
+        "query_id": pd.Series([], dtype="int64"),
+        id_col: pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="int64"),
+    }
+
+    # ---- pass 2: score + local top-k -------------------------------
+    def local(batch: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern(batch.column(text_col), " ")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        if len(lens) == 0:
+            return pd.DataFrame(_empty)
+        flat = pd.Series(pc.list_flatten(words).to_pandas(), dtype="object")
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        dl = lens.astype(np.float64)
+        parts = []
+        for qid, qterms in queries.items():
+            score = np.zeros(len(lens), dtype=np.int64)
+            hit = np.zeros(len(lens), dtype=bool)
+            for t in qterms:
+                mask = (flat == t).to_numpy()
+                if not mask.any():
+                    continue
+                tf = np.bincount(doc_idx[mask], minlength=len(lens)).astype(
+                    np.float64
+                )
+                nz = tf > 0
+                hit |= nz
+                contrib = np.floor(
+                    idf_of[t] * (tf[nz] * 2.2)
+                    / (tf[nz] + 1.2 * (0.25 + 0.75 * (dl[nz] / avgdl)))
+                    * 1000000.0 + 0.5
+                ).astype(np.int64)
+                score[nz] += contrib
+            if not hit.any():
+                continue
+            nzd = np.nonzero(hit)[0]
+            part = pd.DataFrame(
+                {
+                    "query_id": np.full(len(nzd), qid, dtype=np.int64),
+                    id_col: ids[nzd].astype(np.int64),
+                    "score": score[nzd],
+                }
+            )
+            parts.append(
+                part.sort_values(
+                    ["score", id_col], ascending=[False, True]
+                ).head(k)
+            )
+        if not parts:
+            return pd.DataFrame(_empty)
+        return pd.concat(parts, ignore_index=True)
+
+    local_ds = narrow.map_batches(local, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["query_id", "score", id_col], ascending=[True, False, True]
+        )
+        g = g.groupby("query_id", sort=False, group_keys=False).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = (
+            g.groupby("query_id", sort=False).cumcount() + 1
+        ).astype("int64")
+        return g
+
+    return partitioned_apply(local_ds, ["query_id"], merge)
