@@ -2546,6 +2546,38 @@ def _q_bm25_search(sf_dir: str):
     )
 
 
+def _q_host_pagerank(sf_dir: str):
+    """Damped PageRank over the host graph in exact integer
+    arithmetic (micro-scaled, floor at every division) — bounded
+    per-superstep magnitudes where host_authority's scores grow as
+    cnt^k. Edge residue pinned once, one share join + one sum per
+    superstep; the oracle unrolls the identical recurrence with
+    DuckDB's ``//``."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        host_pagerank,
+        links_table,
+    )
+
+    return host_pagerank(links_table(read_corpus(sf_dir)), iters=2)
+
+
+def _q_unigram_nll(sf_dir: str):
+    """CCNet-style LM quality score: per-doc negative log-likelihood
+    under a hashed-unigram model fitted on the corpus in one bounded
+    pass; per-bucket logprob quantized to integer millionths before
+    the per-doc BIGINT sum, so the float model is associativity-proof
+    and hash-gated."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import unigram_nll_scores
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return unigram_nll_scores(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the external driver checks entries in dict order
     # under a bounded budget (r3 evidence: exactly the first 50 got
@@ -2590,6 +2622,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_latest": _q_recrawl_latest,
         "host_holdout": _q_host_holdout,
         "bm25_search": _q_bm25_search,
+        "host_pagerank": _q_host_pagerank,
+        "unigram_nll": _q_unigram_nll,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -2732,6 +2766,8 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_latest": sm.RECRAWL_LATEST_SQL,
         "host_holdout": sm.HOST_HOLDOUT_SQL,
         "bm25_search": sm.BM25_SEARCH_SQL,
+        "host_pagerank": sm.HOST_PAGERANK_SQL,
+        "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

@@ -139,3 +139,98 @@ class TestBm25:
             ["query_id", "rank"], ignore_index=True
         )
         pd.testing.assert_frame_equal(key(a), key(b))
+
+
+class TestHostPagerank:
+    def _links(self):
+        import ray.data as rd
+
+        # a -> b (twice), b -> a, c -> a; d is linked but never links
+        rows = pd.DataFrame(
+            {
+                "url": [
+                    "https://a.ex/1", "https://a.ex/1",
+                    "https://b.ex/1", "https://c.ex/1",
+                    "https://a.ex/2",
+                ],
+                "href": [
+                    "https://b.ex/x", "https://b.ex/y",
+                    "https://a.ex/x", "https://a.ex/y",
+                    "https://d.ex/x",
+                ],
+            }
+        )
+        return rd.from_pandas(rows)
+
+    def test_recurrence_by_hand(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import host_pagerank
+
+        out = _pdf(host_pagerank(self._links(), iters=1)).set_index("host")
+        # outdeg: a.ex=3, b.ex=1, c.ex=1. s0 = 1_000_000 each.
+        # s1(b) = 150000 + 85*(2*(1000000//3))//100
+        # s1(a) = 150000 + 85*(1*1000000 + 1*1000000)//100
+        # s1(d) = 150000 + 85*(1*(1000000//3))//100 ; s1(c) = 150000
+        assert out.loc["b.ex", "pagerank"] == 150000 + (85 * 2 * 333333) // 100
+        assert out.loc["a.ex", "pagerank"] == 150000 + (85 * 2000000) // 100
+        assert out.loc["d.ex", "pagerank"] == 150000 + (85 * 333333) // 100
+        assert out.loc["c.ex", "pagerank"] == 150000
+
+    def test_identity_under_partitioning(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import host_pagerank
+
+        a = _pdf(host_pagerank(self._links(), iters=2))
+        b = _pdf(host_pagerank(self._links().repartition(4), iters=2))
+        srt = lambda d: d.sort_values("host", ignore_index=True)
+        pd.testing.assert_frame_equal(srt(a), srt(b))
+
+    def test_bounded_magnitude(self, ray_session):
+        """PageRank normalization keeps scores bounded across
+        iterations (the host_authority cnt^k growth does not)."""
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import host_pagerank
+
+        out = _pdf(host_pagerank(self._links(), iters=5))
+        assert (out["pagerank"] < 10_000_000).all()
+        assert (out["pagerank"] >= 150000).all()
+
+
+class TestUnigramNll:
+    def test_rare_word_scores_higher(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            unigram_nll_scores,
+        )
+
+        common = "the quick brown fox " * 25
+        rows = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    (common + "the quick").strip(),
+                    (common + "zyzzyva quux").strip(),
+                ],
+            }
+        )
+        out = _pdf(unigram_nll_scores(rd.from_pandas(rows))).set_index(
+            "doc_id"
+        )
+        assert out.loc[2, "mean_nll"] > out.loc[1, "mean_nll"]
+        assert (out["nll_micro"] > 0).all()
+
+    def test_identity_under_partitioning(self, ray_session, sf_small):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            unigram_nll_scores,
+        )
+
+        docs = rd.read_parquet(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+        )
+        a = _pdf(unigram_nll_scores(docs)).sort_values(
+            "doc_id", ignore_index=True
+        )
+        b = _pdf(unigram_nll_scores(docs.repartition(11))).sort_values(
+            "doc_id", ignore_index=True
+        )
+        pd.testing.assert_frame_equal(a, b)

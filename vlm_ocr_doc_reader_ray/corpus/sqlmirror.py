@@ -2693,3 +2693,82 @@ WITH q(query_id, term) AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, "rank"
 FROM r WHERE "rank" <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# damped PageRank in exact integer arithmetic. Engine twin:
+# linkgraph.host_pagerank — s0 = scale, s_{k+1} = (15*scale)//100 +
+# (85 * sum cnt*(s_k(src) // outdeg(src))) // 100, floor at every
+# division, unrolled as a CTE chain like host_authority_sql.
+# ---------------------------------------------------------------------------
+
+def host_pagerank_sql(iters: int = 2, scale: int = 1_000_000) -> str:
+    base = (15 * scale) // 100
+    chain = GOLDEN_CTE + _LINKS_CTE + rf"""
+, he AS (
+  SELECT {_HOST_EXPR.format(c='url')} AS src,
+         {_HOST_EXPR.format(c='href')} AS dst,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM links GROUP BY 1, 2
+), outd AS (
+  SELECT src AS host, CAST(sum(cnt) AS BIGINT) AS outdeg
+  FROM he GROUP BY src
+), hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src AS host FROM he UNION ALL SELECT dst FROM he
+  )
+), p0 AS (
+  SELECT host, CAST({scale} AS BIGINT) AS score FROM hosts
+)"""
+    for i in range(1, iters + 1):
+        chain += f""", p{i} AS (
+  SELECT h.host,
+         CAST({base} + (85 * coalesce(sum(e.cnt * (s.score // o.outdeg)), 0))
+              // 100 AS BIGINT) AS score
+  FROM hosts h
+  LEFT JOIN he e ON e.dst = h.host
+  LEFT JOIN p{i - 1} s ON s.host = e.src
+  LEFT JOIN outd o ON o.host = e.src
+  GROUP BY h.host
+)"""
+    return chain + f"""
+SELECT host, score AS pagerank FROM p{iters}
+"""
+
+
+HOST_PAGERANK_SQL = host_pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM NLL scoring (CCNet-style quality triage). Engine twin:
+# text_analysis.unigram_nll_scores — per-bucket logprob quantized to
+# integer millionths (the bm25 device), per-doc score = BIGINT sum.
+# Same md5_u64 % 65536 hash contract as IMPORTANCE_WEIGHTS_SQL.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_NLL_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 65536 AS BIGINT) AS h
+  FROM w
+), c AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS c FROM hh GROUP BY h
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM hh
+), q AS (
+  SELECT h,
+         CAST(floor(-ln((CAST(c AS DOUBLE) + 1.0)
+                        / (CAST(t.t AS DOUBLE) + 65536.0))
+                    * 1000000.0 + 0.5) AS BIGINT) AS nll_u
+  FROM c CROSS JOIN tot t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(nll_u) AS BIGINT) AS nll_micro,
+       CAST(CAST(sum(nll_u) AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_nll
+FROM hh JOIN q USING (h)
+GROUP BY doc_id
+"""

@@ -751,3 +751,161 @@ def component_profile(links: rd.Dataset) -> rd.Dataset:
         )
 
     return partitioned_apply(joined, ["comp_host"], agg)
+
+
+def host_pagerank(
+    links: rd.Dataset, iters: int = 2, scale: int = 1_000_000
+) -> rd.Dataset:
+    """Damped PageRank over the host graph in EXACT integer
+    arithmetic (micro-scaled scores, floor at every division), so the
+    superstep recurrence is bit-reproducible at any parallelism and
+    the DuckDB oracle (an unrolled CTE chain using ``//``) matches
+    exactly — the float-free counterpart to the textbook
+    ``0.15 + 0.85 · Σ s(u)/outdeg(u)``:
+
+    ``s_0(v) = scale``;
+    ``s_{k+1}(v) = (15·scale)//100
+                   + (85 · Σ_{u→v} cnt(u→v) · (s_k(u) // outdeg(u))) // 100``
+
+    over the weighted host-edge graph (outdeg(u) = Σ_dst cnt(u→dst)).
+    Dangling-mass redistribution is intentionally omitted (documented
+    deviation from the stochastic-matrix formulation — dangling hosts
+    keep the base term only, the common web-graph simplification).
+
+    Reference analog: none — beyond-reference graph op; the damped
+    companion to :func:`host_authority` (whose scores grow as cnt^k —
+    PageRank's per-superstep normalization keeps magnitudes bounded,
+    so ANY iteration count stays inside int64).
+
+    Plan shape (the iterative-algorithm discipline of
+    :func:`host_authority`): the corpus-sized link stream collapses
+    ONCE to the (src, dst, cnt) edge residue, pinned and reused by
+    every superstep; each superstep is one scores⋈outdeg hash join
+    (per-SOURCE share computed once, never per edge), one edge⋈share
+    join, one residue sum, and a re-pinned per-host score table.
+
+    → (host, pagerank) over ALL hosts (src ∪ dst), pagerank = s_iters.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import distinct_values
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "src": _host_expr(batch.column("url")),
+                "dst": _host_expr(batch.column("href")),
+            }
+        )
+        out = t.group_by(["src", "dst"]).aggregate([([], "count_all")])
+        return out.rename_columns(["src", "dst", "cnt"])
+
+    partials = links.map_batches(project, batch_format="pyarrow").materialize()
+    if partials.count() == 0:
+        return _empty_typed(host=pa.string(), pagerank=pa.int64())
+    edges = grouped_sums(partials, ["src", "dst"], ["cnt"]).materialize()
+
+    outdeg = grouped_sums(
+        edges.map_batches(
+            lambda b: pa.table(
+                {"host": b.column("src"), "outdeg": b.column("cnt")}
+            ),
+            batch_format="pyarrow",
+        ),
+        "host",
+        ["outdeg"],
+    ).materialize()
+
+    def both_sides(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"host": pa.concat_arrays(
+                [b.column("src").combine_chunks(),
+                 b.column("dst").combine_chunks()]
+            )}
+        )
+
+    hosts = distinct_values(
+        edges.map_batches(both_sides, batch_format="pyarrow"), "host"
+    ).materialize()  # tiny: one row per host; reused every superstep
+
+    base = (15 * scale) // 100
+
+    def init_scores(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"host": b["host"], "score": np.int64(scale)}
+        )
+
+    scores = hosts.map_batches(init_scores, batch_format="pandas")
+
+    def to_share(b: pd.DataFrame) -> pd.DataFrame:
+        # per-SOURCE share, floor division — computed once per host,
+        # not once per edge
+        return pd.DataFrame(
+            {
+                "src": b["host"],
+                "share": (
+                    b["score"].to_numpy(np.int64)
+                    // b["outdeg"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    def weigh(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b["cnt"].to_numpy(np.int64)
+        share = b["share"].to_numpy(np.int64)
+        mass = cnt * share
+        # overflow guard (DuckDB fails loudly on BIGINT overflow; so
+        # must we): recompute in float and compare magnitude
+        if len(mass) and (
+            np.abs(cnt.astype(np.float64) * share.astype(np.float64))
+            > 9.2e18
+        ).any():
+            raise OverflowError("pagerank contribution exceeds int64")
+        return pd.DataFrame({"host": b["dst"], "mass": mass})
+
+    def zero_mass(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": b["host"], "mass": np.int64(0)})
+
+    for _ in range(iters):
+        share = partitioned_hash_join(
+            scores.map_batches(
+                lambda b: pd.DataFrame(
+                    {"host": b["host"], "score": b["score"]}
+                ),
+                batch_format="pandas",
+            ),
+            outdeg,
+            "host",
+            "host",
+        ).map_batches(to_share, batch_format="pandas")
+        j = partitioned_hash_join(edges, share, "src", "src")
+        both = hosts.map_batches(zero_mass, batch_format="pandas").union(
+            j.map_batches(weigh, batch_format="pandas")
+        )
+        summed = grouped_sums(both, "host", ["mass"])
+
+        def damp(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "host": b["host"],
+                    "score": base
+                    + (85 * b["mass"].to_numpy(np.int64)) // 100,
+                }
+            )
+
+        scores = (
+            summed.map_batches(damp, batch_format="pandas")
+            .repartition(4)
+            .materialize()  # pin per superstep: one row per host
+        )
+
+    return scores.map_batches(
+        lambda b: pd.DataFrame(
+            {"host": b["host"], "pagerank": b["score"]}
+        ),
+        batch_format="pandas",
+    )

@@ -1382,3 +1382,98 @@ def bm25_search(
         return g
 
     return partitioned_apply(local_ds, ["query_id"], merge)
+
+
+def unigram_nll_scores(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 65536,
+) -> rd.Dataset:
+    """CCNet-style language-model quality scoring: per-document
+    negative log-likelihood under a hashed-unigram LM fitted on the
+    corpus itself (add-one smoothing over ``n_buckets`` hash buckets).
+    High mean NLL = far from the corpus distribution (gibberish,
+    boilerplate soup, wrong language); the standard head/middle/tail
+    perplexity triage keys off this score.
+
+    → (doc_id, n_words, nll_micro, mean_nll).
+
+    EXACTNESS CONTRACT (the :func:`bm25_search` device): each
+    OCCURRENCE's logprob is quantized once per bucket —
+    ``nll_u[h] = floor(-ln((c[h] + 1.0) / (T + n_buckets)) * 1e6 +
+    0.5)`` — and the per-doc score is the BIGINT sum of those
+    integers, so it is associativity-proof and the DuckDB mirror
+    (same expression, same libm) is bit-exact at any parallelism.
+    ``mean_nll`` is the single float division nll/n_words on top.
+
+    Reference analog: none — beyond-reference training-data op.
+
+    Scale shape: two streaming passes. Pass 1 collapses each batch to
+    ≤ n_buckets (term-hash, count) residue rows and pre-aggregates —
+    the LM fit is one bounded shuffle. The quantized table (0.5 MB at
+    65536 buckets) is broadcast once via ``ray.put``; pass 2 scores
+    each batch vectorized (hash once per unique word per batch,
+    bincount with exact-integer float64 weights — per-doc sums stay
+    far under 2^53, where float64 addition of integers is exact).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+
+    narrow = ds.select_columns([id_col, text_col])
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype="int64"),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        buckets, _ = _hashed_word_buckets(batch[text_col].tolist(), n_buckets)
+        c = np.bincount(buckets, minlength=n_buckets)
+        h = np.nonzero(c)[0]
+        return pd.DataFrame(
+            {"h": h.astype(np.int64), "c": c[h].astype(np.int64)}
+        )
+
+    totals = grouped_sums(
+        narrow.map_batches(count_partial, batch_format="pandas"), ["h"], ["c"]
+    ).to_pandas()  # bounded residue: <= n_buckets rows
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    if len(totals):
+        counts[totals["h"].to_numpy()] = totals["c"].to_numpy()
+    big_t = float(counts.sum())
+    # fixed float expression — lockstep with sqlmirror.UNIGRAM_NLL_SQL
+    nll_u = np.floor(
+        -np.log((counts + 1.0) / (big_t + float(n_buckets))) * 1000000.0 + 0.5
+    ).astype(np.int64)
+    ref = ray.put(nll_u)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "n_words": pd.Series([], dtype="int64"),
+                 "nll_micro": pd.Series([], dtype="int64"),
+                 "mean_nll": pd.Series([], dtype="float64")}
+            )
+        import numpy as np
+
+        table = ray.get(ref)
+        buckets, lens = _hashed_word_buckets(batch[text_col].tolist(), n_buckets)
+        row_of = np.repeat(np.arange(len(batch)), lens)
+        nll = np.bincount(
+            row_of, weights=table[buckets].astype(np.float64),
+            minlength=len(batch),
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                "n_words": lens,
+                "nll_micro": nll,
+                "mean_nll": nll.astype(np.float64) / lens.astype(np.float64),
+            }
+        )
+
+    return narrow.map_batches(score, batch_format="pandas")
