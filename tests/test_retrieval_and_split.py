@@ -234,3 +234,158 @@ class TestUnigramNll:
             "doc_id", ignore_index=True
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_bm25_matches_bruteforce(ray_session):
+    """Randomized differential check against a naive single-process
+    BM25 (independent of the SQL oracle): tiny vocab so df/tf vary."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import bm25_search
+
+    rng = np.random.default_rng(11)
+    vocab = np.array(list("abcde"))
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+        for _ in range(80)
+    ]
+    queries = {1: ["a"], 2: ["b", "c"], 3: ["d", "e", "a"]}
+    k = 7
+
+    n = len(texts)
+    dls = [len(t.split(" ")) for t in texts]
+    avgdl = sum(dls) / n
+    df = {
+        w: sum(1 for t in texts if w in t.split(" "))
+        for w in "abcde"
+    }
+    expected = {}
+    for qid, terms in queries.items():
+        scores = []
+        for d, t in enumerate(texts):
+            ws = t.split(" ")
+            s = 0
+            for w in terms:
+                tf = ws.count(w)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+                s += math.floor(
+                    idf * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * (dls[d] / avgdl)))
+                    * 1000000.0 + 0.5
+                )
+            if s > 0:
+                scores.append((s, d))
+        scores.sort(key=lambda x: (-x[0], x[1]))
+        expected[qid] = [
+            (d, s, r + 1) for r, (s, d) in enumerate(scores[:k])
+        ]
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(n), "text": texts})
+    ).repartition(6)
+    out = bm25_search(ds, queries, k=k).to_pandas()
+    got = {
+        qid: [
+            (r.doc_id, r.score, r.rank)
+            for r in g.sort_values("rank").itertuples()
+        ]
+        for qid, g in out.groupby("query_id")
+    }
+    assert got == expected
+
+
+def test_latest_by_key_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import latest_by_key
+
+    rng = np.random.default_rng(3)
+    n = 300
+    keys = rng.integers(0, 40, size=n)
+    ts = rng.permutation(n)  # unique timestamps, random order
+    df = pd.DataFrame(
+        {"k": [f"u{x}" for x in keys], "ts": ts, "v": np.arange(n)}
+    )
+    expected = (
+        df.sort_values(["k", "ts"], ascending=[True, False])
+        .drop_duplicates("k")
+        .sort_values("k", ignore_index=True)
+    )
+    out = (
+        latest_by_key(rd.from_pandas(df).repartition(9), "k", "ts")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["k", "ts", "v"]], expected[["k", "ts", "v"]]
+    )
+
+
+class TestContainmentPairs:
+    def test_directional_semantics(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.dedup import containment_pairs
+
+        body = " ".join(f"w{i}" for i in range(60))
+        quote = " ".join(f"w{i}" for i in range(20)) + " unique_noise"
+        other = " ".join(f"x{i}" for i in range(40))
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": [1, 2, 3], "text": [body, quote, other]}
+            )
+        )
+        out = containment_pairs(
+            ds, threshold_num=4, threshold_den=5, on_truncate="ignore"
+        ).to_pandas()
+        pairs = set(zip(out["inner_id"], out["outer_id"]))
+        # quote contained in body; NOT body in quote (asymmetry)
+        assert (2, 1) in pairs
+        assert (1, 2) not in pairs
+        assert not any(3 in p for p in pairs)
+        row = out[(out["inner_id"] == 2) & (out["outer_id"] == 1)].iloc[0]
+        # quote: 21 words -> 19 shingles, 18 inside body
+        assert (row["n_inner"], row["n_shared"]) == (19, 18)
+
+    def test_matches_bruteforce(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.dedup import (
+            containment_pairs,
+            word_shingles,
+        )
+
+        rng = np.random.default_rng(5)
+        vocab = np.array(list("abcdef"))
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(3, 20)))
+            for _ in range(50)
+        ]
+        num, den = 3, 4
+        shs = [set(word_shingles(t)) for t in texts]
+        expected = set()
+        for i, sa in enumerate(shs):
+            for j, sb in enumerate(shs):
+                if i == j or not sa:
+                    continue
+                shared = len(sa & sb)
+                if den * shared >= num * len(sa):
+                    expected.add((i, j, len(sa), shared))
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        ).repartition(7)
+        out = containment_pairs(
+            ds, threshold_num=num, threshold_den=den, on_truncate="ignore"
+        ).to_pandas()
+        got = set(
+            zip(out["inner_id"], out["outer_id"], out["n_inner"],
+                out["n_shared"])
+        )
+        assert got == expected

@@ -2772,3 +2772,62 @@ SELECT doc_id,
 FROM hh JOIN q USING (h)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# directional n-gram containment (quote/syndication detection).
+# Engine twin: dedup.containment_pairs — asymmetric prefix filter with
+# exact recall, rational gate 5*shared >= 4*n_inner (no float decides
+# membership). The corpus is documents + synthesized quote docs
+# (first 24 words + unique noise token) + decoy docs (8 words + 16
+# noise tokens, below the gate); the oracle is brute force.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_PAIRS_SQL = r"""
+WITH q AS (
+  SELECT doc_id + 1000000 AS qid,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      least(24, len(string_split(text, ' ')))), ' ')
+           || ' qnoise' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 7 = 1
+), z AS (
+  SELECT doc_id + 2000000 AS zid,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      least(8, len(string_split(text, ' ')))), ' ')
+           || ' ' || array_to_string(
+                list_transform(range(0, 16),
+                  k -> 'znoise' || CAST(doc_id AS VARCHAR) || '_'
+                       || CAST(k AS VARCHAR)), ' ') AS text
+  FROM documents WHERE doc_id % 11 = 3
+), corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT qid AS doc_id, text FROM q
+  UNION ALL SELECT zid AS doc_id, text FROM z
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM corpus
+), sh0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN nw < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_transform(range(0, nw - 2),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+                END) AS shingle
+  FROM w
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), cnt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+         CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT inner_id, outer_id, ca.ns AS n_inner, i AS n_shared,
+       CAST(i AS DOUBLE) / CAST(ca.ns AS DOUBLE) AS containment
+FROM pair_inter JOIN cnt ca ON inner_id = ca.doc_id
+WHERE 5 * i >= 4 * ca.ns
+"""

@@ -1009,3 +1009,178 @@ def dedup_against_index(
     hashed = with_text_hash(ds, text_col, hash_col)
     index = rd_mod.read_parquet(index_dir)
     return partitioned_anti_join(hashed, index, hash_col, hash_col)
+
+
+# ---------------------------------------------------------------------------
+# exact directional n-gram containment (quote / syndication detection)
+# ---------------------------------------------------------------------------
+
+def containment_pairs(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_bucket: int = 400,
+    on_truncate: str = "raise",
+) -> rd.Dataset:
+    """Directional containment join: pairs where inner's shingle set
+    is mostly inside outer's — ``|S(inner) ∩ S(outer)| / |S(inner)|
+    >= threshold_num/threshold_den`` (inner != outer). The asymmetric
+    complement to :func:`jaccard_near_dups`: Jaccard misses a short
+    quote inside a long article (union dominates); containment is the
+    standard syndication/quotation/subset-page detector.
+
+    → (inner_id, outer_id, n_inner, n_shared, containment), EXACT:
+    the threshold is a rational gate (``den·shared >= num·n_inner``,
+    pure int64 — no float ever decides membership), so the DuckDB
+    brute-force self-join oracle matches unconditionally.
+
+    Recall proof (prefix filtering, asymmetric variant — Chaudhuri et
+    al. ICDE'06): c >= num/den ⟺ shared >= a where
+    ``a = ceil(num·ns_inner/den)`` (integers). If none of the first
+    ``p = ns_inner - a + 1`` sorted tokens of inner is in outer, then
+    shared <= ns_inner - p = a - 1 < a. So emitting inner's p-prefix
+    against outer's FULL token list guarantees every true pair meets
+    in >= 1 bucket.
+
+    Scale shape: the container side indexes its whole distinct-shingle
+    stream (that is the price of exact asymmetric recall — the
+    shuffle is proportional to corpus tokens, same order as the
+    n-gram census); the query side emits only (1-t)-fraction
+    prefixes. One token-hash shuffle, per-bucket vectorized
+    prefix×full merge with a pair-level size filter
+    (``den·ns_outer >= num·ns_inner``), pair-distinct, two hash joins
+    to re-attach texts, exact per-pair verification. Buckets over
+    ``max_bucket`` PER ROLE are capped with a visible ``truncated``
+    flag, never silently.
+    """
+    if threshold_num <= 0 or threshold_den <= 0 or threshold_num > threshold_den:
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    if on_truncate not in ("raise", "flag", "ignore"):
+        raise ValueError(f"on_truncate must be raise|flag|ignore, got {on_truncate!r}")
+    num, den = threshold_num, threshold_den
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids, tokens, sizes, roles = [], [], [], []
+        id_vals = batch.column(id_col).to_pylist()
+        for i, text in enumerate(batch.column(text_col).to_pylist()):
+            hs = sorted({md5_u64(s) for s in word_shingles(text)})
+            ns = len(hs)
+            if ns == 0:
+                continue
+            a = (num * ns + den - 1) // den  # ceil(t*ns), exact
+            p = max(1, ns - a + 1)
+            # query role: prefix only
+            ids.extend([id_vals[i]] * p)
+            tokens.extend(hs[:p])
+            sizes.extend([ns] * p)
+            roles.extend([0] * p)
+            # container role: full token list
+            ids.extend([id_vals[i]] * ns)
+            tokens.extend(hs)
+            sizes.extend([ns] * ns)
+            roles.extend([1] * ns)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=batch.schema.field(id_col).type),
+                "token": pa.array(
+                    np.array(tokens, dtype=np.uint64).view(np.int64)
+                ),
+                "ns": pa.array(sizes, type=pa.int64()),
+                "role": pa.array(roles, type=pa.int8()),
+            }
+        )
+
+    emitted = ds.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow"
+    )
+
+    def emit_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=g[id_col].dtype),
+                "id_b": pd.Series([], dtype=g[id_col].dtype),
+                "truncated": pd.Series([], dtype="bool"),
+            }
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(id_col)
+        rank = g.groupby(["token", "role"], sort=False).cumcount()
+        sizes = g.groupby(["token", "role"], sort=False)[id_col].transform(
+            "size"
+        )
+        g = g.assign(__trunc=(sizes > max_bucket))[rank < max_bucket]
+        pref = g[g["role"] == 0]
+        full = g[g["role"] == 1]
+        if pref.empty or full.empty:
+            return empty
+        m = pref.merge(full, on="token", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] != m[f"{id_col}_b"]]
+        if m.empty:
+            return empty
+        # size filter: shared <= ns_outer and c>=num/den needs
+        # den*ns_outer >= num*ns_inner (weaker than ceil — keeps all)
+        ok = (
+            den * m["ns_b"].to_numpy()
+            >= num * m["ns_a"].to_numpy()
+        )
+        m = m[ok]
+        return pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_a"].to_numpy(),
+                "id_b": m[f"{id_col}_b"].to_numpy(),
+                "truncated": (m["__trunc_a"] | m["__trunc_b"]).to_numpy(),
+            }
+        )
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    pairs = partitioned_apply(emitted, ["token"], emit_part)
+    cand = distinct_pairs_keep_flag(pairs)
+    cand = _apply_truncation_policy(cand, on_truncate, "containment_pairs")
+
+    texts = ds.select_columns([id_col, text_col])
+
+    def rename(to_id: str, to_text: str):
+        def _r(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([to_id, to_text])
+
+        return _r
+
+    with_a = partitioned_hash_join(
+        cand,
+        texts.map_batches(rename("id_a", "text_a"), batch_format="pyarrow"),
+        "id_a", "id_a",
+    )
+    with_b = partitioned_hash_join(
+        with_a,
+        texts.map_batches(rename("id_b", "text_b"), batch_format="pyarrow"),
+        "id_b", "id_b",
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        n_inner = np.empty(len(batch), dtype=np.int64)
+        n_shared = np.empty(len(batch), dtype=np.int64)
+        for i, (a, b) in enumerate(zip(batch["text_a"], batch["text_b"])):
+            sa = set(word_shingles(a))
+            n_inner[i] = len(sa)
+            n_shared[i] = len(sa.intersection(word_shingles(b)))
+        out = pd.DataFrame(
+            {
+                "inner_id": batch["id_a"].to_numpy(),
+                "outer_id": batch["id_b"].to_numpy(),
+                "n_inner": n_inner,
+                "n_shared": n_shared,
+                "containment": n_shared.astype(np.float64)
+                / n_inner.astype(np.float64),
+            }
+        )
+        if "truncated" in batch.columns:
+            out["truncated"] = batch["truncated"].to_numpy()
+        # rational gate: pure integers decide membership
+        return out[den * out["n_shared"] >= num * out["n_inner"]]
+
+    return with_b.map_batches(verify, batch_format="pandas")
