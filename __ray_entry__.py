@@ -2622,6 +2622,88 @@ def _q_containment_pairs(sf_dir: str):
     )
 
 
+def _q_reciprocal_hosts(sf_dir: str):
+    """Reciprocal-link (link-scheme) detection over the corpus plus
+    synthesized backlink pages (every doc_id % 13 == 2 gets an
+    archive page linking back to its source host), so the mutual
+    pairs are real HTML-extracted edges in both directions. One edge
+    residue + one pair aggregation — never a self-join."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        links_table,
+        reciprocal_hosts,
+    )
+
+    def backlinks(batch: _pa.Table) -> _pa.Table:
+        urls, payloads = [], []
+        for did, source in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("source").to_pylist(),
+        ):
+            if did % 13 != 2:
+                continue
+            urls.append(f"https://archive.example.org/back/{did}")
+            payloads.append(
+                (
+                    f'<html><body><p><a href="https://{source}'
+                    f'.example.com/ref/{did}">back to {source}</a>'
+                    f"</p></body></html>"
+                ).encode("utf-8")
+            )
+        # large_binary to match the corpus html schema exactly — a
+        # binary/large_binary mismatch in the union triggers Ray's
+        # schema-divergence warning on every run
+        return _pa.table(
+            {
+                "url": _pa.array(urls, type=_pa.string()),
+                "html": _pa.array(payloads, type=_pa.large_binary()),
+            }
+        )
+
+    back = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(backlinks, batch_format="pyarrow")
+    pages = read_corpus(sf_dir).select_columns(["url", "html"]).union(back)
+    return reciprocal_hosts(links_table(pages))
+
+
+def _q_source_quality_profile(sf_dir: str):
+    """Per-source LM quality report: exact integer NLL sums per
+    source (associativity-proof BIGINT residues) + the single-division
+    mean — which crawls carry the far-from-distribution text."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import unigram_nll_scores
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    scored = unigram_nll_scores(docs, keep_cols=["source"])
+    prof = grouped_sums(
+        scored.select_columns(["source", "nll_micro", "n_words"]),
+        "source",
+        ["nll_micro", "n_words"],
+        count_alias="n_docs",
+    )
+
+    def finish(batch: _pa.Table) -> _pa.Table:
+        return batch.append_column(
+            "mean_nll_per_word",
+            _pc.divide(
+                _pc.cast(batch.column("nll_micro"), _pa.float64()),
+                _pc.cast(batch.column("n_words"), _pa.float64()),
+            ),
+        )
+
+    return prof.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the external driver checks entries in dict order
     # under a bounded budget (r3 evidence: exactly the first 50 got
@@ -2669,6 +2751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "unigram_nll": _q_unigram_nll,
         "containment_pairs": _q_containment_pairs,
+        "reciprocal_hosts": _q_reciprocal_hosts,
+        "source_quality_profile": _q_source_quality_profile,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -2814,6 +2898,8 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": sm.HOST_PAGERANK_SQL,
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
+        "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,
+        "source_quality_profile": sm.SOURCE_QUALITY_PROFILE_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

@@ -389,3 +389,62 @@ class TestContainmentPairs:
                 out["n_shared"])
         )
         assert got == expected
+
+
+class TestReciprocalHosts:
+    def test_mutual_pairs_only(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import reciprocal_hosts
+
+        rows = pd.DataFrame(
+            {
+                "url": [
+                    "https://a.ex/1", "https://b.ex/1", "https://a.ex/2",
+                    "https://c.ex/1", "https://a.ex/3", "https://a.ex/4",
+                ],
+                "href": [
+                    "https://b.ex/x",   # a -> b
+                    "https://a.ex/x",   # b -> a  (mutual with above)
+                    "https://b.ex/y",   # a -> b again (cnt_ab = 2)
+                    "https://a.ex/x",   # c -> a  (one-way)
+                    "https://a.ex/self",  # same host: excluded
+                    "relative/path",    # unparseable host: excluded
+                ],
+            }
+        )
+        out = reciprocal_hosts(rd.from_pandas(rows).repartition(3)).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["host_a"], r["host_b"]) == ("a.ex", "b.ex")
+        assert (r["cnt_ab"], r["cnt_ba"]) == (2, 1)
+
+    def test_empty_when_one_way(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import reciprocal_hosts
+
+        rows = pd.DataFrame(
+            {"url": ["https://a.ex/1"], "href": ["https://b.ex/x"]}
+        )
+        ds = reciprocal_hosts(rd.from_pandas(rows))
+        # Dataset-level schema survives the all-empty result (typed
+        # empty union) — Ray's to_pandas drops columns on empty data,
+        # so the contract check is the schema, not the DataFrame
+        assert ds.schema().names == ["host_a", "host_b", "cnt_ab", "cnt_ba"]
+        assert ds.count() == 0
+
+
+def test_unigram_nll_keep_cols(ray_session, sf_small):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import unigram_nll_scores
+
+    docs = rd.read_parquet(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    out = unigram_nll_scores(docs, keep_cols=["source"]).to_pandas()
+    base = unigram_nll_scores(docs).to_pandas()
+    assert "source" in out.columns
+    merged = out.merge(base, on="doc_id", suffixes=("", "_base"))
+    assert (merged["nll_micro"] == merged["nll_micro_base"]).all()

@@ -2831,3 +2831,85 @@ SELECT inner_id, outer_id, ca.ns AS n_inner, i AS n_shared,
 FROM pair_inter JOIN cnt ca ON inner_id = ca.doc_id
 WHERE 5 * i >= 4 * ca.ns
 """
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-link detection. Engine twin: linkgraph.reciprocal_hosts
+# over links_table(corpus + synthesized backlink pages). The mirror
+# re-derives the backlink edges from the generator formula and the
+# content edges from _LINKS_CTE, then does the same canonical-pair
+# direction-split aggregation.
+# ---------------------------------------------------------------------------
+
+RECIPROCAL_HOSTS_SQL = GOLDEN_CTE + _LINKS_CTE + rf"""
+, back AS (
+  SELECT 'https://archive.example.org/back/' || doc_id AS url,
+         'https://' || source || '.example.com/ref/' || doc_id AS href
+  FROM documents WHERE doc_id % 13 = 2
+), all_edges AS (
+  SELECT {_HOST_EXPR.format(c='url')} AS src,
+         {_HOST_EXPR.format(c='href')} AS dst
+  FROM links
+  UNION ALL
+  SELECT {_HOST_EXPR.format(c='url')} AS src,
+         {_HOST_EXPR.format(c='href')} AS dst
+  FROM back
+), he AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+  FROM all_edges
+  WHERE src != dst AND src != '' AND dst != ''
+  GROUP BY 1, 2
+), p AS (
+  SELECT least(src, dst) AS host_a, greatest(src, dst) AS host_b,
+         CAST(sum(CASE WHEN src < dst THEN cnt ELSE 0 END) AS BIGINT)
+             AS cnt_ab,
+         CAST(sum(CASE WHEN src > dst THEN cnt ELSE 0 END) AS BIGINT)
+             AS cnt_ba
+  FROM he GROUP BY 1, 2
+)
+SELECT host_a, host_b, cnt_ab, cnt_ba
+FROM p WHERE cnt_ab > 0 AND cnt_ba > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source LM quality profile. Engine twin: unigram_nll_scores
+# (keep_cols=['source']) + grouped integer sums; mean is the single
+# division on top of exact BIGINT sums.
+# ---------------------------------------------------------------------------
+
+SOURCE_QUALITY_PROFILE_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), hh AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 65536 AS BIGINT) AS h
+  FROM w
+), c AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS c FROM hh GROUP BY h
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM hh
+), q AS (
+  SELECT h,
+         CAST(floor(-ln((CAST(c AS DOUBLE) + 1.0)
+                        / (CAST(t.t AS DOUBLE) + 65536.0))
+                    * 1000000.0 + 0.5) AS BIGINT) AS nll_u
+  FROM c CROSS JOIN tot t
+), per_doc AS (
+  SELECT doc_id, any_value(source) AS source,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(nll_u) AS BIGINT) AS nll_micro
+  FROM hh JOIN q USING (h)
+  GROUP BY doc_id
+)
+SELECT source,
+       CAST(sum(nll_micro) AS BIGINT) AS nll_micro,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(CAST(sum(nll_micro) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(n_words) AS BIGINT) AS DOUBLE)
+           AS mean_nll_per_word
+FROM per_doc
+GROUP BY source
+"""

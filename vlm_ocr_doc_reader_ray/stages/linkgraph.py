@@ -909,3 +909,70 @@ def host_pagerank(
         ),
         batch_format="pandas",
     )
+
+
+def reciprocal_hosts(links: rd.Dataset) -> rd.Dataset:
+    """Cross-host pairs linked in BOTH directions — the classic
+    link-scheme / link-farm signal (organic linking is mostly
+    one-way; dense mutual linking between unrelated hosts marks
+    reciprocal-exchange spam, a Google-webspam-guidelines staple).
+
+    → (host_a, host_b, cnt_ab, cnt_ba), host_a < host_b, both counts
+    > 0; same-host edges and unparseable hosts excluded.
+
+    Reference analog: none — beyond-reference web-graph op.
+
+    Scale shape: the link stream collapses per-batch to (src, dst,
+    cnt) residues; the canonicalization to (lo, hi) with direction
+    split into two sum columns is a vectorized Arrow pass over the
+    residue; ONE hash aggregation over distinct host pairs and a
+    vectorized filter finish it — the pair detection costs one
+    shuffle of the edge residue, never a self-join.
+    """
+    def project(batch: pa.Table) -> pa.Table:
+        src = _host_expr(batch.column("url"))
+        dst = _host_expr(batch.column("href"))
+        t = pa.table({"src": src, "dst": dst})
+        keep = pc.and_(
+            pc.and_(
+                pc.not_equal(t.column("src"), t.column("dst")),
+                pc.not_equal(t.column("src"), ""),
+            ),
+            pc.not_equal(t.column("dst"), ""),
+        )
+        t = t.filter(keep)
+        out = t.group_by(["src", "dst"]).aggregate([([], "count_all")])
+        out = out.rename_columns(["src", "dst", "cnt"])
+        fwd = pc.less(out.column("src"), out.column("dst"))
+        lo = pc.if_else(fwd, out.column("src"), out.column("dst"))
+        hi = pc.if_else(fwd, out.column("dst"), out.column("src"))
+        zero = pa.array([0] * len(out), type=pa.int64())
+        cnt = pc.cast(out.column("cnt"), pa.int64())
+        return pa.table(
+            {
+                "host_a": lo,
+                "host_b": hi,
+                "cnt_ab": pc.if_else(fwd, cnt, zero),
+                "cnt_ba": pc.if_else(fwd, zero, cnt),
+            }
+        )
+
+    residues = links.map_batches(project, batch_format="pyarrow")
+    summed = grouped_sums(residues, ["host_a", "host_b"], ["cnt_ab", "cnt_ba"])
+
+    def keep_mutual(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.and_(
+                pc.greater(batch.column("cnt_ab"), 0),
+                pc.greater(batch.column("cnt_ba"), 0),
+            )
+        )
+
+    # schema-stable even when every pair is one-way (all blocks
+    # filtered empty): the typed-empty union pins the contract columns
+    return summed.map_batches(keep_mutual, batch_format="pyarrow").union(
+        _empty_typed(
+            host_a=pa.string(), host_b=pa.string(),
+            cnt_ab=pa.int64(), cnt_ba=pa.int64(),
+        )
+    )

@@ -1389,6 +1389,7 @@ def unigram_nll_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 65536,
+    keep_cols: "list[str] | None" = None,
 ) -> rd.Dataset:
     """CCNet-style language-model quality scoring: per-document
     negative log-likelihood under a hashed-unigram LM fitted on the
@@ -1422,7 +1423,8 @@ def unigram_nll_scores(
 
     from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
 
-    narrow = ds.select_columns([id_col, text_col])
+    extra = list(keep_cols or [])
+    narrow = ds.select_columns([id_col, text_col] + extra)
 
     def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty:
@@ -1452,12 +1454,15 @@ def unigram_nll_scores(
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty:
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {id_col: pd.Series([], dtype="int64"),
                  "n_words": pd.Series([], dtype="int64"),
                  "nll_micro": pd.Series([], dtype="int64"),
                  "mean_nll": pd.Series([], dtype="float64")}
             )
+            for c in extra:
+                out[c] = pd.Series([], dtype="object")
+            return out
         import numpy as np
 
         table = ray.get(ref)
@@ -1467,7 +1472,7 @@ def unigram_nll_scores(
             row_of, weights=table[buckets].astype(np.float64),
             minlength=len(batch),
         ).astype(np.int64)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: batch[id_col].to_numpy(np.int64),
                 "n_words": lens,
@@ -1475,5 +1480,8 @@ def unigram_nll_scores(
                 "mean_nll": nll.astype(np.float64) / lens.astype(np.float64),
             }
         )
+        for c in extra:
+            out[c] = batch[c].to_numpy()
+        return out
 
     return narrow.map_batches(score, batch_format="pandas")
