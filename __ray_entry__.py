@@ -2440,27 +2440,26 @@ def _q_event_type_counts(sf_dir: str):
     return value_counts(events, "event_type")
 
 
-def _q_recrawl_latest(sf_dir: str):
-    """Recrawl collapse: each URL is fetched in 1 + doc_id % 3 dated
-    snapshots (snapshot s drops the first s words — content drifts
-    between crawls); latest-wins keeps the newest capture per URL.
-    The engine op is the distributed argmax :func:`latest_by_key`
-    (per-batch candidate rows, ONE hash shuffle of winners only); the
-    oracle is the row_number()-over-ts window on the identically
-    synthesized snapshot table."""
-    import hashlib
-
-    import pyarrow as _pa
-    import pyarrow.compute as _pc
+def _snapshot_table(sf_dir: str):
+    """Deterministic multi-snapshot crawl fixture shared by the
+    recrawl queries: each doc yields 1 + doc_id % 3 dated captures of
+    its URL; snapshot s drops the first s words (content drift) and is
+    stamped base + doc_id sec + s days, in integer micros. The batch
+    fn is a CLOSURE so Ray pickles it by value — a module-level fn in
+    __ray_entry__ would pickle by reference and fail to import on
+    workers launched from a foreign cwd."""
     import ray.data as rd
 
+    # captured OUTSIDE the batch fn: cloudpickle ships the registered
+    # package object by value; an import inside the fn would run on
+    # the worker, where the package isn't on sys.path
     from vlm_ocr_doc_reader_ray.corpus.generator import url_of
-    from vlm_ocr_doc_reader_ray.stages.relational import latest_by_key
 
-    base_us = 1735689600000000  # 2025-01-01T00:00:00Z in micros
+    def snapshot_batch(batch):
+        import pyarrow as _pa
 
-    def snapshots(batch: _pa.Table) -> _pa.Table:
-        urls, snaps, tss, texts = [], [], [], []
+        base_us = 1735689600000000  # 2025-01-01T00:00:00Z in micros
+        urls, snaps, tss, texts, langs = [], [], [], [], []
         for did, text, lang, source in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("text").to_pylist(),
@@ -2474,20 +2473,41 @@ def _q_recrawl_latest(sf_dir: str):
                 snaps.append(s)
                 tss.append(base_us + did * 1_000_000 + s * 86_400_000_000)
                 texts.append(" ".join(words[s:]))
+                langs.append(lang)
         return _pa.table(
             {
                 "url": _pa.array(urls, type=_pa.string()),
                 "snap": _pa.array(snaps, type=_pa.int64()),
                 "ts_us": _pa.array(tss, type=_pa.int64()),
                 "snap_text": _pa.array(texts, type=_pa.string()),
+                "lang": _pa.array(langs, type=_pa.string()),
             }
         )
 
-    snaps = rd.read_parquet(
+    return rd.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
-    ).map_batches(snapshots, batch_format="pyarrow")
-    latest = latest_by_key(snaps, "url", "ts_us")
+    ).map_batches(snapshot_batch, batch_format="pyarrow")
+
+
+def _q_recrawl_latest(sf_dir: str):
+    """Recrawl collapse: each URL is fetched in 1 + doc_id % 3 dated
+    snapshots (snapshot s drops the first s words — content drifts
+    between crawls); latest-wins keeps the newest capture per URL.
+    The engine op is the distributed argmax :func:`latest_by_key`
+    (per-batch candidate rows, ONE hash shuffle of winners only); the
+    oracle is the row_number()-over-ts window on the identically
+    synthesized snapshot table."""
+    import hashlib
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from vlm_ocr_doc_reader_ray.stages.relational import latest_by_key
+
+    latest = latest_by_key(
+        _snapshot_table(sf_dir).drop_columns(["lang"]), "url", "ts_us"
+    )
 
     def project(batch) -> _pa.Table:
         t = _pa.Table.from_pandas(batch, preserve_index=False)
@@ -2622,6 +2642,59 @@ def _q_containment_pairs(sf_dir: str):
     )
 
 
+def _q_recrawl_train_mixture(sf_dir: str):
+    """Composition of the round's web-scale ops under one gate:
+    multi-snapshot crawl → latest-wins collapse (distributed argmax)
+    → leakage-free HOST holdout (md5 split rule, train side kept) →
+    per-language mixture report over the surviving captures. The
+    oracle chains the same window + hash rule + group-by in SQL."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+    from vlm_ocr_doc_reader_ray.stages.dedup import md5_u64
+    from vlm_ocr_doc_reader_ray.stages.relational import latest_by_key
+
+    latest = latest_by_key(_snapshot_table(sf_dir), "url", "ts_us")
+
+    _host_rx = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<host>[^/?#]+)"
+
+    def train_residue(batch) -> _pa.Table:
+        t = _pa.Table.from_pandas(batch, preserve_index=False)
+        if len(t) == 0:
+            return _pa.table(
+                {
+                    "lang": _pa.array([], type=_pa.string()),
+                    "n_words": _pa.array([], type=_pa.int64()),
+                }
+            )
+        ex = _pc.extract_regex(
+            t.column("url").combine_chunks(), _host_rx
+        )
+        hosts = _pc.utf8_lower(
+            _pc.fill_null(_pc.struct_field(ex, "host"), "")
+        ).to_pylist()
+        keep = _pa.array(
+            [md5_u64(f"holdout:{h}") % 10 != 0 for h in hosts],
+            type=_pa.bool_(),
+        )
+        t = t.filter(keep)
+        words = _pc.split_pattern(t.column("snap_text"), " ")
+        return _pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_words": _pc.cast(
+                    _pc.list_value_length(words), _pa.int64()
+                ),
+            }
+        )
+
+    residue = latest.map_batches(train_residue, batch_format="pandas")
+    return grouped_sums(
+        residue, "lang", ["n_words"], count_alias="n_docs"
+    )
+
+
 def _q_reciprocal_hosts(sf_dir: str):
     """Reciprocal-link (link-scheme) detection over the corpus plus
     synthesized backlink pages (every doc_id % 13 == 2 gets an
@@ -2753,6 +2826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "reciprocal_hosts": _q_reciprocal_hosts,
         "source_quality_profile": _q_source_quality_profile,
+        "recrawl_train_mixture": _q_recrawl_train_mixture,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -2900,6 +2974,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,
         "source_quality_profile": sm.SOURCE_QUALITY_PROFILE_SQL,
+        "recrawl_train_mixture": sm.RECRAWL_TRAIN_MIXTURE_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

@@ -2913,3 +2913,42 @@ SELECT source,
 FROM per_doc
 GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# recrawl → holdout → mixture composition. Engine twin:
+# latest_by_key over the snapshot fixture, the host_holdout md5 rule
+# (train side), then a per-language sum — chained as window + hash
+# gate + GROUP BY here.
+# ---------------------------------------------------------------------------
+
+RECRAWL_TRAIN_MIXTURE_SQL = r"""
+WITH s AS (
+  SELECT doc_id, lang, source, text,
+         unnest(range(0, 1 + doc_id % 3)) AS snap
+  FROM documents
+), t AS (
+  SELECT lang,
+         lower(source || '.example.com') AS host,
+         'https://' || source || '.example.com/' || lang || '/' ||
+             lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         CAST(1735689600000000 + doc_id * 1000000
+              + snap * 86400000000 AS BIGINT) AS ts_us,
+         array_to_string(
+           list_slice(string_split(text, ' '), snap + 1,
+                      len(string_split(text, ' '))), ' ') AS snap_text
+  FROM s
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY ts_us DESC) AS rn
+  FROM t
+), train AS (
+  SELECT lang, snap_text FROM r
+  WHERE rn = 1
+    AND CAST(('0x' || substr(md5('holdout:' || host), 1, 16))
+             AS UBIGINT) % 10 != 0
+)
+SELECT lang,
+       CAST(sum(len(string_split(snap_text, ' '))) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM train GROUP BY lang
+"""
