@@ -2777,6 +2777,44 @@ def _q_source_quality_profile(sf_dir: str):
     return prof.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_keyword_search_indexed(sf_dir: str):
+    """keyword_search through the PERSISTED term index: postings
+    parquet partitioned by term-hash bucket, the search reads only
+    the query terms' buckets (hive partition pruning — the
+    text-retrieval twin of similarity_ivf_indexed). Gated by the SAME
+    oracle as the scan path, so a green hash proves index build +
+    pruned read == full scan."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        build_term_index,
+        keyword_search_indexed,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|b64"
+    tag = hashlib.md5(fp.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/vlm_ocr_ray_term_index/{tag}"
+    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+        docs = rd.read_parquet(src, columns=["doc_id", "text"])
+        build_term_index(docs, index_dir, n_buckets=64)
+    return keyword_search_indexed(
+        index_dir,
+        {
+            1: ["sort", "merge"],
+            2: ["spark", "stream"],
+            3: ["customer", "filter", "query"],
+            4: ["window"],
+        },
+        k=10,
+        n_buckets=64,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the external driver checks entries in dict order
     # under a bounded budget (r3 evidence: exactly the first 50 got
@@ -2827,6 +2865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocal_hosts": _q_reciprocal_hosts,
         "source_quality_profile": _q_source_quality_profile,
         "recrawl_train_mixture": _q_recrawl_train_mixture,
+        "keyword_search_indexed": _q_keyword_search_indexed,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -2975,6 +3014,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,
         "source_quality_profile": sm.SOURCE_QUALITY_PROFILE_SQL,
         "recrawl_train_mixture": sm.RECRAWL_TRAIN_MIXTURE_SQL,
+        "keyword_search_indexed": sm.KEYWORD_SEARCH_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

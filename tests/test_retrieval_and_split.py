@@ -448,3 +448,56 @@ def test_unigram_nll_keep_cols(ray_session, sf_small):
     assert "source" in out.columns
     merged = out.merge(base, on="doc_id", suffixes=("", "_base"))
     assert (merged["nll_micro"] == merged["nll_micro_base"]).all()
+
+
+class TestKeywordSearchIndexed:
+    def test_indexed_equals_scan_path(self, ray_session, sf_small, tmp_path):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            build_term_index,
+            keyword_search,
+            keyword_search_indexed,
+        )
+
+        docs = rd.read_parquet(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+        )
+        idx = str(tmp_path / "term_index")
+        build_term_index(docs, idx, n_buckets=16)
+        q = {1: ["sort", "merge"], 2: ["window"]}
+        a = (
+            keyword_search(docs, q, k=10)
+            .to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        b = (
+            keyword_search_indexed(idx, q, k=10, n_buckets=16)
+            .to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_partition_pruning_reads_fewer_files(
+        self, ray_session, sf_small, tmp_path
+    ):
+        import ray.data as rd
+        from ray.data.datasource.partitioning import PathPartitionFilter
+
+        from vlm_ocr_doc_reader_ray.stages.dedup import md5_u64
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            build_term_index,
+        )
+
+        docs = rd.read_parquet(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+        )
+        idx = str(tmp_path / "term_index")
+        build_term_index(docs, idx, n_buckets=16)
+        probed = {str(md5_u64("window") % 16)}
+        pf = PathPartitionFilter.of(
+            lambda kv: kv.get("bucket") in probed, style="hive"
+        )
+        pruned_files = rd.read_parquet(idx, partition_filter=pf).input_files()
+        all_files = rd.read_parquet(idx).input_files()
+        assert 0 < len(pruned_files) < len(all_files)

@@ -1485,3 +1485,121 @@ def unigram_nll_scores(
         return out
 
     return narrow.map_batches(score, batch_format="pandas")
+
+
+def build_term_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist a positional-free inverted index: ``(term, doc_id,
+    tf)`` postings parquet PARTITIONED BY ``bucket = md5_u64(term) %
+    n_buckets`` (hive layout) — the text-retrieval twin of
+    :func:`similarity.build_ivf_index`. The write-once index lets
+    :func:`keyword_search_indexed` open only the query terms' bucket
+    directories (path-level partition pruning), so repeated searches
+    never rescan the corpus.
+
+    Scale shape: one streaming pass; each batch collapses to its
+    (term, doc, tf) counts vectorized (a doc's text lives in one row,
+    so tf is complete per batch — no combine shuffle needed before
+    the write); the partitioned write is the only data movement.
+    """
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.dedup import md5_u64
+    from vlm_ocr_doc_reader_ray.stages.scrub import arrow_word_ngrams
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        import numpy as np
+
+        grams, doc_idx = arrow_word_ngrams(batch.column(text_col), 1)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[doc_idx]
+        df = (
+            pd.DataFrame({"term": grams.to_pandas(), id_col: ids})
+            .groupby(["term", id_col], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        df["tf"] = df["tf"].astype("int64")
+        # hash once per unique term in the batch, not per posting
+        uniq = df["term"].unique()
+        b_of = {t: md5_u64(t) % n_buckets for t in uniq}
+        df["bucket"] = df["term"].map(b_of).astype("int64")
+        return df
+
+    ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    ).write_parquet(index_dir, partition_cols=["bucket"])
+
+
+def keyword_search_indexed(
+    index_dir: str,
+    queries: "dict[int, list[str]]",
+    k: int = 10,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """:func:`keyword_search` through the PERSISTED term index: the
+    read opens only the buckets hosting the query terms (hive
+    partition filter — scan bytes drop ~``len(terms)/n_buckets``),
+    matching postings collapse to (query_id, doc, score) residues,
+    one residue aggregation sums multi-term scores, and the same
+    top-k merge ranks them. Identical output contract to the
+    scan-path op, so the SAME oracle gates both — a green hash proves
+    index build + pruned read == full scan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        grouped_sums,
+        partitioned_apply,
+    )
+    from vlm_ocr_doc_reader_ray.stages.dedup import md5_u64
+
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    terms_all = sorted({t for ts in queries.values() for t in ts})
+    probed = {str(md5_u64(t) % n_buckets) for t in terms_all}
+    pf = PathPartitionFilter.of(
+        lambda kv: kv.get("bucket") in probed, style="hive"
+    )
+    postings = rd.read_parquet(index_dir, partition_filter=pf)
+
+    def match(batch: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for qid, qterms in queries.items():
+            hit = batch[batch["term"].isin(qterms)]
+            if hit.empty:
+                continue
+            g = hit.groupby(id_col, as_index=False)["tf"].sum()
+            g.insert(0, "query_id", np.int64(qid))
+            parts.append(g.rename(columns={"tf": "score"}))
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    id_col: pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    partials = postings.map_batches(match, batch_format="pandas")
+    summed = grouped_sums(partials, ["query_id", id_col], ["score"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["query_id", "score", id_col], ascending=[True, False, True]
+        )
+        g = g.groupby("query_id", sort=False, group_keys=False).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = (
+            g.groupby("query_id", sort=False).cumcount() + 1
+        ).astype("int64")
+        return g
+
+    return partitioned_apply(summed, ["query_id"], merge)
