@@ -93,6 +93,17 @@ def main() -> None:
             links_table(read_corpus("/root/testdata/sf0.001"))
         ).to_pandas()
         graph_pins = [p[:] for p in pins]
+        pins.clear()
+
+        # damped PageRank pins only bounded residues: the (src, dst,
+        # cnt) edge table, the host universe, and one score row per
+        # host per superstep — never a link row or payload
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import host_pagerank
+
+        host_pagerank(
+            links_table(read_corpus("/root/testdata/sf0.001")), iters=2
+        ).to_pandas()
+        pagerank_pins = [p[:] for p in pins]
     finally:
         rd.Dataset.materialize = orig
 
@@ -105,10 +116,12 @@ def main() -> None:
         "curate_disk_spill_bytes": spilled,
         "span_dedup_pins": span_pins,
         "graph_pins": graph_pins,
+        "pagerank_pins": pagerank_pins,
         "payload_columns_pinned": offenders(shard_pins)
         + offenders(curate_pins)
         + offenders(span_pins)
-        + offenders(graph_pins),
+        + offenders(graph_pins)
+        + offenders(pagerank_pins),
     }
     print(json.dumps(result))
     assert not result["payload_columns_pinned"], result["payload_columns_pinned"]

@@ -259,3 +259,39 @@ def test_cli_curate_subprocess(ray_session, sf_small):
     assert r.returncode == 0, r.stderr[-2000:]
     df = pd.read_parquet(out)
     assert len(df) > 0
+
+
+def test_cli_index_search_subprocess(ray_session, sf_small):
+    """`index` persists the bucket-partitioned term index; `search
+    --index` retrieves through pruned reads; plain `search` runs BM25
+    over the corpus. Both paths work with string url ids."""
+    import shutil
+    import subprocess
+    import sys
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import corpus_parquet
+
+    corpus = corpus_parquet(sf_small, reps=1)
+    idx = "/tmp/cli_term_index_test"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "vlm_ocr_doc_reader_ray.cli",
+             "--num-cpus", "2", *argv],
+            cwd="/root/repo", capture_output=True, text=True, timeout=240,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    out1 = run("index", corpus, "-o", idx, "--buckets", "16")
+    assert "wrote term index (16 buckets)" in out1
+
+    out2 = run("search", idx, "--index", "--buckets", "16",
+               "-q", "sort merge", "-k", "3")
+    lines = [l for l in out2.splitlines() if l.startswith("q1\t")]
+    assert len(lines) == 3 and "https://" in lines[0]
+
+    out3 = run("search", corpus, "-q", "window", "-k", "2")
+    lines = [l for l in out3.splitlines() if l.startswith("q1\t")]
+    assert len(lines) == 2 and "https://" in lines[0]

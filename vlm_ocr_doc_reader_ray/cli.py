@@ -170,6 +170,34 @@ def main(argv: List[str] | None = None) -> int:
     p_sd.add_argument("--text-col", default="text")
     p_sd.add_argument("--exact", action="store_true")
 
+    p_ix = sub.add_parser(
+        "index",
+        help="corpus → persisted term index (postings parquet "
+        "partitioned by term-hash bucket; `search` prunes its reads "
+        "to the query terms' buckets)",
+    )
+    p_ix.add_argument("corpus")
+    p_ix.add_argument("-o", "--output", required=True)
+    p_ix.add_argument("--buckets", type=int, default=64)
+    p_ix.add_argument("--id-col", default="url")
+    p_ix.add_argument("--text-col", default="text")
+
+    p_se = sub.add_parser(
+        "search",
+        help="top-k retrieval over a corpus (BM25, two streaming "
+        "passes) or over a persisted `index` dir (--index: "
+        "integer-count scoring through partition-pruned reads)",
+    )
+    p_se.add_argument("corpus_or_index")
+    p_se.add_argument("-q", "--query", action="append", required=True,
+                      help="query terms, space-separated; repeatable")
+    p_se.add_argument("-k", type=int, default=10)
+    p_se.add_argument("--index", action="store_true",
+                      help="treat the positional arg as an `index` dir")
+    p_se.add_argument("--buckets", type=int, default=64)
+    p_se.add_argument("--id-col", default="url")
+    p_se.add_argument("--text-col", default="text")
+
     args = ap.parse_args(argv)
     from vlm_ocr_doc_reader_ray.runtime import register_for_workers
 
@@ -326,6 +354,48 @@ def main(argv: List[str] | None = None) -> int:
             )
             out.write_parquet(args.output)
             print(f"wrote span-deduped corpus to {args.output}")
+        elif args.cmd == "index":
+            from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+                build_term_index,
+            )
+
+            ds = rd.read_parquet(
+                args.corpus, columns=[args.id_col, args.text_col]
+            )
+            build_term_index(
+                ds, args.output, n_buckets=args.buckets,
+                text_col=args.text_col, id_col=args.id_col,
+            )
+            print(f"wrote term index ({args.buckets} buckets) to {args.output}")
+        elif args.cmd == "search":
+            from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+                bm25_search,
+                keyword_search_indexed,
+            )
+
+            qmap = {
+                i + 1: q.split(" ") for i, q in enumerate(args.query)
+            }
+            if args.index:
+                res = keyword_search_indexed(
+                    args.corpus_or_index, qmap, k=args.k,
+                    n_buckets=args.buckets, id_col=args.id_col,
+                )
+            else:
+                ds = rd.read_parquet(
+                    args.corpus_or_index,
+                    columns=[args.id_col, args.text_col],
+                )
+                res = bm25_search(
+                    ds, qmap, k=args.k,
+                    text_col=args.text_col, id_col=args.id_col,
+                )
+            df = res.to_pandas()
+            if len(df):
+                df = df.sort_values(["query_id", "rank"])
+            for r in df.itertuples(index=False):
+                print(f"q{r.query_id}\t#{r.rank}\t{getattr(r, args.id_col)}\t{r.score}")
+            print(f"search: {len(df)} results over {len(qmap)} queries")
         elif args.cmd == "run":
             from vlm_ocr_doc_reader_ray.pipelines.checkpoint import run_checkpointed
 

@@ -1314,14 +1314,22 @@ def bm25_search(
         for t in terms_all
     }
 
-    _empty = {
-        "query_id": pd.Series([], dtype="int64"),
-        id_col: pd.Series([], dtype="int64"),
-        "score": pd.Series([], dtype="int64"),
-    }
-
     # ---- pass 2: score + local top-k -------------------------------
     def local(batch: pa.Table) -> pd.DataFrame:
+        # id dtype is PRESERVED (int64 doc ids and string url ids both
+        # work); the empty frame mirrors the batch's Arrow id type so
+        # all blocks agree on schema
+        id_dtype = (
+            "object"
+            if pa.types.is_string(batch.schema.field(id_col).type)
+            or pa.types.is_large_string(batch.schema.field(id_col).type)
+            else "int64"
+        )
+        _empty = {
+            "query_id": pd.Series([], dtype="int64"),
+            id_col: pd.Series([], dtype=id_dtype),
+            "score": pd.Series([], dtype="int64"),
+        }
         words = pc.split_pattern(batch.column(text_col), " ")
         lens = pc.list_value_length(words).to_numpy().astype(np.int64)
         if len(lens) == 0:
@@ -1355,7 +1363,7 @@ def bm25_search(
             part = pd.DataFrame(
                 {
                     "query_id": np.full(len(nzd), qid, dtype=np.int64),
-                    id_col: ids[nzd].astype(np.int64),
+                    id_col: ids[nzd],
                     "score": score[nzd],
                 }
             )
@@ -1579,10 +1587,13 @@ def keyword_search_indexed(
             g.insert(0, "query_id", np.int64(qid))
             parts.append(g.rename(columns={"tf": "score"}))
         if not parts:
+            # empty frame mirrors the postings' id dtype so blocks
+            # agree on schema whether ids are int64 or string
             return pd.DataFrame(
                 {
                     "query_id": pd.Series([], dtype="int64"),
-                    id_col: pd.Series([], dtype="int64"),
+                    id_col: pd.Series([], dtype=batch[id_col].dtype
+                                      if len(batch.columns) else "int64"),
                     "score": pd.Series([], dtype="int64"),
                 }
             )
