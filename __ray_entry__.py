@@ -2815,6 +2815,30 @@ def _q_keyword_search_indexed(sf_dir: str):
     )
 
 
+def _q_perplexity_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail corpus triage: unigram-LM mean
+    NLL per doc, tertile thresholds from the deterministic
+    fixed-width histogram, integer bin comparisons decide the bucket.
+    The narrow (doc_id, mean_nll) score table is pinned once (three
+    consumers; at 10^12 docs spill it to parquet instead)."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        perplexity_buckets,
+        unigram_nll_scores,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    scored = (
+        unigram_nll_scores(docs)
+        .select_columns(["doc_id", "mean_nll"])
+        .materialize()
+    )
+    return perplexity_buckets(scored)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the external driver checks entries in dict order
     # under a bounded budget (r3 evidence: exactly the first 50 got
@@ -2866,6 +2890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_profile": _q_source_quality_profile,
         "recrawl_train_mixture": _q_recrawl_train_mixture,
         "keyword_search_indexed": _q_keyword_search_indexed,
+        "perplexity_buckets": _q_perplexity_buckets,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -3015,6 +3040,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_profile": sm.SOURCE_QUALITY_PROFILE_SQL,
         "recrawl_train_mixture": sm.RECRAWL_TRAIN_MIXTURE_SQL,
         "keyword_search_indexed": sm.KEYWORD_SEARCH_SQL,
+        "perplexity_buckets": sm.PERPLEXITY_BUCKETS_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

@@ -501,3 +501,70 @@ class TestKeywordSearchIndexed:
         pruned_files = rd.read_parquet(idx, partition_filter=pf).input_files()
         all_files = rd.read_parquet(idx).input_files()
         assert 0 < len(pruned_files) < len(all_files)
+
+
+class TestPerplexityBuckets:
+    def test_tertiles_and_ordering(self, ray_session, sf_small):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            perplexity_buckets,
+            unigram_nll_scores,
+        )
+
+        docs = rd.read_parquet(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+        )
+        scored = (
+            unigram_nll_scores(docs)
+            .select_columns(["doc_id", "mean_nll"])
+            .materialize()
+        )
+        out = _pdf(perplexity_buckets(scored))
+        counts = out["bucket"].value_counts()
+        n = len(out)
+        # tertiles are approximately balanced (histogram granularity)
+        for b in ("head", "middle", "tail"):
+            assert abs(counts[b] - n / 3) < n * 0.1, counts
+        # ordering: every head score <= every tail score
+        assert (
+            out[out["bucket"] == "head"]["mean_nll"].max()
+            <= out[out["bucket"] == "tail"]["mean_nll"].min()
+        )
+
+    def test_degenerate_all_equal(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            perplexity_buckets,
+        )
+
+        scored = rd.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2, 3], "mean_nll": [5.0, 5.0, 5.0]})
+        )
+        out = _pdf(perplexity_buckets(scored))
+        assert (out["bucket"] == "head").all()
+
+    def test_identity_under_partitioning(self, ray_session, sf_small):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            perplexity_buckets,
+            unigram_nll_scores,
+        )
+
+        docs = rd.read_parquet(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+        )
+        scored = (
+            unigram_nll_scores(docs)
+            .select_columns(["doc_id", "mean_nll"])
+            .materialize()
+        )
+        a = _pdf(perplexity_buckets(scored)).sort_values(
+            "doc_id", ignore_index=True
+        )
+        b = _pdf(perplexity_buckets(scored.repartition(9))).sort_values(
+            "doc_id", ignore_index=True
+        )
+        pd.testing.assert_frame_equal(a, b)

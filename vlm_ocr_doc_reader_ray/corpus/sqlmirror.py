@@ -2952,3 +2952,62 @@ SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM train GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity triage. Engine twin:
+# text_analysis.perplexity_buckets over unigram_nll_scores — tertile
+# thresholds from the deterministic 1024-bin histogram (the
+# CHARS_QUANTILES_APPROX device), bucket decided by integer bin
+# comparison; the only floats are the shared bin/ceil expressions.
+# ---------------------------------------------------------------------------
+
+PERPLEXITY_BUCKETS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 65536 AS BIGINT) AS h
+  FROM w
+), c AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS c FROM hh GROUP BY h
+), tot0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM hh
+), q AS (
+  SELECT h,
+         CAST(floor(-ln((CAST(c AS DOUBLE) + 1.0)
+                        / (CAST(t.t AS DOUBLE) + 65536.0))
+                    * 1000000.0 + 0.5) AS BIGINT) AS nll_u
+  FROM c CROSS JOIN tot0 t
+), per_doc AS (
+  SELECT doc_id,
+         CAST(CAST(sum(nll_u) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_nll
+  FROM hh JOIN q USING (h)
+  GROUP BY doc_id
+), m AS (
+  SELECT min(mean_nll) AS lo, max(mean_nll) AS hi FROM per_doc
+), b AS (
+  SELECT doc_id, mean_nll,
+         least(greatest(CAST(floor((mean_nll - lo) / (hi - lo) * 1024)
+                             AS BIGINT), 0), 1023) AS bin
+  FROM per_doc, m
+), h2 AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM h2
+), cum AS (
+  SELECT bin, sum(c) OVER (ORDER BY bin) AS cs FROM h2
+), t1 AS (
+  SELECT min(bin) AS b1 FROM cum
+  WHERE cs >= greatest(ceil((1.0 / 3) * (SELECT n FROM tot)), 1)
+), t2 AS (
+  SELECT min(bin) AS b2 FROM cum
+  WHERE cs >= greatest(ceil((2.0 / 3) * (SELECT n FROM tot)), 1)
+)
+SELECT doc_id, mean_nll,
+       CASE WHEN bin <= b1 THEN 'head'
+            WHEN bin <= b2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM b, t1, t2
+"""

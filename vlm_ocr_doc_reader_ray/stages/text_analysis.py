@@ -1614,3 +1614,114 @@ def keyword_search_indexed(
         return g
 
     return partitioned_apply(summed, ["query_id"], merge)
+
+
+def perplexity_buckets(
+    scored: rd.Dataset,
+    score_col: str = "mean_nll",
+    id_col: str = "doc_id",
+    bins: int = 1024,
+) -> rd.Dataset:
+    """CCNet-style head/middle/tail triage: split documents into
+    thirds by LM score (:func:`unigram_nll_scores`' ``mean_nll``) —
+    head = closest to the model distribution, tail = farthest.
+
+    Thresholds come from the deterministic fixed-width histogram
+    (:func:`aggregates.approx_quantiles`' device, never a sampled
+    sketch): exact global (min, max), exact per-bin counts, tertile
+    bins = first bin whose cumulative count reaches
+    ``ceil(q*n)`` for q = 1/3, 2/3. Assignment compares each doc's
+    BIN (same clamp-floor expression both engines) to the threshold
+    bins — pure integer comparisons, so the only floats in the gate
+    are the shared bin/ceil expressions, bit-identical in numpy and
+    DuckDB.
+
+    → (doc_id, mean_nll, bucket) with bucket ∈ head|middle|tail.
+
+    Reference analog: none — beyond-reference training-data op
+    (Wenzek et al., "CCNet", LREC 2020: perplexity-bucketed corpus
+    triage).
+
+    Scale shape: two residue-bounded passes over ``scored`` (min/max,
+    then ≤ ``bins`` count rows) + one vectorized assignment pass.
+    ``scored`` is consumed three times — pass a PINNED or
+    checkpointed score table (it is a narrow per-doc projection; at
+    10^12 docs spill it to parquet first, exactly like
+    ``curate(persist='disk')``), or the upstream lineage re-executes
+    per pass.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    mm = scored.aggregate(
+        _Min(score_col, alias_name="lo"), _Max(score_col, alias_name="hi")
+    )
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if hi <= lo:
+        # degenerate: every doc identical → everything is head
+        def all_head(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    score_col: batch[score_col],
+                    "bucket": "head",
+                }
+            )
+
+        return scored.map_batches(all_head, batch_format="pandas")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        idx = np.clip(
+            np.floor((v - lo) / (hi - lo) * bins).astype(np.int64),
+            0, bins - 1,
+        )
+        c = np.bincount(idx, minlength=bins)
+        nz = np.nonzero(c)[0]
+        return pa.table(
+            {"b": pa.array(nz, type=pa.int64()),
+             "c": pa.array(c[nz], type=pa.int64())}
+        )
+
+    hist = (
+        scored.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(_Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("b", ignore_index=True)
+    )
+    n = int(hist["c"].sum())
+    cum = hist["c"].cumsum()
+
+    def thr_bin(q: float) -> int:
+        target = max(math.ceil(q * n), 1)
+        return int(hist["b"].iloc[int((cum >= target).idxmax())])
+
+    b1, b2 = thr_bin(1.0 / 3), thr_bin(2.0 / 3)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[score_col].to_numpy(np.float64)
+        idx = np.clip(
+            np.floor((v - lo) / (hi - lo) * bins).astype(np.int64),
+            0, bins - 1,
+        )
+        bucket = np.where(
+            idx <= b1, "head", np.where(idx <= b2, "middle", "tail")
+        )
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                score_col: batch[score_col],
+                "bucket": bucket,
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pandas")
