@@ -2839,6 +2839,23 @@ def _q_perplexity_buckets(sf_dir: str):
     return perplexity_buckets(scored)
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing (MOSS) fingerprint selection: rightmost minimal
+    3-shingle hash per 4-window, distinct (doc, pos, hash) sketch —
+    fully row-local (zero shuffles); the mirror replays the
+    rightmost-min rule with a ROWS window + max-pos join."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_fingerprints(docs, w=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the external driver checks entries in dict order
     # under a bounded budget (r3 evidence: exactly the first 50 got
@@ -2891,6 +2908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_train_mixture": _q_recrawl_train_mixture,
         "keyword_search_indexed": _q_keyword_search_indexed,
         "perplexity_buckets": _q_perplexity_buckets,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -3041,6 +3059,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_train_mixture": sm.RECRAWL_TRAIN_MIXTURE_SQL,
         "keyword_search_indexed": sm.KEYWORD_SEARCH_SQL,
         "perplexity_buckets": sm.PERPLEXITY_BUCKETS_SQL,
+        "winnow_fingerprints": sm.WINNOW_FINGERPRINTS_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

@@ -568,3 +568,82 @@ class TestPerplexityBuckets:
             "doc_id", ignore_index=True
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestWinnowing:
+    def test_matches_bruteforce(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.dedup import md5_u64, word_shingles
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        rng = np.random.default_rng(9)
+        vocab = np.array(list("abcdefgh"))
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+            for _ in range(40)
+        ]
+        w = 4
+        expected = set()
+        for d, t in enumerate(texts):
+            sh = word_shingles(t)
+            if len(sh) < w:
+                continue
+            h = [md5_u64(s) for s in sh]
+            for p in range(w - 1, len(sh)):
+                window = h[p - w + 1: p + 1]
+                mn = min(window)
+                # rightmost min
+                sel = max(
+                    i for i in range(p - w + 1, p + 1) if h[i] == mn
+                )
+                expected.add((d, sel, h[sel]))
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        ).repartition(5)
+        out = winnow_fingerprints(ds, w=w).to_pandas()
+        got = set(
+            zip(out["doc_id"], out["pos"], out["gram_hash"].astype(object))
+        )
+        assert got == {(d, p, h) for d, p, h in expected}
+
+    def test_shared_run_guarantee(self, ray_session):
+        """Winnowing's core property: two docs sharing a run of
+        >= w+2 words share at least one fingerprint HASH."""
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+        t1 = "x1 x2 x3 " + shared + " y1 y2"
+        t2 = "z9 " + shared + " q5 q6 q7"
+        out = winnow_fingerprints(
+            rd.from_pandas(
+                pd.DataFrame({"doc_id": [1, 2], "text": [t1, t2]})
+            ),
+            w=4,
+        ).to_pandas()
+        h1 = set(out[out["doc_id"] == 1]["gram_hash"])
+        h2 = set(out[out["doc_id"] == 2]["gram_hash"])
+        assert h1 & h2
+
+    def test_short_docs_yield_nothing(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        out = winnow_fingerprints(
+            rd.from_pandas(
+                pd.DataFrame({"doc_id": [1], "text": ["a b c d e"]})
+            ),
+            w=4,
+        ).to_pandas()
+        # 5 words -> 3 shingles < w=4 windows -> no fingerprints
+        assert len(out) == 0

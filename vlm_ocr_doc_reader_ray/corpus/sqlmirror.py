@@ -3011,3 +3011,50 @@ SELECT doc_id, mean_nll,
             ELSE 'tail' END AS bucket
 FROM b, t1, t2
 """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al., SIGMOD 2003). Engine twin:
+# text_analysis.winnow_fingerprints — per window of w=4 consecutive
+# 3-shingle hashes, the RIGHTMOST minimal hash is selected; output is
+# the distinct (doc, pos, hash) set. The mirror computes the window
+# min with a ROWS frame, then joins back to find the max pos
+# attaining it — the same rightmost-min rule.
+# ---------------------------------------------------------------------------
+
+WINNOW_FINGERPRINTS_SQL = r"""
+WITH wt AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN nw < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_transform(range(0, nw - 2),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+                END) AS shingle,
+         unnest(CASE WHEN nw < 3 THEN [0]
+                ELSE range(0, nw - 2) END) AS pos
+  FROM wt
+), sh AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         ('0x' || substr(md5(shingle), 1, 16))::UBIGINT AS gram_hash
+  FROM sh0
+), win AS (
+  SELECT doc_id, pos,
+         min(gram_hash) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+         ) AS wmin
+  FROM sh
+), sel AS (
+  SELECT w.doc_id, max(b.pos) AS pos, w.wmin AS gram_hash
+  FROM win w
+  JOIN sh b ON b.doc_id = w.doc_id
+           AND b.pos BETWEEN w.pos - 3 AND w.pos
+           AND b.gram_hash = w.wmin
+  WHERE w.pos >= 3
+  GROUP BY w.doc_id, w.pos, w.wmin
+)
+SELECT DISTINCT doc_id, pos, gram_hash FROM sel
+"""

@@ -1725,3 +1725,71 @@ def perplexity_buckets(
         )
 
     return scored.map_batches(assign, batch_format="pandas")
+
+
+def winnow_fingerprints(
+    ds: rd.Dataset,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm): from each document's word-
+    3-shingle hash sequence, every window of ``w`` consecutive hashes
+    contributes its RIGHTMOST minimal hash; the distinct selected
+    (position, hash) pairs are the fingerprint sketch. Guarantees:
+    any shared run of >= w+2 words produces at least one shared
+    fingerprint (local, position-robust near-dup detection at
+    ~2/(w+1) density — cheaper than full shingle sets, unlike MinHash
+    it localizes the match).
+
+    → (doc_id, pos, gram_hash), pos = 0-based shingle index,
+    gram_hash = md5_u64 of the shingle (uint64 — the engine-wide hash
+    contract, UBIGINT in the mirror). Docs with fewer than ``w``
+    shingles yield no windows, hence no fingerprints (documented
+    edge; both engines agree).
+
+    Scale shape: fully ROW-LOCAL — no shuffle at all; each batch maps
+    to its fingerprint rows vectorized (sliding_window_view argmin on
+    the reversed window axis gives the rightmost-min rule in one numpy
+    pass per doc). Downstream dedup joins group by gram_hash exactly
+    like the span-dedup residues.
+    """
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from vlm_ocr_doc_reader_ray.stages.dedup import md5_u64, word_shingles
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        out_id, out_pos, out_hash = [], [], []
+        for did, text in zip(ids, batch.column(text_col).to_pylist()):
+            sh = word_shingles(text)
+            n = len(sh)
+            if n < w:
+                continue
+            h = np.fromiter(
+                (md5_u64(s) for s in sh), dtype=np.uint64, count=n
+            )
+            sw = sliding_window_view(h, w)
+            # argmin returns the FIRST minimum; on the reversed window
+            # axis that is the RIGHTMOST minimum of the original
+            idx = (w - 1) - sw[:, ::-1].argmin(axis=1)
+            sel = np.unique(np.arange(n - w + 1) + idx)
+            out_id.extend([did] * len(sel))
+            out_pos.extend(sel.tolist())
+            out_hash.extend(h[sel].tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=batch.schema.field(id_col).type),
+                "pos": pa.array(out_pos, type=pa.int64()),
+                "gram_hash": pa.array(
+                    np.array(out_hash, dtype=np.uint64), type=pa.uint64()
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        winnow, batch_format="pyarrow"
+    )
