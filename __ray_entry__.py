@@ -2856,6 +2856,23 @@ def _q_winnow_fingerprints(sf_dir: str):
     return winnow_fingerprints(docs, w=4)
 
 
+def _q_char_entropy(sf_dir: str):
+    """Character-entropy quality signal: per-doc Shannon entropy in
+    bits — gibberish/filler detector. One quantized BIGINT term per
+    distinct character makes the gate associativity-proof; zero
+    shuffles (row-local)."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        char_entropy_scores,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return char_entropy_scores(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the external driver checks entries in dict order
     # under a bounded budget (r3 evidence: exactly the first 50 got
@@ -2909,6 +2926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search_indexed": _q_keyword_search_indexed,
         "perplexity_buckets": _q_perplexity_buckets,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "char_entropy": _q_char_entropy,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -3060,6 +3078,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search_indexed": sm.KEYWORD_SEARCH_SQL,
         "perplexity_buckets": sm.PERPLEXITY_BUCKETS_SQL,
         "winnow_fingerprints": sm.WINNOW_FINGERPRINTS_SQL,
+        "char_entropy": sm.CHAR_ENTROPY_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

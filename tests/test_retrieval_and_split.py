@@ -647,3 +647,47 @@ class TestWinnowing:
         ).to_pandas()
         # 5 words -> 3 shingles < w=4 windows -> no fingerprints
         assert len(out) == 0
+
+
+class TestCharEntropy:
+    def test_known_values(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            char_entropy_scores,
+        )
+
+        rows = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["aaaa", "abab", "abcd"],
+            }
+        )
+        out = _pdf(char_entropy_scores(rd.from_pandas(rows))).set_index(
+            "doc_id"
+        )
+        assert abs(out.loc[1, "entropy"] - 0.0) < 1e-6  # one symbol
+        assert abs(out.loc[2, "entropy"] - 1.0) < 1e-6  # two equal
+        assert abs(out.loc[3, "entropy"] - 2.0) < 1e-6  # four equal
+        assert out.loc[1, "n_chars"] == 4
+        # gibberish (uniform random alphabet) scores higher than
+        # repeated filler
+        assert out.loc[3, "entropy"] > out.loc[1, "entropy"]
+
+    def test_unicode_codepoints(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            char_entropy_scores,
+        )
+
+        out = _pdf(
+            char_entropy_scores(
+                rd.from_pandas(
+                    pd.DataFrame({"doc_id": [1], "text": ["héllo"]})
+                )
+            )
+        )
+        assert out.iloc[0]["n_chars"] == 5  # codepoints, not bytes

@@ -3058,3 +3058,31 @@ WITH wt AS (
 )
 SELECT DISTINCT doc_id, pos, gram_hash FROM sel
 """
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality signal. Engine twin:
+# text_analysis.char_entropy_scores — one quantized BIGINT term per
+# distinct character (floor(cnt*ln(cnt)*1e6 + 0.5)), entropy is the
+# single shared float expression on top of exact integer sums.
+# ---------------------------------------------------------------------------
+
+CHAR_ENTROPY_SQL = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents
+), cnt AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY doc_id, c
+), terms AS (
+  SELECT doc_id, k,
+         CAST(floor(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS t
+  FROM cnt
+)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_chars,
+       CAST(sum(t) AS BIGINT) AS ent_sum_micro,
+       (ln(CAST(CAST(sum(k) AS BIGINT) AS DOUBLE))
+        - (CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) / 1000000.0)
+          / CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)) / ln(2.0) AS entropy
+FROM terms GROUP BY doc_id
+"""

@@ -1346,10 +1346,11 @@ def latest_by_key(
     ts_col: str,
     num_partitions: int | None = None,
 ) -> rd.Dataset:
-    """Keep each key's newest row (max ``ts_col``; ties impossible by
-    contract — callers pass a strictly increasing snapshot clock, and
-    the vectorized keep-first-after-sort rule would break them by the
-    LAST sort column deterministically anyway).
+    """Keep each key's newest row (max ``ts_col``). CONTRACT: ``ts``
+    is unique per key (a snapshot clock) — on ties the winner is
+    arbitrary (unstable sort + batch boundaries), so callers needing
+    determinism under ties must disambiguate the timestamp first
+    (e.g. ts*K + snap).
 
     The recrawl-collapse primitive: a crawl that refetches URLs across
     snapshots collapses to the latest capture per URL. Reference

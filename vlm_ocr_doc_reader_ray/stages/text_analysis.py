@@ -1307,10 +1307,13 @@ def bm25_search(
         )
     avgdl = sum_dl / n_docs
     df_of = dict(zip(stats["term"], stats["df"].astype(float)))
-    # fixed float expression — lockstep with sqlmirror.BM25_SEARCH_SQL
+    # fixed float expression — lockstep with sqlmirror.BM25_SEARCH_SQL.
+    # math.log (libm) — numpy's log can differ from DuckDB ln by a ulp
+    import math as _math
+
     idf_of = {
-        t: float(np.log(1.0 + (n_docs - df_of.get(t, 0.0) + 0.5)
-                        / (df_of.get(t, 0.0) + 0.5)))
+        t: _math.log(1.0 + (n_docs - df_of.get(t, 0.0) + 0.5)
+                     / (df_of.get(t, 0.0) + 0.5))
         for t in terms_all
     }
 
@@ -1454,10 +1457,21 @@ def unigram_nll_scores(
     if len(totals):
         counts[totals["h"].to_numpy()] = totals["c"].to_numpy()
     big_t = float(counts.sum())
-    # fixed float expression — lockstep with sqlmirror.UNIGRAM_NLL_SQL
-    nll_u = np.floor(
-        -np.log((counts + 1.0) / (big_t + float(n_buckets))) * 1000000.0 + 0.5
-    ).astype(np.int64)
+    # fixed float expression — lockstep with sqlmirror.UNIGRAM_NLL_SQL.
+    # math.log per bucket (libm): numpy's vectorized log deviates from
+    # DuckDB's ln by last-ulp on some inputs, which can flip the floor
+    # at a quantization boundary
+    import math as _math
+
+    denom = big_t + float(n_buckets)
+    nll_u = np.fromiter(
+        (
+            int(_math.floor(-_math.log((c + 1.0) / denom) * 1000000.0 + 0.5))
+            for c in counts.tolist()
+        ),
+        dtype=np.int64,
+        count=n_buckets,
+    )
     ref = ray.put(nll_u)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1792,4 +1806,73 @@ def winnow_fingerprints(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         winnow, batch_format="pyarrow"
+    )
+
+
+def char_entropy_scores(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Character-level Shannon entropy per document — the cheap
+    gibberish / binary-junk / repeated-filler detector (near-zero
+    entropy = one repeated character; ~4.2 bits is typical English
+    prose; near-log2(alphabet) = random noise).
+
+    → (doc_id, n_chars, ent_sum_micro, entropy) where
+    ``ent_sum_micro = Σ_c floor(cnt_c · ln(cnt_c) · 1e6 + 0.5)``
+    (BIGINT — each distinct character contributes ONE quantized term,
+    so the sum is associativity-proof) and
+    ``entropy = (ln(n) - (S/1e6)/n) / ln(2)`` bits, a single shared
+    float expression on top of exact integers (from
+    H = ln n − (1/n)·Σ cnt·ln cnt).
+
+    Reference analog: none — beyond-reference quality signal.
+
+    Scale shape: fully row-local, zero shuffles — each batch maps to
+    its per-doc rows with one bincount over codepoints.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    # math.log (libm), NEVER np.log on arrays: numpy's vectorized log
+    # is SIMD-approximated and differs from DuckDB's ln by last-ulp on
+    # ~20% of inputs — enough to flip the strict value-hash gate.
+    ln2 = math.log(2.0)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        n_out = len(batch)
+        n_chars = np.empty(n_out, dtype=np.int64)
+        s_micro = np.empty(n_out, dtype=np.int64)
+        for i, t in enumerate(batch[text_col]):
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            n_chars[i] = len(codes)
+            if len(codes) == 0:
+                s_micro[i] = 0
+                continue
+            cnt = np.unique(codes, return_counts=True)[1]
+            s_micro[i] = sum(
+                int(math.floor(k * math.log(k) * 1000000.0 + 0.5))
+                for k in cnt.tolist()
+            )
+        ent = np.array(
+            [
+                (math.log(n) - (s / 1000000.0) / n) / ln2 if n > 0 else 0.0
+                for n, s in zip(n_chars.tolist(), s_micro.tolist())
+            ],
+            dtype=np.float64,
+        )
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "n_chars": n_chars,
+                "ent_sum_micro": s_micro,
+                "entropy": ent,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas"
     )
