@@ -2873,6 +2873,72 @@ def _q_char_entropy(sf_dir: str):
     return char_entropy_scores(docs)
 
 
+def _q_incremental_near_dups(sf_dir: str):
+    """Incremental NEAR-dup ingestion: a persisted minhash-band index
+    over day-0 (even docs); day-N (odd docs + rotate-by-1 copies of
+    the even docs) dedupes against it through one co-partitioned
+    bucket join + exact cross-corpus Jaccard verification — day-0
+    signatures are never recomputed."""
+    import hashlib
+    import os
+
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.dedup import (
+        build_minhash_index,
+        near_dups_against_index,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|mh64x16".encode()
+    ).hexdigest()[:10]
+    index_dir = f"/tmp/vlm_ocr_ray_minhash_index/{tag}"
+    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+        def even_half(batch):
+            import pyarrow.compute as _pc
+
+            return batch.filter(
+                _pc.equal(_pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+            )
+
+        day0 = rd.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+            even_half, batch_format="pyarrow"
+        )
+        build_minhash_index(day0, index_dir)
+
+    def day_n(batch: _pa.Table) -> _pa.Table:
+        ids, texts = [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            if did % 2 == 1:
+                ids.append(did)
+                texts.append(text)
+            else:
+                words = text.split(" ")
+                ids.append(did + 3_000_000)
+                texts.append(
+                    " ".join(words[1:] + words[:1]) if len(words) > 1 else text
+                )
+        return _pa.table(
+            {
+                "doc_id": _pa.array(ids, type=_pa.int64()),
+                "text": _pa.array(texts, type=_pa.string()),
+            }
+        )
+
+    new_corpus = rd.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+        day_n, batch_format="pyarrow"
+    )
+    return near_dups_against_index(
+        new_corpus, index_dir, threshold=0.8, on_truncate="ignore"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the external driver checks entries in dict order
     # under a bounded budget (r3 evidence: exactly the first 50 got
@@ -2927,6 +2993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "char_entropy": _q_char_entropy,
+        "incremental_near_dups": _q_incremental_near_dups,
         "registry_resume": _q_registry_resume,
         "warc_curate_shards": _q_warc_curate_shards,
         "bpe_token_lengths": _q_bpe_token_lengths,
@@ -3079,6 +3146,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": sm.PERPLEXITY_BUCKETS_SQL,
         "winnow_fingerprints": sm.WINNOW_FINGERPRINTS_SQL,
         "char_entropy": sm.CHAR_ENTROPY_SQL,
+        "incremental_near_dups": sm.INCREMENTAL_NEAR_DUPS_SQL,
         "warc_curate_shards": sm.WARC_CURATE_SHARDS_SQL,
         "page_resolution": sm.PAGE_RESOLUTION_SQL,
         "phone_digits": sm.PHONE_DIGITS_SQL,

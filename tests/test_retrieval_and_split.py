@@ -691,3 +691,79 @@ class TestCharEntropy:
             )
         )
         assert out.iloc[0]["n_chars"] == 5  # codepoints, not bytes
+
+
+class TestIncrementalNearDups:
+    def test_cross_corpus_semantics(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.dedup import (
+            build_minhash_index,
+            near_dups_against_index,
+        )
+
+        base = " ".join(f"w{i}" for i in range(60))
+        day0 = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [base, " ".join(f"x{i}" for i in range(50))],
+                }
+            )
+        )
+        idx = str(tmp_path / "mh_index")
+        build_minhash_index(day0, idx)
+
+        # day N: one near-dup of doc 1 (one word changed), one novel
+        near = base.replace("w30", "zz30")
+        day_n = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [10, 11],
+                    "text": [near, " ".join(f"y{i}" for i in range(40))],
+                }
+            )
+        )
+        out = near_dups_against_index(
+            day_n, idx, threshold=0.8, on_truncate="ignore"
+        ).to_pandas()
+        assert set(zip(out["id_a"], out["id_b"])) == {(1, 10)}
+        assert (out["jaccard"] >= 0.8).all()
+
+    def test_index_reused_across_batches(self, ray_session, tmp_path):
+        """Day-0 signatures are computed once: a second day-N batch
+        dedupes against the SAME index directory untouched."""
+        import os
+
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.dedup import (
+            build_minhash_index,
+            near_dups_against_index,
+        )
+
+        base = " ".join(f"q{i}" for i in range(50))
+        idx = str(tmp_path / "mh_index2")
+        build_minhash_index(
+            rd.from_pandas(pd.DataFrame({"doc_id": [7], "text": [base]})),
+            idx,
+        )
+        mtimes = {
+            p: os.path.getmtime(os.path.join(r, p))
+            for r, _d, fs in os.walk(idx) for p in fs
+        }
+        for bid in (100, 200):
+            out = near_dups_against_index(
+                rd.from_pandas(
+                    pd.DataFrame({"doc_id": [bid], "text": [base + " tail"]})
+                ),
+                idx,
+                threshold=0.8,
+                on_truncate="ignore",
+            ).to_pandas()
+            assert set(out["id_b"]) == {bid}
+        after = {
+            p: os.path.getmtime(os.path.join(r, p))
+            for r, _d, fs in os.walk(idx) for p in fs
+        }
+        assert after == mtimes  # index untouched by queries

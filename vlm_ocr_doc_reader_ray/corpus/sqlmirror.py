@@ -3086,3 +3086,65 @@ SELECT doc_id,
           / CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)) / ln(2.0) AS entropy
 FROM terms GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup ingestion (minhash-band index). Engine twin:
+# dedup.build_minhash_index (day 0 = even doc_ids) +
+# near_dups_against_index (day N = odd docs + rotate-by-1 copies of
+# the even docs at id+3000000). The oracle is the brute-force
+# cross-corpus shingle Jaccard at 0.8; banded recall over this pair
+# population is already proven exhaustive by the in-corpus
+# MINHASH_PAIRS gate (same texts, same fixed permutations).
+# ---------------------------------------------------------------------------
+
+INCREMENTAL_NEAR_DUPS_SQL = r"""
+WITH a AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+), b AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         CASE WHEN len(string_split(text, ' ')) > 1
+              THEN array_to_string(
+                     list_slice(string_split(text, ' '), 2,
+                                len(string_split(text, ' ')))
+                     || [string_split(text, ' ')[1]], ' ')
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 2 = 0
+), wa AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw FROM a
+), wb AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw FROM b
+), sha AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN nw < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_transform(range(0, nw - 2),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+                END) AS shingle
+  FROM wa
+), shb AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN nw < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_transform(range(0, nw - 2),
+                     i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))
+                END) AS shingle
+  FROM wb
+), ca AS (
+  SELECT doc_id, count(*) AS ns FROM sha GROUP BY doc_id
+), cb AS (
+  SELECT doc_id, count(*) AS ns FROM shb GROUP BY doc_id
+), pair_inter AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS i
+  FROM sha sa JOIN shb sb ON sa.shingle = sb.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (ca.ns + cb.ns - i) AS jaccard
+FROM pair_inter
+JOIN ca ON id_a = ca.doc_id
+JOIN cb ON id_b = cb.doc_id
+WHERE CAST(i AS DOUBLE) / (ca.ns + cb.ns - i) >= 0.8
+"""

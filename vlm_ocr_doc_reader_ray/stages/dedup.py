@@ -43,6 +43,7 @@ from typing import List, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 # ---------------------------------------------------------------------------
@@ -213,24 +214,19 @@ class MinHasher:
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
-def lsh_candidate_pairs(
+def band_bucket_rows(
     ds: rd.Dataset,
     id_col: str = "doc_id",
+    text_col: str = "text",
     n_perm: int = 64,
     bands: int = 16,
-    text_col: str = "text",
-    max_bucket: int = 200,
 ) -> rd.Dataset:
-    """(id_a, id_b, band, truncated) candidate rows from banded
-    minhash buckets.
-
-    Bucket keys are a vectorized fold of the band's signature lanes;
-    pair emission is a hash-partitioned SELF-MERGE per (band, bucket)
-    — one vectorized pandas merge per partition, never a Python loop
-    over buckets. Buckets larger than ``max_bucket`` are capped to
-    their ``max_bucket`` smallest ids and the surviving pairs carry
-    ``truncated=True`` so the cap is visible in the output.
-    """
+    """(id, band, bucket) rows — the banded-minhash bucket stream
+    shared by in-corpus LSH (:func:`lsh_candidate_pairs`) and the
+    persisted incremental index (:func:`build_minhash_index`).
+    Bucket keys are the Fibonacci-fold of the band's signature
+    lanes; the SAME fold on both sides is what makes day-N buckets
+    joinable against a day-0 index."""
     rows_per_band = n_perm // bands
     # stateless instance: MinHasher state is tiny. If a pool is ever
     # pinned here, size it BELOW the cluster CPU count — a pool that
@@ -266,7 +262,28 @@ def lsh_candidate_pairs(
             )
         return pa.concat_tables(parts)
 
-    buckets = sig_ds.map_batches(to_buckets, batch_format="pyarrow")
+    return sig_ds.map_batches(to_buckets, batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    n_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    max_bucket: int = 200,
+) -> rd.Dataset:
+    """(id_a, id_b, band, truncated) candidate rows from banded
+    minhash buckets.
+
+    Bucket keys are a vectorized fold of the band's signature lanes;
+    pair emission is a hash-partitioned SELF-MERGE per (band, bucket)
+    — one vectorized pandas merge per partition, never a Python loop
+    over buckets. Buckets larger than ``max_bucket`` are capped to
+    their ``max_bucket`` smallest ids and the surviving pairs carry
+    ``truncated=True`` so the cap is visible in the output.
+    """
+    buckets = band_bucket_rows(ds, id_col, text_col, n_perm, bands)
 
     def emit_part(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -403,6 +420,7 @@ def verify_jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float,
+    ds_b: "rd.Dataset | None" = None,
 ) -> rd.Dataset:
     """Exact word-shingle Jaccard verification of candidate pairs.
 
@@ -411,8 +429,12 @@ def verify_jaccard_pairs(
     then scores each pair inside ``map_batches``. Shared verifier tail
     of every near-dup candidate generator (MinHash LSH, prefix
     filtering); keeps a ``truncated`` column if the candidates carry
-    one."""
+    one. ``ds_b`` (optional) supplies the ``id_b`` side from a
+    DIFFERENT corpus — the incremental cross-corpus case."""
     texts = ds.select_columns([id_col, text_col])
+    texts_b = (
+        ds_b.select_columns([id_col, text_col]) if ds_b is not None else texts
+    )
 
     def rename(to_id: str, to_text: str):
         def _r(batch: pa.Table) -> pa.Table:
@@ -430,7 +452,8 @@ def verify_jaccard_pairs(
         "id_a", "id_a",
     )
     with_b = partitioned_hash_join(
-        with_a, texts.map_batches(rename("id_b", "text_b"), batch_format="pyarrow"),
+        with_a,
+        texts_b.map_batches(rename("id_b", "text_b"), batch_format="pyarrow"),
         "id_b", "id_b",
     )
 
@@ -1184,3 +1207,137 @@ def containment_pairs(
         return out[den * out["n_shared"] >= num * out["n_inner"]]
 
     return with_b.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup ingestion: persisted minhash-band index
+# ---------------------------------------------------------------------------
+
+def build_minhash_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 64,
+    bands: int = 16,
+) -> str:
+    """Persist the corpus' banded-minhash index: ``buckets/`` holds
+    (id, band, bucket) rows parquet-partitioned by ``band`` and
+    ``texts/`` the (id, text) rows for exact verification — the
+    NEAR-dup analogue of :func:`build_hash_index` (which only catches
+    byte-identical text). Day-N crawls dedupe against it via
+    :func:`near_dups_against_index` without recomputing day-0
+    signatures.
+
+    Scale shape: one signature pass over the corpus (actor-warm
+    multiply-shift permutations), one partitioned write; nothing
+    aggregates."""
+    import os
+
+    narrow = ds.select_columns([id_col, text_col])
+    band_bucket_rows(narrow, id_col, text_col, n_perm, bands).write_parquet(
+        os.path.join(index_dir, "buckets"), partition_cols=["band"]
+    )
+    narrow.write_parquet(os.path.join(index_dir, "texts"))
+    return index_dir
+
+
+def near_dups_against_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 200,
+    on_truncate: str = "raise",
+) -> rd.Dataset:
+    """(id_a, id_b, jaccard): new-corpus docs (``id_b``) whose exact
+    shingle Jaccard against an INDEXED doc (``id_a``) is >=
+    ``threshold`` — incremental near-dup ingestion. The new corpus'
+    band buckets join the persisted buckets on (band, bucket) —
+    candidate recall is the banded-minhash guarantee (1-(1-J^r)^b;
+    1-1e-14 at J=0.8 with 64/16) — and verification is exact Jaccard
+    over the two text sources.
+
+    Scale shape: one signature pass over the NEW corpus only, one
+    co-partitioned bucket join (index side ships (id, band, bucket)
+    residues — day-0 texts are read only for the candidates'
+    verification join), distinct + exact verify. Bucket caps carry
+    the visible ``truncated`` flag exactly like the in-corpus ops."""
+    import os
+
+    if on_truncate not in ("raise", "flag", "ignore"):
+        raise ValueError(f"on_truncate must be raise|flag|ignore, got {on_truncate!r}")
+
+    new_buckets = band_bucket_rows(ds, id_col, text_col, n_perm, bands)
+    idx_buckets = rd.read_parquet(os.path.join(index_dir, "buckets"))
+
+    def tag(side: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            # hive partition values surface as strings — normalize
+            band = batch.column("band")
+            if pa.types.is_string(band.type) or pa.types.is_large_string(
+                band.type
+            ):
+                band = pc.cast(band, pa.int32())
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "band": pc.cast(band, pa.int32()),
+                    "bucket": batch.column("bucket"),
+                    "side": pa.array(
+                        np.full(len(batch), side, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return _t
+
+    both = idx_buckets.map_batches(tag(0), batch_format="pyarrow").union(
+        new_buckets.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def emit_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=g[id_col].dtype),
+                "id_b": pd.Series([], dtype=g[id_col].dtype),
+                "truncated": pd.Series([], dtype="bool"),
+            }
+        )
+        if g.empty:
+            return empty
+        g = g.drop_duplicates([id_col, "band", "bucket", "side"]).sort_values(
+            id_col
+        )
+        rank = g.groupby(["band", "bucket", "side"], sort=False).cumcount()
+        sizes = g.groupby(["band", "bucket", "side"], sort=False)[
+            id_col
+        ].transform("size")
+        g = g.assign(__trunc=(sizes > max_bucket))[rank < max_bucket]
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        if a.empty or b.empty:
+            return empty
+        m = a.merge(b, on=["band", "bucket"], suffixes=("_a", "_b"))
+        if m.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_a"].to_numpy(),
+                "id_b": m[f"{id_col}_b"].to_numpy(),
+                "truncated": (m["__trunc_a"] | m["__trunc_b"]).to_numpy(),
+            }
+        )
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    pairs = partitioned_apply(both, ["band", "bucket"], emit_part)
+    cand = distinct_pairs_keep_flag(pairs)
+    cand = _apply_truncation_policy(cand, on_truncate, "near_dups_against_index")
+    idx_texts = rd.read_parquet(os.path.join(index_dir, "texts"))
+    return verify_jaccard_pairs(
+        cand, idx_texts, id_col, text_col, threshold, ds_b=ds
+    )
