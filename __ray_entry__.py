@@ -621,6 +621,30 @@ def _q_lang_top_terms(sf_dir: str):
     return top_terms_per_group(docs, "lang", k=10)
 
 
+def _publish_cached_index(index_dir: str, build) -> str:
+    """Atomic build-once cache for /tmp index directories: build into
+    a pid-suffixed tmp dir and rename into place — a concurrent
+    builder (pytest worker + driver sweep) must never observe a
+    half-written index as published (the directory exists as soon as
+    the first parquet file lands), and rename losers clean up. Same
+    discipline as the WARC/JSONL shard caches."""
+    import os
+    import shutil
+
+    if os.path.isdir(index_dir) and os.listdir(index_dir):
+        return index_dir
+    tmp = f"{index_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    os.makedirs(os.path.dirname(index_dir), exist_ok=True)
+    try:
+        os.rename(tmp, index_dir)
+    except OSError:
+        # another builder published first; ours is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
+    return index_dir
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental ingestion: build a persisted sha256 fingerprint
     index over the even half of the corpus, then dedupe the full
@@ -642,7 +666,8 @@ def _q_incremental_dedup(sf_dir: str):
         f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:10]
     index_dir = f"/tmp/vlm_ocr_ray_hash_index/{tag}"
-    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+
+    def _build(tmp_dir: str) -> None:
         def even_half(batch):
             import pyarrow.compute as pc
 
@@ -653,7 +678,9 @@ def _q_incremental_dedup(sf_dir: str):
         even = rd.read_parquet(src, columns=["doc_id", "text"]).map_batches(
             even_half, batch_format="pyarrow"
         )
-        build_hash_index(even, index_dir)
+        build_hash_index(even, tmp_dir)
+
+    _publish_cached_index(index_dir, _build)
     inc = rd.read_parquet(src, columns=["doc_id", "lang", "text"])
     return dedup_against_index(inc, index_dir).select_columns(["doc_id", "lang"])
 
@@ -708,11 +735,14 @@ def _q_similarity_ivf_indexed(sf_dir: str):
     fp = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|{cents.shape}"
     tag = hashlib.md5(fp.encode()).hexdigest()[:10]
     index_dir = f"/tmp/vlm_ocr_ray_ivf_index/{tag}"
-    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+
+    def _build(tmp_dir: str) -> None:
         emb = rd.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        build_ivf_index(emb, cents, index_dir)
+        build_ivf_index(emb, cents, tmp_dir)
+
+    _publish_cached_index(index_dir, _build)
     return ann_ivf_indexed(index_dir, mat, ids, cents, k=5, nprobe=4)
 
 
@@ -2799,9 +2829,12 @@ def _q_keyword_search_indexed(sf_dir: str):
     fp = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|b64"
     tag = hashlib.md5(fp.encode()).hexdigest()[:10]
     index_dir = f"/tmp/vlm_ocr_ray_term_index/{tag}"
-    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+
+    def _build(tmp_dir: str) -> None:
         docs = rd.read_parquet(src, columns=["doc_id", "text"])
-        build_term_index(docs, index_dir, n_buckets=64)
+        build_term_index(docs, tmp_dir, n_buckets=64)
+
+    _publish_cached_index(index_dir, _build)
     return keyword_search_indexed(
         index_dir,
         {
@@ -2896,7 +2929,8 @@ def _q_incremental_near_dups(sf_dir: str):
         f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|mh64x16".encode()
     ).hexdigest()[:10]
     index_dir = f"/tmp/vlm_ocr_ray_minhash_index/{tag}"
-    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+
+    def _build(tmp_dir: str) -> None:
         def even_half(batch):
             import pyarrow.compute as _pc
 
@@ -2907,7 +2941,9 @@ def _q_incremental_near_dups(sf_dir: str):
         day0 = rd.read_parquet(src, columns=["doc_id", "text"]).map_batches(
             even_half, batch_format="pyarrow"
         )
-        build_minhash_index(day0, index_dir)
+        build_minhash_index(day0, tmp_dir)
+
+    _publish_cached_index(index_dir, _build)
 
     def day_n(batch: _pa.Table) -> _pa.Table:
         ids, texts = [], []
