@@ -640,8 +640,14 @@ def _publish_cached_index(index_dir: str, build) -> str:
     try:
         os.rename(tmp, index_dir)
     except OSError:
-        # another builder published first; ours is equivalent
+        # Expected case: another builder published first and ours is
+        # equivalent. But rename can also fail for unrelated reasons
+        # (EXDEV, permissions) — verify the published dir actually
+        # exists before swallowing, else downstream reads would fail
+        # with a confusing missing-path error.
         shutil.rmtree(tmp, ignore_errors=True)
+        if not (os.path.isdir(index_dir) and os.listdir(index_dir)):
+            raise
     return index_dir
 
 
@@ -2668,7 +2674,11 @@ def _q_containment_pairs(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(with_quotes, batch_format="pyarrow")
     return containment_pairs(
-        corpus, threshold_num=4, threshold_den=5, on_truncate="ignore"
+        corpus,
+        threshold_num=4,
+        threshold_den=5,
+        max_bucket=4000,
+        on_truncate="raise",
     )
 
 
@@ -2971,7 +2981,11 @@ def _q_incremental_near_dups(sf_dir: str):
         day_n, batch_format="pyarrow"
     )
     return near_dups_against_index(
-        new_corpus, index_dir, threshold=0.8, on_truncate="ignore"
+        new_corpus,
+        index_dir,
+        threshold=0.8,
+        max_bucket=2000,
+        on_truncate="raise",
     )
 
 

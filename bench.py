@@ -270,34 +270,18 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     ).count()
     queries["span_dedup"] = round(time.time() - t0, 3)
 
-    # int64 doc ids for the retrieval/LM ops (their id contract),
-    # derived from the url hash — vectorized, stable across runs
-    def _with_int_ids(batch):
-        import pandas as pd
-        import pyarrow as pa
-
-        h = pd.util.hash_pandas_object(
-            pd.Series(batch.column("url").to_pandas()), index=False
-        ).to_numpy()
-        return pa.table(
-            {
-                "doc_id": pa.array((h >> 1).astype("int64")),
-                "text": batch.column("text"),
-            }
-        )
-
     # q12: BM25 retrieval over the corpus (two streaming passes:
     # bounded df/avgdl residue, then broadcast-stats scoring with
-    # local top-k) — the retrieval-layer representative
+    # local top-k) — the retrieval-layer representative. String url
+    # ids flow through unchanged (the rankers preserve id dtype).
     from vlm_ocr_doc_reader_ray.stages.text_analysis import bm25_search
 
     t0 = time.time()
     bm25_search(
-        _corpus(["url", "text"]).map_batches(
-            _with_int_ids, batch_format="pyarrow"
-        ),
+        _corpus(["url", "text"]),
         {1: ["sort", "stream"], 2: ["customer", "window"]},
         k=10,
+        id_col="url",
     ).to_pandas()
     queries["bm25_search"] = round(time.time() - t0, 3)
 
@@ -306,11 +290,7 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     from vlm_ocr_doc_reader_ray.stages.text_analysis import unigram_nll_scores
 
     t0 = time.time()
-    unigram_nll_scores(
-        _corpus(["url", "text"]).map_batches(
-            _with_int_ids, batch_format="pyarrow"
-        )
-    ).count()
+    unigram_nll_scores(_corpus(["url", "text"]), id_col="url").count()
     queries["unigram_nll"] = round(time.time() - t0, 3)
 
     n_docs = rd.read_parquet(corpus_path).count()

@@ -767,3 +767,86 @@ class TestIncrementalNearDups:
             for r, _d, fs in os.walk(idx) for p in fs
         }
         assert after == mtimes  # index untouched by queries
+
+
+class TestIdDtypePreservation:
+    """String ids (urls) flow through the rankers unchanged — ADVICE
+    round-4 items: unigram_nll_scores must not coerce ids to int64,
+    and bm25_search's empty-corpus early return must mirror the
+    non-empty path's id dtype."""
+
+    def test_unigram_nll_string_ids(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            unigram_nll_scores,
+        )
+
+        docs = pd.DataFrame(
+            {
+                "url": ["https://a.ex/1", "https://b.ex/2", "https://a.ex/3"],
+                "text": ["the cat sat", "the dog ran far", "cat dog"],
+            }
+        )
+        out = unigram_nll_scores(rd.from_pandas(docs), id_col="url").to_pandas()
+        assert set(out["url"]) == set(docs["url"])
+        int_ids = docs.assign(url=[1, 2, 3])
+        twin = unigram_nll_scores(
+            rd.from_pandas(int_ids), id_col="url"
+        ).to_pandas()
+        assert sorted(out["nll_micro"]) == sorted(twin["nll_micro"])
+
+    def test_bm25_empty_corpus_string_id_schema(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import bm25_search
+
+        empty = pd.DataFrame(
+            {"url": pd.Series([], dtype="object"),
+             "text": pd.Series([], dtype="object")}
+        )
+        out = bm25_search(rd.from_pandas(empty), {1: ["cat"]}, k=5, id_col="url")
+        # Ray's to_pandas drops columns on all-empty data, so the
+        # contract check is the Dataset schema (same caveat as the
+        # reciprocal_hosts empty test)
+        assert sorted(out.schema().names) == ["query_id", "rank", "score", "url"]
+        typ = dict(zip(out.schema().names, out.schema().types))["url"]
+        assert typ is object or str(typ) in ("string", "large_string", "object")
+        assert out.count() == 0
+
+
+def test_char_entropy_empty_doc_matches_sql(ray_session, tmp_path):
+    """Empty text → (0, 0, 0.0) on BOTH sides (engine and the DuckDB
+    mirror's UNION ALL edge branch) — the latent divergence from
+    round-4 ADVICE."""
+    import duckdb
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.corpus import sqlmirror as sm
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import char_entropy_scores
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["aab", "", "zz zz"]}
+    )
+    eng = (
+        char_entropy_scores(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pq = str(tmp_path / "documents.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    pqt.write_table(pa.Table.from_pandas(docs), pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+    orc = con.sql(sm.CHAR_ENTROPY_SQL).df().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert len(eng) == len(orc) == 3
+    assert (eng["n_chars"] == orc["n_chars"]).all()
+    assert (eng["ent_sum_micro"] == orc["ent_sum_micro"]).all()
+    assert (eng["entropy"] - orc["entropy"]).abs().max() < 1e-12
+    empty_row = eng[eng["doc_id"] == 2].iloc[0]
+    assert (empty_row["n_chars"], empty_row["ent_sum_micro"]) == (0, 0)
+    assert empty_row["entropy"] == 0.0

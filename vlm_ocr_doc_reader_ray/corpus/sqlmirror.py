@@ -3069,7 +3069,12 @@ SELECT DISTINCT doc_id, pos, gram_hash FROM sel
 
 CHAR_ENTROPY_SQL = r"""
 WITH ch AS (
-  SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents
+  -- text <> '' guard: string_split_regex('', '') yields [''] (one
+  -- empty-string "character"), which would give an empty doc
+  -- n_chars=1; the engine's char_entropy_scores returns (0, 0, 0.0)
+  -- for empty text, and the UNION ALL branch below mirrors that edge
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+  FROM documents WHERE text <> ''
 ), cnt AS (
   SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY doc_id, c
 ), terms AS (
@@ -3085,6 +3090,10 @@ SELECT doc_id,
         - (CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) / 1000000.0)
           / CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)) / ln(2.0) AS entropy
 FROM terms GROUP BY doc_id
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS n_chars,
+       CAST(0 AS BIGINT) AS ent_sum_micro, 0.0 AS entropy
+FROM documents WHERE text = ''
 """
 
 

@@ -183,9 +183,11 @@ class BpeEncoder:
     list for stateless use), per-word LRU memo in ``__init__`` — Zipf
     makes the repeated-word hit rate dominate.
 
-    ``__call__`` emits ``(id, bpe_tokens, bpe_token_strs?)`` per doc;
-    with ``emit_tokens=False`` (default) only the int64 token COUNT
-    column is added — the usual curation need (length for packing)."""
+    ``__call__`` emits ``(id, bpe_len)`` per doc — the int64 token
+    COUNT, the usual curation need (length for packing); with
+    ``emit_tokens=True`` a ``bpe_tokens`` list<string> column is
+    added. The memo is a size-capped dict (2^18 distinct words, no
+    eviction — Zipf means the head is what repeats)."""
 
     def __init__(self, merges, id_col: str = "doc_id",
                  text_col: str = "text", emit_tokens: bool = False) -> None:

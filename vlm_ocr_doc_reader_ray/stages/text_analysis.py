@@ -1288,19 +1288,40 @@ def bm25_search(
             rows, columns=["term", "df", "n_docs", "sum_dl"]
         )
 
-    stats = (
-        narrow.map_batches(stats_partial, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("term", as_index=False)
-        .sum()
-    )
-    n_docs = float(stats["n_docs"].sum())
-    sum_dl = float(stats["sum_dl"].sum())
+    stats = narrow.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    if "term" in stats.columns:
+        # Ray's to_pandas drops columns when every block is empty, so
+        # an all-empty corpus lands in the n_docs==0 branch below
+        stats = stats.groupby("term", as_index=False).sum()
+        n_docs = float(stats["n_docs"].sum())
+        sum_dl = float(stats["sum_dl"].sum())
+    else:
+        n_docs = sum_dl = 0.0
     if n_docs == 0:
+        # derive the empty frame's id dtype from the input schema so
+        # an empty string-id corpus matches the non-empty path's
+        # id-dtype-preserving contract (same rule as local() below)
+        sch = narrow.schema()
+        id_arrow = dict(zip(sch.names, sch.types))[id_col]
+        if isinstance(id_arrow, pa.DataType):
+            id_dtype = (
+                "object"
+                if pa.types.is_string(id_arrow)
+                or pa.types.is_large_string(id_arrow)
+                else "int64"
+            )
+        else:
+            # simple-block datasets report Python types, not Arrow
+            id_dtype = (
+                "int64"
+                if isinstance(id_arrow, type)
+                and issubclass(id_arrow, (int, np.integer))
+                else "object"
+            )
         return rd.from_pandas(
             pd.DataFrame(
                 {"query_id": pd.Series([], dtype="int64"),
-                 id_col: pd.Series([], dtype="int64"),
+                 id_col: pd.Series([], dtype=id_dtype),
                  "score": pd.Series([], dtype="int64"),
                  "rank": pd.Series([], dtype="int64")}
             )
@@ -1475,15 +1496,19 @@ def unigram_nll_scores(
     ref = ray.put(nll_u)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        # id dtype is PRESERVED (int64 doc ids and string url ids both
+        # work — same contract as bm25_search's pass 2); the empty
+        # frame reuses the batch's own empty id series so all blocks
+        # agree on schema
         if batch.empty:
             out = pd.DataFrame(
-                {id_col: pd.Series([], dtype="int64"),
+                {id_col: batch[id_col].reset_index(drop=True),
                  "n_words": pd.Series([], dtype="int64"),
                  "nll_micro": pd.Series([], dtype="int64"),
                  "mean_nll": pd.Series([], dtype="float64")}
             )
             for c in extra:
-                out[c] = pd.Series([], dtype="object")
+                out[c] = batch[c].reset_index(drop=True)
             return out
         import numpy as np
 
@@ -1496,7 +1521,7 @@ def unigram_nll_scores(
         ).astype(np.int64)
         out = pd.DataFrame(
             {
-                id_col: batch[id_col].to_numpy(np.int64),
+                id_col: batch[id_col].to_numpy(),
                 "n_words": lens,
                 "nll_micro": nll,
                 "mean_nll": nll.astype(np.float64) / lens.astype(np.float64),
