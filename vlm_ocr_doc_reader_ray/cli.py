@@ -210,7 +210,7 @@ def main(argv: List[str] | None = None) -> int:
 
         if args.cmd == "extract":
             ds = extract(rd.read_parquet(args.corpus), emit_spans=True, emit_registry=True)
-            ds.write_parquet(args.output)
+            ds.write_parquet(args.output, mode="overwrite")
             print(f"wrote extracted rows to {args.output}")
         elif args.cmd == "links":
             import os
@@ -223,13 +223,13 @@ def main(argv: List[str] | None = None) -> int:
             corpus = rd.read_parquet(args.corpus, columns=["url", "html"])
             links = links_table(corpus)
             links_dir = os.path.join(args.output, "links")
-            links.write_parquet(links_dir)
+            links.write_parquet(links_dir, mode="overwrite")
             print(f"wrote outlink table to {links_dir}")
             if args.degree:
                 deg_dir = os.path.join(args.output, "host_degree")
                 # feed from the just-written parquet: the degree pass
                 # must not re-run the tag scan
-                host_link_degree(rd.read_parquet(links_dir)).write_parquet(deg_dir)
+                host_link_degree(rd.read_parquet(links_dir)).write_parquet(deg_dir, mode="overwrite")
                 print(f"wrote host degree profile to {deg_dir}")
         elif args.cmd == "registry":
             axes = parse_axes_arg(args.axes)
@@ -244,7 +244,7 @@ def main(argv: List[str] | None = None) -> int:
                     lambda t: t.filter(pc.is_in(t.column("page_num"), pa_page_set(pages))),
                     batch_format="pyarrow",
                 )
-            reg.write_parquet(args.output)
+            reg.write_parquet(args.output, mode="overwrite")
             print(f"wrote registry rows to {args.output}")
         elif args.cmd == "full":
             # reference cli.py `full` (operations/full_description.py:91-133):
@@ -261,7 +261,7 @@ def main(argv: List[str] | None = None) -> int:
             ex = extract(rd.read_parquet(args.corpus), emit_spans=True, emit_registry=False)
             # ONE extraction pass: the written table carries the headers
             # column, so structure/page outputs derive from the sink
-            ex.write_parquet(_os.path.join(args.output, "extracted"))
+            ex.write_parquet(_os.path.join(args.output, "extracted"), mode="overwrite")
             written = rd.read_parquet(_os.path.join(args.output, "extracted"))
             heads = headers_table(written)
             states = page_states_table(written)
@@ -277,8 +277,8 @@ def main(argv: List[str] | None = None) -> int:
                     lambda t: t.filter(pc.is_in(t.column("page_num"), page_arr)),
                     batch_format="pyarrow",
                 )
-            heads.write_parquet(_os.path.join(args.output, "headers"))
-            states.write_parquet(_os.path.join(args.output, "page_states"))
+            heads.write_parquet(_os.path.join(args.output, "headers"), mode="overwrite")
+            states.write_parquet(_os.path.join(args.output, "page_states"), mode="overwrite")
             print(f"wrote full description (extracted/headers/page_states) to {args.output}")
         elif args.cmd == "resolve":
             from vlm_ocr_doc_reader_ray.extract.sanitize import sanitize_registry_batch
@@ -294,7 +294,7 @@ def main(argv: List[str] | None = None) -> int:
             ex = rd.read_parquet(args.extracted)
             n_pending = pending_entities(reg, below_resolution=1).count()
             merged = resolve_pending(reg, ex, pages=pages, chunk_size=args.chunk_size)
-            merged.write_parquet(args.output)
+            merged.write_parquet(args.output, mode="overwrite")
             print(
                 f"resolved {n_pending} pending entities; "
                 f"wrote merged registry to {args.output}"
@@ -335,7 +335,7 @@ def main(argv: List[str] | None = None) -> int:
                 args.corpus, columns=["url", "text", "lang"]
             ).map_batches(_as_docs, batch_format="pyarrow")
             curate(docs, MIX_WEIGHTS, seq_len=args.seq_len).write_parquet(
-                args.output
+                args.output, mode="overwrite"
             )
             print(f"wrote curated sequences to {args.output}")
         elif args.cmd == "dedup-spans":
@@ -352,7 +352,7 @@ def main(argv: List[str] | None = None) -> int:
                 min_count=args.min_count,
                 hashed=not args.exact,
             )
-            out.write_parquet(args.output)
+            out.write_parquet(args.output, mode="overwrite")
             print(f"wrote span-deduped corpus to {args.output}")
         elif args.cmd == "index":
             from vlm_ocr_doc_reader_ray.stages.text_analysis import (

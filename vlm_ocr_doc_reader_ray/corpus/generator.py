@@ -28,6 +28,11 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta
 from typing import Dict, List
 
+# module-level (not lazy): workers receive this module pickled
+# by value, and a function-body import would re-run the import
+# system on the worker, where the repo isn't on sys.path
+from vlm_ocr_doc_reader_ray.extract.pdfcodec import build_pdf_pages
+
 PARA_WORDS = 40
 MIN_TAIL_WORDS = 10  # tail shorter than this merges into the previous paragraph
 PDF_BLOCKS_PER_PAGE = 4
@@ -233,6 +238,20 @@ def build_spdf(doc_id: int, text: str, lang: str, source: str) -> bytes:
 CORRUPT_PAYLOAD = b"%SPDF1\n{\"pages\": [truncated"
 
 
+def build_pdf(doc_id: int, text: str, lang: str, source: str) -> bytes:
+    """Real PDF bytes for the same layout (the ``pdf_payload='pdf'``
+    corpus variant — a structurally valid PDF 1.4 with Flate-compressed
+    content streams, see ``extract/pdfcodec.py``)."""
+    return build_pdf_pages(layout_pages(doc_id, text, lang, source))
+
+
+# header + a truncated first object: real-PDF analogue of
+# CORRUPT_PAYLOAD (no page tree reachable → parse_status 'failed')
+CORRUPT_PDF_PAYLOAD = (
+    b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R"
+)
+
+
 # ---------------------------------------------------------------------------
 # batch synthesis (the map_batches kernel)
 # ---------------------------------------------------------------------------
@@ -240,6 +259,11 @@ CORRUPT_PAYLOAD = b"%SPDF1\n{\"pages\": [truncated"
 @dataclass(frozen=True)
 class CorpusSpec:
     reps: int = 1  # deterministic replication factor for benchmarks
+    # binary-layout payload container for PDF-slot docs: "spdf" (the
+    # JSON container) or "pdf" (real PDF bytes via extract/pdfcodec).
+    # Both carry the SAME page/block layout, so golden extraction
+    # output — and therefore every SQL oracle — is identical.
+    pdf_payload: str = "spdf"
 
 
 def _rotate(text: str, rep: int) -> str:
@@ -270,10 +294,17 @@ def synth_batch(batch: dict, spec: CorpusSpec = CorpusSpec()) -> dict:
             eff_text = _rotate(text, rep)
             urls.append(url_of(doc_id, lang, source, rep))
             tss.append(warc_ts_of(doc_id, rep))
+            real_pdf = spec.pdf_payload == "pdf"
             if is_corrupt_doc(eff_id):
-                payloads.append(CORRUPT_PAYLOAD)
+                payloads.append(
+                    CORRUPT_PDF_PAYLOAD if real_pdf else CORRUPT_PAYLOAD
+                )
             elif is_pdf_doc(eff_id):
-                payloads.append(build_spdf(eff_id, eff_text, lang, source))
+                payloads.append(
+                    build_pdf(eff_id, eff_text, lang, source)
+                    if real_pdf
+                    else build_spdf(eff_id, eff_text, lang, source)
+                )
             else:
                 payloads.append(build_html(eff_id, eff_text, lang, source))
             texts.append(eff_text)

@@ -13,7 +13,12 @@ from __future__ import annotations
 from vlm_ocr_doc_reader_ray.config import DEFAULT_CONFIG, EngineConfig
 from vlm_ocr_doc_reader_ray.extract.blocks import ExtractResult
 from vlm_ocr_doc_reader_ray.extract.html_extractor import extract_html
-from vlm_ocr_doc_reader_ray.extract.pdf_extractor import SPDF_MAGIC, extract_pdf
+from vlm_ocr_doc_reader_ray.extract.pdf_extractor import (
+    SPDF_MAGIC,
+    extract_pdf,
+    extract_pdf_bytes,
+)
+from vlm_ocr_doc_reader_ray.extract.pdfcodec import PDF_MAGIC
 
 __all__ = ["ExtractResult", "extract_document"]
 
@@ -26,4 +31,6 @@ def extract_document(payload: bytes, cfg: EngineConfig = DEFAULT_CONFIG) -> Extr
         return bad
     if payload[: len(SPDF_MAGIC)] == SPDF_MAGIC:
         return extract_pdf(payload, cfg)
+    if payload[: len(PDF_MAGIC)] == PDF_MAGIC:
+        return extract_pdf_bytes(payload, cfg)
     return extract_html(payload, cfg)

@@ -117,7 +117,7 @@ def scan_links(html_text: str) -> List[Tuple[str, str, bool]]:
 
 def extract_links(payload: bytes, page_url: str) -> List[dict]:
     """bytes → link records (never raises; non-HTML → empty list)."""
-    if not payload or payload[:6] == b"%SPDF1":
+    if not payload or payload[:6] == b"%SPDF1" or payload[:5] == b"%PDF-":
         return []
     try:
         text = payload.decode("utf-8", errors="strict")

@@ -31,6 +31,10 @@ import json
 from typing import List
 
 from vlm_ocr_doc_reader_ray.config import DEFAULT_CONFIG, EngineConfig
+# module-level (not lazy): a function-body import would re-run the
+# import system on by-value-pickled workers, where the repo isn't on
+# sys.path
+from vlm_ocr_doc_reader_ray.extract.pdfcodec import parse_pdf
 from vlm_ocr_doc_reader_ray.extract.blocks import (
     Block,
     ExtractResult,
@@ -110,6 +114,25 @@ def extract_pdf(payload: bytes, cfg: EngineConfig = DEFAULT_CONFIG) -> ExtractRe
     try:
         doc = json.loads(payload[len(SPDF_MAGIC):].decode("utf-8"))
         pages = doc["pages"]
+    except Exception:
+        return bad
+    return extract_layout(pages, cfg)
+
+
+def extract_pdf_bytes(payload: bytes, cfg: EngineConfig = DEFAULT_CONFIG) -> ExtractResult:
+    """REAL PDF bytes → ExtractResult (never raises; failure is data).
+
+    The pure-Python subset parser in ``pdfcodec.py`` recovers
+    positioned text blocks (the analogue of the reference's pymupdf
+    render step, ``preprocessing/renderer.py:35-96``); everything
+    downstream — margin classification, XY-cut reading order, heading
+    detection, multi-page assembly — is the same ``extract_layout``
+    the SPDF container uses, so both payload forms of one document
+    yield bit-identical extractions."""
+    bad = ExtractResult()
+    bad.parse_status = "failed"
+    try:
+        pages = parse_pdf(payload)
     except Exception:
         return bad
     return extract_layout(pages, cfg)

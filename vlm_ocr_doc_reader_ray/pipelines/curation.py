@@ -29,29 +29,19 @@ import ray.data as rd
 def _persist(ds: rd.Dataset, mode: str, spill_dir: str | None) -> rd.Dataset:
     """Pipeline breaker with a bounded footprint.
 
-    ``memory``: ``materialize()`` — pins the stream's blocks in the
-    object store (Ray spills under pressure, but a corpus-sized pin
-    thrashes the store at 100-TB scale; right when the stream fits).
-    ``disk``: parquet checkpoint — ``write_parquet`` to a spill dir +
-    ``read_parquet`` back, so the pin is bounded by disk bandwidth
-    instead of the store (the ``run_checkpointed`` shape). ``auto``:
-    ``$GRAFT_CURATE_PERSIST`` if set, else ``disk``. The spill dir is
-    ``spill_dir`` / ``$GRAFT_SPILL_DIR`` / system tmp; spill files
-    outlive the call because the returned Dataset reads them lazily."""
+    Thin wrapper over the engine-wide :func:`state.pin.pin` primitive
+    that keeps ``curate``'s historical ``$GRAFT_CURATE_PERSIST`` env
+    override (resolved before the shared ``$GRAFT_PIN_PERSIST``).
+    ``memory`` pins in the object store, ``disk`` routes through a
+    parquet spill checkpoint; ``auto`` defaults to ``disk`` because
+    the gated stream here is corpus-sized."""
     import os
-    import tempfile
+
+    from vlm_ocr_doc_reader_ray.state.pin import pin
 
     if mode == "auto":
-        mode = os.environ.get("GRAFT_CURATE_PERSIST", "disk")
-    if mode == "memory":
-        return ds.materialize()
-    if mode != "disk":
-        raise ValueError(f"persist must be auto|memory|disk, got {mode!r}")
-    root = spill_dir or os.environ.get("GRAFT_SPILL_DIR") or tempfile.gettempdir()
-    os.makedirs(root, exist_ok=True)
-    path = tempfile.mkdtemp(prefix="curate_spill_", dir=root)
-    ds.write_parquet(path)
-    return rd.read_parquet(path)
+        mode = os.environ.get("GRAFT_CURATE_PERSIST", "auto")
+    return pin(ds, persist=mode, spill_dir=spill_dir, default="disk", label="curate")
 
 
 def curate(

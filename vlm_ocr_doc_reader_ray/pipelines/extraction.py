@@ -30,7 +30,14 @@ from vlm_ocr_doc_reader_ray.stages.extract_stage import (
     explode_registry,
 )
 
-CORPUS_CACHE_ROOT = "/tmp/vlm_ocr_ray_corpus"
+def corpus_cache_root() -> str:
+    """Synthesized-corpus cache directory, under the engine-wide
+    :func:`~vlm_ocr_doc_reader_ray.state.cache.cache_root` (set
+    ``$GRAFT_CACHE_ROOT`` to shared storage on a multi-node cluster;
+    resolved lazily so redirection works at runtime)."""
+    from vlm_ocr_doc_reader_ray.state.cache import cache_dir
+
+    return cache_dir("vlm_ocr_ray_corpus")
 
 
 def _synth_arrow(batch: pa.Table, spec: CorpusSpec) -> pa.Table:
@@ -54,9 +61,18 @@ def _synth_arrow(batch: pa.Table, spec: CorpusSpec) -> pa.Table:
     )
 
 
-def synth_corpus(sf_dir: str, reps: int = 1, override_num_blocks: Optional[int] = None) -> rd.Dataset:
-    """documents.parquet → streaming corpus Dataset (url, warc_ts, html, text, lang)."""
-    spec = CorpusSpec(reps=reps)
+def synth_corpus(
+    sf_dir: str,
+    reps: int = 1,
+    override_num_blocks: Optional[int] = None,
+    pdf_payload: str = "spdf",
+) -> rd.Dataset:
+    """documents.parquet → streaming corpus Dataset (url, warc_ts, html, text, lang).
+
+    ``pdf_payload="pdf"`` swaps the binary-layout docs' SPDF container
+    for REAL PDF bytes (same page/block layout → identical golden
+    extraction, see ``extract/pdfcodec.py``)."""
+    spec = CorpusSpec(reps=reps, pdf_payload=pdf_payload)
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang", "source"],
@@ -67,7 +83,7 @@ def synth_corpus(sf_dir: str, reps: int = 1, override_num_blocks: Optional[int] 
     )
 
 
-def corpus_parquet(sf_dir: str, reps: int = 1, cache_root: str = CORPUS_CACHE_ROOT) -> str:
+def corpus_parquet(sf_dir: str, reps: int = 1, cache_root: Optional[str] = None) -> str:
     """Materialize (once) the corpus to Parquet; returns the directory.
 
     Written atomically (temp dir + rename) so concurrent/failed runs
@@ -75,7 +91,7 @@ def corpus_parquet(sf_dir: str, reps: int = 1, cache_root: str = CORPUS_CACHE_RO
     pipeline's checkpointed sinks.
     """
     tag = f"{Path(sf_dir).name}_r{reps}"
-    out_dir = os.path.join(cache_root, tag)
+    out_dir = os.path.join(cache_root or corpus_cache_root(), tag)
     if os.path.isdir(out_dir):
         return out_dir
     tmp_dir = out_dir + ".tmp"

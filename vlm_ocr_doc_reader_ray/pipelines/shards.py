@@ -23,11 +23,15 @@ materialized anywhere. The returned manifest is one row per shard
 Trade-off made explicit: the input lineage executes TWICE (once for
 the key projection that feeds the rank, once as the join's row side).
 That is the right trade at scale — re-reading a checkpoint is disk
-bandwidth, pinning the corpus was cluster memory — but it assumes the
-input lineage is deterministic (engine-wide invariant) and cheap to
-re-run; feed this writer from a parquet checkpoint (the
-``curate(persist="disk")`` shape), not from an expensive unmaterialized
-chain.
+bandwidth, pinning the corpus was cluster memory — and the API now
+ENFORCES its own precondition instead of relying on a docstring: when
+the input's logical plan is anything beyond a bare read (+ column
+projections), ``spill="auto"`` checkpoints it to parquet first via
+the shared :func:`~vlm_ocr_doc_reader_ray.state.pin.pin` primitive,
+so an expensive upstream (extraction, curation) executes exactly once
+and both legs re-read the checkpoint. ``spill="never"`` restores the
+caller-managed contract; ``spill="always"`` forces the checkpoint
+even for bare reads (useful when the source is remote/slow).
 
 Filesystem contract: paths are resolved through ``pyarrow.fs`` inside
 each writer task, so ``out_dir`` may be a local directory (single
@@ -65,12 +69,34 @@ def _resolve_fs(path: str):
         return pafs.LocalFileSystem(), os.path.abspath(path)
 
 
+def _is_cheap_lineage(ds: rd.Dataset) -> bool:
+    """True when re-executing ``ds``'s lineage costs ~one read: the
+    logical plan contains only ``Read`` / ``InputData`` (already
+    materialized or from-items) / ``Project`` (column selection)
+    nodes. Anything with compute or a shuffle (``MapBatches``,
+    ``Filter``, ``Aggregate``, ``Sort``, ``Join``, ``Union``, …) makes
+    the double execution expensive. Conservative by construction: an
+    unrecognizable plan reports *not* cheap, so the caller spills."""
+    try:
+        stack = [ds._logical_plan.dag]
+    except Exception:
+        return False
+    cheap = {"Read", "InputData", "Project"}
+    while stack:
+        node = stack.pop()
+        if type(node).__name__ not in cheap:
+            return False
+        stack.extend(node.input_dependencies)
+    return True
+
+
 def write_training_shards(
     ds: rd.Dataset,
     key_col: str,
     out_dir: str,
     docs_per_shard: int,
     seed: str = "shuffle",
+    spill: str = "auto",
 ) -> pd.DataFrame:
     """Write ``ds`` as balanced parquet shards in deterministic
     md5-of-key order; returns a (shard, rows, path, skipped) manifest.
@@ -95,6 +121,14 @@ def write_training_shards(
 
     if docs_per_shard < 1:
         raise ValueError("docs_per_shard must be >= 1")
+    if spill not in ("auto", "always", "never"):
+        raise ValueError(f"spill must be auto|always|never, got {spill!r}")
+    if spill == "always" or (spill == "auto" and not _is_cheap_lineage(ds)):
+        from vlm_ocr_doc_reader_ray.state.pin import pin
+
+        # the writer reads its input twice (rank leg + join leg);
+        # checkpoint any non-trivial lineage so it executes once
+        ds = pin(ds, persist="disk", label="shards_input")
     root_fs, root_path = _resolve_fs(out_dir)
     root_fs.create_dir(root_path, recursive=True)
 

@@ -118,11 +118,11 @@ def corpus_jsonl(
     from pathlib import Path
 
     from vlm_ocr_doc_reader_ray.pipelines.extraction import (
-        CORPUS_CACHE_ROOT,
+        corpus_cache_root,
         synth_corpus,
     )
 
-    root = cache_root or CORPUS_CACHE_ROOT
+    root = cache_root or corpus_cache_root()
     tag = f"jsonl_{Path(sf_dir).name}_s{shards}"
     out_dir = os.path.join(root, tag)
     if os.path.isdir(out_dir):

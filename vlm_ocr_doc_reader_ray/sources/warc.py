@@ -300,11 +300,11 @@ def corpus_warc(
     from pathlib import Path
 
     from vlm_ocr_doc_reader_ray.pipelines.extraction import (
-        CORPUS_CACHE_ROOT,
+        corpus_cache_root,
         synth_corpus,
     )
 
-    root = cache_root or CORPUS_CACHE_ROOT
+    root = cache_root or corpus_cache_root()
     tag = f"warc_{Path(sf_dir).name}_s{shards}"
     out_dir = os.path.join(root, tag)
     if os.path.isdir(out_dir):
@@ -401,9 +401,9 @@ def corpus_wet(
 
     import ray.data as rd
 
-    from vlm_ocr_doc_reader_ray.pipelines.extraction import CORPUS_CACHE_ROOT
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import corpus_cache_root
 
-    root = cache_root or CORPUS_CACHE_ROOT
+    root = cache_root or corpus_cache_root()
     tag = f"wet_{Path(sf_dir).name}_s{shards}"
     out_dir = os.path.join(root, tag)
     if os.path.isdir(out_dir):

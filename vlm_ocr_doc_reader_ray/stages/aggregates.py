@@ -188,17 +188,24 @@ def value_counts(
     keys: str | Sequence[str],
     alias: str = "n",
     checkpoint: bool = False,
+    persist: str = "auto",
 ) -> rd.Dataset:
     """Distinct-value counts of ``keys`` (pre-aggregated groupby).
 
-    ``checkpoint=True`` materializes the per-batch residues BEFORE the
+    ``checkpoint=True`` pins the per-batch residues BEFORE the
     shuffle. Ray's sort-based groupby re-executes its upstream lineage
     for boundary sampling, so when ``ds`` is an expensive lineage (a
     tag scan, a model stage) the default re-runs it ~2×; pinning the
     residues — bounded by batch-distinct keys, never the raw rows —
-    makes the shuffle read from the object store instead (measured on
+    makes the shuffle read the pinned copy instead (measured on
     the link-graph stages: the whole query 40.8s → lineage-once).
+    The pin routes through :func:`state.pin.pin` (``persist`` knob:
+    object store by default here since the residues are key-bounded;
+    ``$GRAFT_PIN_PERSIST=disk`` flips every checkpoint to a parquet
+    spill cluster-wide).
     """
+    from vlm_ocr_doc_reader_ray.state.pin import pin
+
     key_list = [keys] if isinstance(keys, str) else list(keys)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -208,7 +215,9 @@ def value_counts(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     if checkpoint:
-        partials = partials.materialize()
+        partials = pin(
+            partials, persist=persist, default="memory", label="value_counts"
+        )
     return partials.groupby(key_list[0] if len(key_list) == 1 else key_list).aggregate(
         Sum(alias, alias_name=alias)
     )
@@ -220,13 +229,17 @@ def grouped_sums(
     sum_cols: Sequence[str],
     count_alias: str | None = None,
     checkpoint: bool = False,
+    persist: str = "auto",
 ) -> rd.Dataset:
     """Per-key sums (and optional row count) with per-batch combining.
 
     ``checkpoint=True`` pins the per-batch residues before the shuffle
     so an expensive upstream lineage executes once (see
-    :func:`value_counts` for the measured rationale).
+    :func:`value_counts` for the measured rationale and the
+    ``persist`` knob semantics).
     """
+    from vlm_ocr_doc_reader_ray.state.pin import pin
+
     key_list = [keys] if isinstance(keys, str) else list(keys)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -240,7 +253,9 @@ def grouped_sums(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     if checkpoint:
-        partials = partials.materialize()
+        partials = pin(
+            partials, persist=persist, default="memory", label="grouped_sums"
+        )
     aggs = [Sum(c, alias_name=c) for c in sum_cols]
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))

@@ -9,12 +9,18 @@ Ray-Data-first:
   per-payload tag scan is inherent row work (same shape as the
   extraction kernel), everything around it is Arrow;
 - every aggregate here follows one discipline: collapse to per-batch
-  residues in ``map_batches``, ``materialize()`` the bounded residue
-  (so no shuffle's boundary sampling re-runs the tag scan, and the
-  empty-corpus guard is free), then ONE hash-partitioned vectorized
-  pass (``partitioned_apply``) — never Ray's native sort-groupby over
+  residues in ``map_batches``, pin the residue (so no shuffle's
+  boundary sampling re-runs the tag scan, and the empty-corpus guard
+  is free), then ONE hash-partitioned vectorized pass
+  (``partitioned_apply``) — never Ray's native sort-groupby over
   many-distinct keys (measured 9.3s per ~200k keys) and never a join
   where a zero-padded union + re-sum gives the same answer.
+
+Pin footprints are tiered by the residue's bound (see
+``state/pin.py``): URL- and host-pair-scale residues (unbounded at a
+10^12-page crawl — ~1e10 host pairs is ~1 TB of strings) default to
+a parquet spill, while one-row-per-host residues and per-superstep
+score vectors stay in the object store.
 
 At 10^12 documents the outlink table is ~50× the page count; each
 aggregate's shuffle stays proportional to its residue (distinct host
@@ -30,6 +36,7 @@ import ray.data as rd
 
 from vlm_ocr_doc_reader_ray.extract.links import extract_links
 from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums, value_counts
+from vlm_ocr_doc_reader_ray.state.pin import pin
 
 _HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<host>[^/?#]+)"
 
@@ -128,10 +135,11 @@ def host_link_degree(links: rd.Dataset) -> rd.Dataset:
         )
         return out.rename_columns(["host", "href", "thost", "n_chrome", "n"])
 
-    residues = links.map_batches(
-        edge_residues, batch_format="pyarrow"
-    ).materialize()
-    if residues.count() == 0:  # free: already materialized
+    residues = pin(
+        links.map_batches(edge_residues, batch_format="pyarrow"),
+        label="linkgraph_residues",
+    )  # URL-link-scale residue → disk by default
+    if residues.count() == 0:  # cheap: reads the pinned copy
         return _empty_typed(
             host=pa.string(), n_links=pa.int64(), n_chrome=pa.int64(),
             n_external=pa.int64(), n_distinct_targets=pa.int64(),
@@ -221,7 +229,10 @@ def frontier_urls(
         t = pa.table({"href": batch.column("href"), "url": batch.column("url")})
         return t.group_by(["href", "url"]).aggregate([])
 
-    resid = links.map_batches(pairs, batch_format="pyarrow").materialize()
+    resid = pin(
+        links.map_batches(pairs, batch_format="pyarrow"),
+        label="frontier_pairs",
+    )  # (href, url)-pair residue: URL-scale → disk by default
     if resid.count() == 0:
         return _empty_typed(href=pa.string(), n_ref_pages=pa.int64())
 
@@ -231,7 +242,9 @@ def frontier_urls(
         out["n_ref_pages"] = out["n_ref_pages"].astype("int64")
         return out
 
-    refs = partitioned_apply(resid, ["href"], agg).materialize()
+    refs = pin(
+        partitioned_apply(resid, ["href"], agg), label="frontier_refs"
+    )  # one row per distinct href: frontier-URL-scale → disk by default
     return bloom_anti_join_dataset(
         refs, crawled.select_columns([crawled_col]), "href", crawled_col
     )
@@ -270,7 +283,10 @@ def frontier_schedule(
             }
         )
 
-    hosted = frontier.map_batches(add_host, batch_format="pyarrow").materialize()
+    hosted = pin(
+        frontier.map_batches(add_host, batch_format="pyarrow"),
+        label="frontier_hosted",
+    )  # frontier-URL-scale → disk by default
     if hosted.count() == 0:
         return _empty_typed(
             href=pa.string(), host=pa.string(),
@@ -323,9 +339,10 @@ def host_inlink_degree(links: rd.Dataset) -> rd.Dataset:
         )
         return out.rename_columns(["host", "src_host", "url", "n"])
 
-    residues = links.map_batches(
-        residues_fn, batch_format="pyarrow"
-    ).materialize()
+    residues = pin(
+        links.map_batches(residues_fn, batch_format="pyarrow"),
+        label="inlink_residues",
+    )  # (host, src_host, url) residue: URL-scale → disk by default
     if residues.count() == 0:
         return _empty_typed(
             host=pa.string(), n_inlinks=pa.int64(),
@@ -386,14 +403,18 @@ def host_authority(links: rd.Dataset, iters: int = 1) -> rd.Dataset:
 
     # pin per-batch pair counts: the tag scan runs once, and the empty
     # guard sits BEFORE any groupby (empty groupbys lose schema)
-    partials = links.map_batches(project, batch_format="pyarrow").materialize()
+    partials = pin(
+        links.map_batches(project, batch_format="pyarrow"),
+        label="authority_partials",
+    )  # batch-distinct host pairs: pair-scale → disk by default
     if partials.count() == 0:
         return _empty_typed(
             host=pa.string(), n_inlinks=pa.int64(), authority=pa.int64()
         )
-    edges = grouped_sums(
-        partials, ["src", "dst"], ["cnt"]
-    ).materialize()  # bounded: distinct host pairs; two consumers below
+    edges = pin(
+        grouped_sums(partials, ["src", "dst"], ["cnt"]),
+        label="authority_edges",
+    )  # distinct host pairs (~1e10 at crawl scale); two consumers below
 
     indeg = grouped_sums(
         edges.map_batches(
@@ -523,12 +544,12 @@ def page_outdegree_hist(links: rd.Dataset, pages: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    both = (
+    both = pin(
         pages.select_columns(["url"])
         .map_batches(zero, batch_format="pyarrow")
-        .union(links.map_batches(per_batch, batch_format="pyarrow"))
-        .materialize()
-    )
+        .union(links.map_batches(per_batch, batch_format="pyarrow")),
+        label="outdeg_both",
+    )  # one row per URL → disk by default
     if both.count() == 0:
         return _empty_typed(outdeg=pa.int64(), n_pages=pa.int64())
 
@@ -584,9 +605,10 @@ def host_components(links: rd.Dataset) -> rd.Dataset:
         df = df[(df["src"] != "") & (df["dst"] != "") & (df["src"] != df["dst"])]
         return df.drop_duplicates(ignore_index=True)
 
-    edges = links.map_batches(
-        edge_residues, batch_format="pyarrow"
-    ).materialize()  # bounded: batch-distinct host pairs; two consumers
+    edges = pin(
+        links.map_batches(edge_residues, batch_format="pyarrow"),
+        label="component_edges",
+    )  # batch-distinct host pairs; two consumers → disk by default
     if edges.count() == 0:
         return _empty_typed(
             host=pa.string(), comp_host=pa.string(), comp_size=pa.int64()
@@ -804,10 +826,16 @@ def host_pagerank(
         out = t.group_by(["src", "dst"]).aggregate([([], "count_all")])
         return out.rename_columns(["src", "dst", "cnt"])
 
-    partials = links.map_batches(project, batch_format="pyarrow").materialize()
+    partials = pin(
+        links.map_batches(project, batch_format="pyarrow"),
+        label="pagerank_partials",
+    )  # batch-distinct host pairs → disk by default
     if partials.count() == 0:
         return _empty_typed(host=pa.string(), pagerank=pa.int64())
-    edges = grouped_sums(partials, ["src", "dst"], ["cnt"]).materialize()
+    edges = pin(
+        grouped_sums(partials, ["src", "dst"], ["cnt"]),
+        label="pagerank_edges",
+    )  # distinct host pairs; re-read every superstep → disk by default
 
     outdeg = grouped_sums(
         edges.map_batches(

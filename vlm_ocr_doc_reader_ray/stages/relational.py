@@ -223,7 +223,35 @@ def native_hash_join(
     :func:`partitioned_hash_join`; both are exposed so pipelines can
     pick per workload (the explicit variant allows salting hot keys,
     the native one fuses better). ``join_type`` passes through to
-    Ray (``inner`` / ``left_outer`` / ...)."""
+    Ray (``inner`` / ``left_outer`` / ...).
+
+    Both sides are swept for empty blocks first. ``map_groups`` (any
+    ``partitioned_apply`` output) legitimately emits ZERO-COLUMN empty
+    pandas blocks for empty hash partitions, and Ray's join broadcasts
+    schemas to its aggregators from the FIRST bundle it receives per
+    side — if that bundle is one of the zero-column blocks, every
+    row-less join partition gets a schema-less table and acero's
+    ``FieldRef.Name(key)`` resolution fails ("No match or multiple
+    matches for key field reference"). A plain per-block sweep
+    (``batch_size=None``) cannot fix this: Ray passes empty blocks
+    through ``map_batches`` WITHOUT calling the UDF. A row-count
+    ``batch_size`` does fix it: the task bundler coalesces empty
+    blocks into the same bundle as their schema-ful neighbors (an
+    empty block adds 0 rows, so the bundler keeps accumulating), the
+    UDF sees one schema-ful batch, and the empties vanish from the
+    stream. Zero-copy views, no shuffle — one pipelined pass over
+    data the join reads anyway."""
+
+    def _drop_empty(t: "pa.Table"):
+        if t.num_rows:
+            yield t
+
+    left = left.map_batches(
+        _drop_empty, batch_size=32768, batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = right.map_batches(
+        _drop_empty, batch_size=32768, batch_format="pyarrow", zero_copy_batch=True
+    )
     return left.join(
         right,
         join_type=join_type,
@@ -1015,6 +1043,7 @@ def global_ordered_prefix_sum(
     val_col: str | None = None,
     seed: str = "shuffle",
     out_col: str = "start",
+    persist: str = "auto",
 ) -> rd.Dataset:
     """Running int64 sum of ``val_col`` BEFORE each row, rows taken in
     md5-of-key order — the scan primitive behind deterministic
@@ -1039,11 +1068,20 @@ def global_ordered_prefix_sum(
         return batch
 
     # TWO consumers read `keyed` (the residue pass and the scan), so
-    # pin it in the object store — otherwise the whole upstream
-    # lineage (possibly an extraction/analysis pipeline) re-executes
-    # per consumer. Bounded: input + md5 hex + bucket int per row;
-    # blocks spill under pressure.
-    keyed = ds.map_batches(add_rk, batch_format="pandas").materialize()
+    # pin it — otherwise the whole upstream lineage (possibly an
+    # extraction/analysis pipeline) re-executes per consumer. The pin
+    # is ROW-scale (input + md5 hex + bucket int per row), so at
+    # corpus scale it belongs on disk, not in the object store: the
+    # default routes through a parquet spill; persist="memory" opts
+    # back into materialize() for small inputs.
+    from vlm_ocr_doc_reader_ray.state.pin import pin
+
+    keyed = pin(
+        ds.map_batches(add_rk, batch_format="pandas"),
+        persist=persist,
+        default="disk",
+        label="rank_keyed",
+    )
 
     if val_col is None:
         counts = grouped_sums(keyed, ["__bucket"], [], count_alias="__c")

@@ -345,6 +345,8 @@ def span_dedup(
     n: int = 8,
     min_count: int = 2,
     hashed: bool = False,
+    persist: str = "auto",
+    spill_dir: str | None = None,
 ) -> rd.Dataset:
     """Exact duplicated-SPAN removal, the substring-level companion to
     :func:`line_dedup` (the "dedup the repeated spans, keep the rest
@@ -433,8 +435,20 @@ def span_dedup(
     if hashed:
         # pin the int64 residue: without this the partitioned_apply
         # sort shuffle's boundary sampling re-executes the explode
-        # lineage (the repo's standing sort-shuffle finding)
-        exploded = exploded.materialize()
+        # lineage (the repo's standing sort-shuffle finding). The
+        # residue is TOKEN-scale (one row per word position of the
+        # corpus — larger than the corpus itself at 100 TB), so the
+        # pin defaults to a parquet spill, not an object-store
+        # materialize; persist="memory" opts back in for small runs.
+        from vlm_ocr_doc_reader_ray.state.pin import pin
+
+        exploded = pin(
+            exploded,
+            persist=persist,
+            spill_dir=spill_dir,
+            default="disk",
+            label="span_grams",
+        )
 
     def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
         c = g.groupby("gram", sort=False)["gram"].transform("size")
@@ -951,11 +965,17 @@ def collocations(
             return g.groupby(name, sort=False, as_index=False)[f"c_{name}"].sum()
         return _s
 
-    bigrams = partitioned_apply(
-        ds.map_batches(explode_count(2, "ngram"), batch_format="pyarrow"),
-        ["ngram"],
-        sum_part("ngram"),
-    ).materialize()
+    from vlm_ocr_doc_reader_ray.state.pin import pin
+
+    bigrams = pin(
+        partitioned_apply(
+            ds.map_batches(explode_count(2, "ngram"), batch_format="pyarrow"),
+            ["ngram"],
+            sum_part("ngram"),
+        ),
+        label="colloc_bigrams",
+    )  # distinct-bigram residue (vocab², unbounded at crawl scale);
+    # two consumers (n_total sum + candidate split) → disk by default
     n_total = int(bigrams.sum("c_ngram") or 0)
 
     unigrams = partitioned_apply(
