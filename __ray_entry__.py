@@ -2642,6 +2642,23 @@ def _q_host_pagerank(sf_dir: str):
     return host_pagerank(links_table(read_corpus(sf_dir)), iters=2)
 
 
+def _q_host_pagerank_converged(sf_dir: str):
+    """PageRank iterated to CONVERGENCE — the iteration count is
+    data-dependent (first superstep whose max per-host score delta
+    falls within an integer tolerance, capped at 16), exercising the
+    superstep machinery under a data-driven loop bound. The oracle
+    unrolls all 16 steps, recomputes every consecutive delta, and
+    independently selects the convergence step, so the returned
+    n_iters column is hash-gated too."""
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import read_corpus
+    from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+        host_pagerank_converged,
+        links_table,
+    )
+
+    return host_pagerank_converged(links_table(read_corpus(sf_dir)))
+
+
 def _q_unigram_nll(sf_dir: str):
     """CCNet-style LM quality score: per-doc negative log-likelihood
     under a hashed-unigram model fitted on the corpus in one bounded
@@ -3052,6 +3069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_doc_ngram_share": _q_cross_doc_ngram_share,
         # tier 2: new this round — inserted here as built
         "pdf_extract_text": _q_pdf_extract_text,
+        "host_pagerank_converged": _q_host_pagerank_converged,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3215,6 +3233,7 @@ def oracle_sql() -> dict[str, str]:
         "host_holdout": sm.HOST_HOLDOUT_SQL,
         "bm25_search": sm.BM25_SEARCH_SQL,
         "host_pagerank": sm.HOST_PAGERANK_SQL,
+        "host_pagerank_converged": sm.HOST_PAGERANK_CONVERGED_SQL,
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

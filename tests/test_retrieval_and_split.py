@@ -193,6 +193,85 @@ class TestHostPagerank:
         assert (out["pagerank"] >= 150000).all()
 
 
+class TestHostPagerankConverged:
+    _links = TestHostPagerank._links
+
+    def test_scores_equal_fixed_variant_at_chosen_k(self, ray_session):
+        """The data-dependent stopping rule must land on EXACTLY the
+        fixed-iteration scores for the k it chose — the folded delta
+        legs may not perturb the score recurrence."""
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+            host_pagerank,
+            host_pagerank_converged,
+        )
+
+        conv = _pdf(host_pagerank_converged(self._links(), max_iters=12))
+        k = int(conv["n_iters"].iloc[0])
+        assert (conv["n_iters"] == k).all()
+        fixed = _pdf(host_pagerank(self._links(), iters=k))
+        srt = lambda d: d.sort_values("host", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            srt(conv)[["host", "pagerank"]], srt(fixed)[["host", "pagerank"]]
+        )
+
+    def test_max_iters_caps_the_loop(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+            host_pagerank,
+            host_pagerank_converged,
+        )
+
+        out = _pdf(
+            host_pagerank_converged(self._links(), tol=0, max_iters=1)
+        )
+        assert (out["n_iters"] == 1).all()
+        fixed = _pdf(host_pagerank(self._links(), iters=1))
+        srt = lambda d: d.sort_values("host", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            srt(out)[["host", "pagerank"]], srt(fixed)[["host", "pagerank"]]
+        )
+
+    def test_huge_tol_stops_after_one_superstep(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+            host_pagerank_converged,
+        )
+
+        out = _pdf(
+            host_pagerank_converged(
+                self._links(), tol=10_000_000, max_iters=8
+            )
+        )
+        assert (out["n_iters"] == 1).all()
+
+    def test_identity_under_partitioning(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+            host_pagerank_converged,
+        )
+
+        a = _pdf(host_pagerank_converged(self._links(), max_iters=6))
+        b = _pdf(
+            host_pagerank_converged(
+                self._links().repartition(4), max_iters=6
+            )
+        )
+        srt = lambda d: d.sort_values("host", ignore_index=True)
+        pd.testing.assert_frame_equal(srt(a), srt(b))
+
+    def test_empty_schema_stable(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.linkgraph import (
+            host_pagerank_converged,
+        )
+
+        empty = rd.from_pandas(
+            pd.DataFrame({"url": pd.Series([], dtype=str),
+                          "href": pd.Series([], dtype=str)})
+        )
+        out = host_pagerank_converged(empty)
+        assert out.schema().names == ["host", "pagerank", "n_iters"]
+        assert out.count() == 0
+
+
 class TestUnigramNll:
     def test_rare_word_scores_higher(self, ray_session):
         import ray.data as rd

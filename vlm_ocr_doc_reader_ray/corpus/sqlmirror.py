@@ -2739,6 +2739,76 @@ SELECT host, score AS pagerank FROM p{iters}
 HOST_PAGERANK_SQL = host_pagerank_sql()
 
 
+def host_pagerank_converged_sql(
+    max_iters: int = 16, tol: int | None = None, scale: int = 1_000_000
+) -> str:
+    """Mirror of linkgraph.host_pagerank_converged: unroll max_iters
+    integer supersteps, compute every consecutive per-host max |Δ|,
+    and select the FIRST step k with Δ <= tol (else max_iters) — the
+    convergence decision is replayed in SQL, not trusted from the
+    engine.
+
+    Every superstep CTE (and ``he``, which closes over the expensive
+    golden→links chain) is ``AS MATERIALIZED``: DuckDB inlines plain
+    CTEs, so with p_i referenced by p_{{i+1}}, d AND allp, the links
+    extraction would otherwise be re-evaluated O(max_iters²) times —
+    measured >9 min at sf0.001 vs ~seconds materialized."""
+    if tol is None:
+        tol = scale // 50
+    base = (15 * scale) // 100
+    chain = GOLDEN_CTE + _LINKS_CTE + rf"""
+, he AS MATERIALIZED (
+  SELECT {_HOST_EXPR.format(c='url')} AS src,
+         {_HOST_EXPR.format(c='href')} AS dst,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM links GROUP BY 1, 2
+), outd AS (
+  SELECT src AS host, CAST(sum(cnt) AS BIGINT) AS outdeg
+  FROM he GROUP BY src
+), hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src AS host FROM he UNION ALL SELECT dst FROM he
+  )
+), p0 AS (
+  SELECT host, CAST({scale} AS BIGINT) AS score FROM hosts
+)"""
+    for i in range(1, max_iters + 1):
+        chain += f""", p{i} AS MATERIALIZED (
+  SELECT h.host,
+         CAST({base} + (85 * coalesce(sum(e.cnt * (s.score // o.outdeg)), 0))
+              // 100 AS BIGINT) AS score
+  FROM hosts h
+  LEFT JOIN he e ON e.dst = h.host
+  LEFT JOIN p{i - 1} s ON s.host = e.src
+  LEFT JOIN outd o ON o.host = e.src
+  GROUP BY h.host
+)"""
+    deltas = "\n  UNION ALL ".join(
+        f"SELECT {i} AS k, max(abs(a.score - b.score)) AS delta "
+        f"FROM p{i} a JOIN p{i - 1} b ON a.host = b.host"
+        for i in range(1, max_iters + 1)
+    )
+    allp = "\n  UNION ALL ".join(
+        f"SELECT {i} AS k, host, score FROM p{i}"
+        for i in range(1, max_iters + 1)
+    )
+    return chain + f""", d AS (
+  {deltas}
+), kstar AS (
+  SELECT CAST(coalesce(min(k), {max_iters}) AS BIGINT) AS k
+  FROM d WHERE delta <= {tol}
+), allp AS (
+  {allp}
+)
+SELECT a.host, a.score AS pagerank, ks.k AS n_iters
+FROM allp a CROSS JOIN kstar ks
+WHERE a.k = ks.k
+"""
+
+
+HOST_PAGERANK_CONVERGED_SQL = host_pagerank_converged_sql()
+
+
 # ---------------------------------------------------------------------------
 # unigram-LM NLL scoring (CCNet-style quality triage). Engine twin:
 # text_analysis.unigram_nll_scores — per-bucket logprob quantized to

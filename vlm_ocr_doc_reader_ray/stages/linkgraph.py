@@ -775,6 +775,190 @@ def component_profile(links: rd.Dataset) -> rd.Dataset:
     return partitioned_apply(joined, ["comp_host"], agg)
 
 
+def _pagerank_graph(links: rd.Dataset, scale: int):
+    """Collapse the corpus-sized link stream ONCE to the pinned
+    per-graph state both pagerank variants iterate over: the
+    (src, dst, cnt) edge residue (disk-pinned — distinct host pairs,
+    re-read every superstep) and the s_0 score table, which CARRIES
+    the static per-host outdegree (host, score=scale, outdeg; 0 for
+    dangling hosts) so no superstep ever joins scores with a separate
+    outdegree table — the per-source share is a pure map over the
+    score table, one fewer all-to-all per iteration at any scale.
+    Returns None when the graph is empty."""
+    import numpy as np
+    import pandas as pd
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "src": _host_expr(batch.column("url")),
+                "dst": _host_expr(batch.column("href")),
+            }
+        )
+        out = t.group_by(["src", "dst"]).aggregate([([], "count_all")])
+        return out.rename_columns(["src", "dst", "cnt"])
+
+    partials = pin(
+        links.map_batches(project, batch_format="pyarrow"),
+        label="pagerank_partials",
+    )  # batch-distinct host pairs → disk by default
+    if partials.count() == 0:
+        return None
+    edges = pin(
+        grouped_sums(partials, ["src", "dst"], ["cnt"]),
+        label="pagerank_edges",
+    )  # distinct host pairs; re-read every superstep → disk by default
+
+    def both_sides(b: pa.Table) -> pa.Table:
+        # src rows carry their edge weight (summing to outdeg), dst
+        # rows carry 0 — ONE residue sum yields the host universe
+        # (src ∪ dst) AND the per-host outdegree together
+        n = b.num_rows
+        return pa.table(
+            {
+                "host": pa.concat_arrays(
+                    [b.column("src").combine_chunks(),
+                     b.column("dst").combine_chunks()]
+                ),
+                "outdeg": pa.concat_arrays(
+                    [pc.cast(b.column("cnt"), pa.int64()).combine_chunks(),
+                     pa.array([0] * n, pa.int64())]
+                ),
+            }
+        )
+
+    hosts = grouped_sums(
+        edges.map_batches(both_sides, batch_format="pyarrow"),
+        "host",
+        ["outdeg"],
+    ).materialize()  # tiny: one row per host; reused every superstep
+
+    def init_scores(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": b["host"],
+                "score": np.int64(scale),
+                "outdeg": b["outdeg"].to_numpy(np.int64),
+            }
+        )
+
+    scores = hosts.map_batches(init_scores, batch_format="pandas")
+    return edges, hosts, scores
+
+
+def _pagerank_superstep(
+    scores: rd.Dataset,
+    edges: rd.Dataset,
+    hosts: rd.Dataset,
+    base: int,
+    with_delta: bool = False,
+) -> rd.Dataset:
+    """One integer-PageRank superstep (see :func:`host_pagerank` for
+    the recurrence). The score table carries the static per-host
+    outdegree (see :func:`_pagerank_graph`), so the per-SOURCE share
+    is a pure vectorized map — NO scores⋈outdeg join; the whole
+    superstep is ONE edges⋈share hash join plus ONE residue sum
+    (zero-padded union re-deriving the host universe and re-attaching
+    outdeg for the next iteration). Returns the re-pinned per-host
+    (host, score, outdeg[, delta]) table — one row per host, bounded,
+    the object store is the right home.
+
+    ``with_delta=True`` additionally emits ``delta = |score - prev|``
+    per host, FOLDED into the same execution: the previous score
+    vector rides the union the residue sum already reduces (mass=0,
+    prev=score), so convergence tracking adds ZERO extra shuffles and
+    zero extra executions vs a separate per-superstep delta join."""
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    def to_share(b: pd.DataFrame) -> pd.DataFrame:
+        # per-SOURCE share, floor division — computed once per host,
+        # not once per edge; dangling hosts (outdeg 0) emit no share
+        od = b["outdeg"].to_numpy(np.int64)
+        keep = od > 0
+        return pd.DataFrame(
+            {
+                "src": b["host"][keep].reset_index(drop=True),
+                "share": pd.Series(
+                    b["score"].to_numpy(np.int64)[keep] // od[keep],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    def weigh(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b["cnt"].to_numpy(np.int64)
+        share = b["share"].to_numpy(np.int64)
+        mass = cnt * share
+        # overflow guard (DuckDB fails loudly on BIGINT overflow; so
+        # must we): recompute in float and compare magnitude
+        if len(mass) and (
+            np.abs(cnt.astype(np.float64) * share.astype(np.float64))
+            > 9.2e18
+        ).any():
+            raise OverflowError("pagerank contribution exceeds int64")
+        out = pd.DataFrame({"host": b["dst"], "mass": mass})
+        out["outdeg"] = np.int64(0)
+        if with_delta:
+            out["prev"] = np.int64(0)
+        return out
+
+    def zero_mass(b: pd.DataFrame) -> pd.DataFrame:
+        # the hosts leg alone carries the static outdeg, so the
+        # residue sum re-attaches it to every host exactly once
+        out = pd.DataFrame(
+            {
+                "host": b["host"],
+                "mass": np.int64(0),
+                "outdeg": b["outdeg"].to_numpy(np.int64),
+            }
+        )
+        if with_delta:
+            out["prev"] = np.int64(0)
+        return out
+
+    def prev_leg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": b["host"],
+                "mass": np.int64(0),
+                "outdeg": np.int64(0),
+                "prev": b["score"].to_numpy(np.int64),
+            }
+        )
+
+    def damp(b: pd.DataFrame) -> pd.DataFrame:
+        score = base + (85 * b["mass"].to_numpy(np.int64)) // 100
+        out = pd.DataFrame(
+            {
+                "host": b["host"],
+                "score": score,
+                "outdeg": b["outdeg"].to_numpy(np.int64),
+            }
+        )
+        if with_delta:
+            out["delta"] = np.abs(score - b["prev"].to_numpy(np.int64))
+        return out
+
+    share = scores.map_batches(to_share, batch_format="pandas")
+    j = partitioned_hash_join(edges, share, "src", "src")
+    both = hosts.map_batches(zero_mass, batch_format="pandas").union(
+        j.map_batches(weigh, batch_format="pandas")
+    )
+    sum_cols = ["mass", "outdeg"]
+    if with_delta:
+        both = both.union(scores.map_batches(prev_leg, batch_format="pandas"))
+        sum_cols = ["mass", "outdeg", "prev"]
+    summed = grouped_sums(both, "host", sum_cols)
+    return (
+        summed.map_batches(damp, batch_format="pandas")
+        .repartition(4)
+        .materialize()  # pin per superstep: one row per host
+    )
+
+
 def host_pagerank(
     links: rd.Dataset, iters: int = 2, scale: int = 1_000_000
 ) -> rd.Dataset:
@@ -801,139 +985,108 @@ def host_pagerank(
 
     Plan shape (the iterative-algorithm discipline of
     :func:`host_authority`): the corpus-sized link stream collapses
-    ONCE to the (src, dst, cnt) edge residue, pinned and reused by
-    every superstep; each superstep is one scores⋈outdeg hash join
-    (per-SOURCE share computed once, never per edge), one edge⋈share
-    join, one residue sum, and a re-pinned per-host score table.
+    ONCE to the (src, dst, cnt) edge residue (:func:`_pagerank_graph`),
+    pinned and reused by every superstep; each superstep
+    (:func:`_pagerank_superstep`) is one edges⋈share hash join, one
+    residue sum, and a re-pinned per-host score table (the score
+    table carries the static outdegree, so the share is join-free).
 
     → (host, pagerank) over ALL hosts (src ∪ dst), pagerank = s_iters.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    import numpy as np
     import pandas as pd
 
-    from vlm_ocr_doc_reader_ray.stages.aggregates import distinct_values
-    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
-
-    def project(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "src": _host_expr(batch.column("url")),
-                "dst": _host_expr(batch.column("href")),
-            }
-        )
-        out = t.group_by(["src", "dst"]).aggregate([([], "count_all")])
-        return out.rename_columns(["src", "dst", "cnt"])
-
-    partials = pin(
-        links.map_batches(project, batch_format="pyarrow"),
-        label="pagerank_partials",
-    )  # batch-distinct host pairs → disk by default
-    if partials.count() == 0:
+    state = _pagerank_graph(links, scale)
+    if state is None:
         return _empty_typed(host=pa.string(), pagerank=pa.int64())
-    edges = pin(
-        grouped_sums(partials, ["src", "dst"], ["cnt"]),
-        label="pagerank_edges",
-    )  # distinct host pairs; re-read every superstep → disk by default
-
-    outdeg = grouped_sums(
-        edges.map_batches(
-            lambda b: pa.table(
-                {"host": b.column("src"), "outdeg": b.column("cnt")}
-            ),
-            batch_format="pyarrow",
-        ),
-        "host",
-        ["outdeg"],
-    ).materialize()
-
-    def both_sides(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"host": pa.concat_arrays(
-                [b.column("src").combine_chunks(),
-                 b.column("dst").combine_chunks()]
-            )}
-        )
-
-    hosts = distinct_values(
-        edges.map_batches(both_sides, batch_format="pyarrow"), "host"
-    ).materialize()  # tiny: one row per host; reused every superstep
-
+    edges, hosts, scores = state
     base = (15 * scale) // 100
-
-    def init_scores(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"host": b["host"], "score": np.int64(scale)}
-        )
-
-    scores = hosts.map_batches(init_scores, batch_format="pandas")
-
-    def to_share(b: pd.DataFrame) -> pd.DataFrame:
-        # per-SOURCE share, floor division — computed once per host,
-        # not once per edge
-        return pd.DataFrame(
-            {
-                "src": b["host"],
-                "share": (
-                    b["score"].to_numpy(np.int64)
-                    // b["outdeg"].to_numpy(np.int64)
-                ),
-            }
-        )
-
-    def weigh(b: pd.DataFrame) -> pd.DataFrame:
-        cnt = b["cnt"].to_numpy(np.int64)
-        share = b["share"].to_numpy(np.int64)
-        mass = cnt * share
-        # overflow guard (DuckDB fails loudly on BIGINT overflow; so
-        # must we): recompute in float and compare magnitude
-        if len(mass) and (
-            np.abs(cnt.astype(np.float64) * share.astype(np.float64))
-            > 9.2e18
-        ).any():
-            raise OverflowError("pagerank contribution exceeds int64")
-        return pd.DataFrame({"host": b["dst"], "mass": mass})
-
-    def zero_mass(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"host": b["host"], "mass": np.int64(0)})
-
     for _ in range(iters):
-        share = partitioned_hash_join(
-            scores.map_batches(
-                lambda b: pd.DataFrame(
-                    {"host": b["host"], "score": b["score"]}
-                ),
-                batch_format="pandas",
-            ),
-            outdeg,
-            "host",
-            "host",
-        ).map_batches(to_share, batch_format="pandas")
-        j = partitioned_hash_join(edges, share, "src", "src")
-        both = hosts.map_batches(zero_mass, batch_format="pandas").union(
-            j.map_batches(weigh, batch_format="pandas")
-        )
-        summed = grouped_sums(both, "host", ["mass"])
-
-        def damp(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "host": b["host"],
-                    "score": base
-                    + (85 * b["mass"].to_numpy(np.int64)) // 100,
-                }
-            )
-
-        scores = (
-            summed.map_batches(damp, batch_format="pandas")
-            .repartition(4)
-            .materialize()  # pin per superstep: one row per host
-        )
+        scores = _pagerank_superstep(scores, edges, hosts, base)
 
     return scores.map_batches(
         lambda b: pd.DataFrame(
             {"host": b["host"], "pagerank": b["score"]}
+        ),
+        batch_format="pandas",
+    )
+
+
+def host_pagerank_converged(
+    links: rd.Dataset,
+    tol: int | None = None,
+    max_iters: int = 16,
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """:func:`host_pagerank` iterated to CONVERGENCE instead of a
+    fixed count — the iteration count is data-dependent, decided by
+    an integer gate: stop at the first superstep k where
+    ``max_v |s_k(v) - s_{k-1}(v)| <= tol`` (default ``scale // 50``,
+    i.e. 2% of the score scale), capped at ``max_iters``.
+
+    The gate itself is exact integer arithmetic over the bounded
+    per-host score tables (one hash join of consecutive score
+    vectors, per-block max, driver-side max over block residues), so
+    the chosen k — returned as the constant ``n_iters`` column — is
+    bit-reproducible at any parallelism, and the DuckDB oracle (which
+    unrolls ``max_iters`` supersteps, computes every consecutive
+    delta, and selects the first sub-tolerance step) matches exactly.
+
+    Driver-coordinated loop by design (same shape as
+    :func:`~vlm_ocr_doc_reader_ray.stages.similarity.embedding_kmeans`):
+    the convergence decision needs a global scalar per superstep; the
+    per-superstep reduction it reads is one row per host, so the
+    driver sees O(blocks) integers, never corpus-scale data.
+
+    → (host, pagerank, n_iters) over ALL hosts; pagerank = s_{n_iters}.
+    """
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
+    if tol is None:
+        tol = scale // 50
+    if tol < 0:
+        raise ValueError("tol must be >= 0")
+    import numpy as np
+    import pandas as pd
+
+    state = _pagerank_graph(links, scale)
+    if state is None:
+        return _empty_typed(
+            host=pa.string(), pagerank=pa.int64(), n_iters=pa.int64()
+        )
+    edges, hosts, scores = state
+    base = (15 * scale) // 100
+
+    def block_max_delta(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"d": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"d": [np.int64(b["delta"].max())]})
+
+    n_iters = max_iters
+    for k in range(1, max_iters + 1):
+        # the superstep emits |s_k - s_{k-1}| per host in the SAME
+        # execution (prev scores ride the union the residue sum
+        # already reduces — zero extra shuffles); the reduction the
+        # driver reads is one int per BLOCK of the pinned per-host
+        # residue, not per host
+        scores = _pagerank_superstep(
+            scores, edges, hosts, base, with_delta=True
+        )
+        deltas = scores.map_batches(
+            block_max_delta, batch_format="pandas"
+        ).to_pandas()
+        if int(deltas["d"].max()) <= tol:
+            n_iters = k
+            break
+
+    return scores.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "host": b["host"],
+                "pagerank": b["score"],
+                "n_iters": np.int64(n_iters),
+            }
         ),
         batch_format="pandas",
     )
