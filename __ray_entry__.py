@@ -790,6 +790,19 @@ def _q_media_frames(sf_dir: str):
     return sample_frames(attach_video(_docs(sf_dir)), every=2)
 
 
+def _q_image_phash_dedup(sf_dir: str):
+    """Perceptual image dedup: REAL PNG decode → dHash (9×8
+    nearest-neighbor grid, 64 bits as two int64 halves) → one
+    hash-shuffle of (doc_id, hash) pairs counting docs per hash. The
+    oracle replays the hash symbolically from the corpus pixel
+    formula, so a green hash pins decode + downsample + packing +
+    dedup counts; truncated PNGs surface as phash_status='failed'
+    (failure is data)."""
+    from vlm_ocr_doc_reader_ray.stages.multimodal import attach_png, phash_dedup
+
+    return phash_dedup(attach_png(_docs(sf_dir)))
+
+
 def _q_media_resize(sf_dir: str):
     """REAL image path: pure-stdlib PNG encode → decode → bilinear
     resize (no external codec). The oracle recomputes input dims +
@@ -3070,6 +3083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tier 2: new this round — inserted here as built
         "pdf_extract_text": _q_pdf_extract_text,
         "host_pagerank_converged": _q_host_pagerank_converged,
+        "image_phash_dedup": _q_image_phash_dedup,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3234,6 +3248,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": sm.BM25_SEARCH_SQL,
         "host_pagerank": sm.HOST_PAGERANK_SQL,
         "host_pagerank_converged": sm.HOST_PAGERANK_CONVERGED_SQL,
+        "image_phash_dedup": sm.IMAGE_PHASH_SQL,
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

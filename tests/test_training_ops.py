@@ -173,6 +173,80 @@ def test_media_resize_real_decode_and_failure_is_data():
     assert d["in_sum"][1] == 0 and d["resized"][1] == b""
 
 
+def test_image_phash_known_value_and_invariance():
+    import numpy as np
+    import pyarrow as pa
+
+    from vlm_ocr_doc_reader_ray.extract.pngcodec import encode_png
+    from vlm_ocr_doc_reader_ray.stages.multimodal import ImagePHasher
+
+    hasher = ImagePHasher()
+    # 8×9 left-to-right ramp: every horizontal neighbor pair ascends,
+    # so all 64 bits are set → both halves are 2^32 - 1
+    ramp = np.tile(np.arange(9, dtype=np.uint8), (8, 1))
+    out = hasher(
+        pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                  "media": pa.array([encode_png(ramp)])})
+    ).to_pydict()
+    assert out["phash_hi"] == [2**32 - 1]
+    assert out["phash_lo"] == [2**32 - 1]
+    assert out["phash_status"] == ["ok"]
+    # brightness-offset invariance (no wrap): +100 → identical hash
+    shifted = hasher(
+        pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                  "media": pa.array([encode_png(ramp + 100)])})
+    ).to_pydict()
+    assert shifted["phash_hi"] == out["phash_hi"]
+    assert shifted["phash_lo"] == out["phash_lo"]
+    # descending ramp → no bit set
+    desc = hasher(
+        pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                  "media": pa.array([encode_png(ramp[:, ::-1].copy())])})
+    ).to_pydict()
+    assert desc["phash_hi"] == [0] and desc["phash_lo"] == [0]
+    # undecodable payload → sentinel hashes, failure is data
+    bad = hasher(
+        pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                  "media": pa.array([b"not a png"])})
+    ).to_pydict()
+    assert bad["phash_status"] == ["failed"]
+    assert bad["phash_hi"] == [-1] and bad["phash_lo"] == [-1]
+
+
+def test_phash_dedup_counts_and_partitioning_identity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.extract.pngcodec import encode_png
+    from vlm_ocr_doc_reader_ray.stages.multimodal import phash_dedup
+
+    ramp = np.tile(np.arange(9, dtype=np.uint8), (8, 1))
+    rows = [
+        {"doc_id": 0, "media": encode_png(ramp)},
+        {"doc_id": 1, "media": encode_png(ramp + 50)},   # same dHash
+        {"doc_id": 2, "media": encode_png(ramp[:, ::-1].copy())},
+        {"doc_id": 3, "media": b"truncated"},            # failed
+        {"doc_id": 4, "media": b"also bad"},             # failed
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+         "media": pa.array([r["media"] for r in rows],
+                           type=pa.large_binary())}
+    )
+    out = phash_dedup(rd.from_arrow(tbl)).to_pandas()
+    got = out.set_index("doc_id")
+    assert got.loc[0, "n_same"] == 2 and got.loc[1, "n_same"] == 2
+    assert got.loc[2, "n_same"] == 1
+    # failed rows never count as duplicates of each other
+    assert got.loc[3, "n_same"] == 0 and got.loc[4, "n_same"] == 0
+    assert set(got.loc[[3, 4], "phash_status"]) == {"failed"}
+    b = phash_dedup(rd.from_arrow(tbl).repartition(3)).to_pandas()
+    key = lambda d: d.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(key(out), key(b))
+
+
 def test_pngcodec_roundtrip_and_filters():
     import struct
     import zlib

@@ -1343,6 +1343,48 @@ SELECT doc_id,
 FROM dims
 """
 
+# Perceptual dHash dedup. Engine twin: multimodal.phash_dedup — the
+# engine decodes REAL PNG bytes and hashes pixels; this mirror replays
+# the hash symbolically from pixel(y,x) = (3x + 7y + doc_id) % 256 at
+# the nearest-neighbor grid x_j=(j*w)//9, y_i=(i*h)//8, so a green
+# hash pins decode + downsample + bit packing end-to-end. The 64 bits
+# split into two int64 halves (bits 0..31 -> phash_lo, 32..63 ->
+# phash_hi) exactly as the engine packs them — no sign-bit hazard.
+IMAGE_PHASH_SQL = r"""
+WITH dims AS (
+  SELECT doc_id,
+         16 + (doc_id % 5) * 8 AS w,
+         16 + (doc_id % 7) * 4 AS h,
+         doc_id % 97 = 13 AS corrupt
+  FROM documents
+), bits AS (
+  SELECT doc_id, corrupt,
+    flatten(list_transform(range(0, 8), i ->
+      list_transform(range(0, 8), j ->
+        CASE WHEN (3 * (((j + 1) * w) // 9) + 7 * ((i * h) // 8) + doc_id) % 256
+                > (3 * ((j * w) // 9) + 7 * ((i * h) // 8) + doc_id) % 256
+             THEN 1 ELSE 0 END))) AS b
+  FROM dims
+), ph AS (
+  SELECT doc_id, corrupt,
+    CASE WHEN corrupt THEN CAST(-1 AS BIGINT) ELSE
+      CAST(list_sum(list_transform(range(0, 32),
+           k -> b[k + 33] * (CAST(1 AS BIGINT) << k))) AS BIGINT)
+    END AS phash_hi,
+    CASE WHEN corrupt THEN CAST(-1 AS BIGINT) ELSE
+      CAST(list_sum(list_transform(range(0, 32),
+           k -> b[k + 1] * (CAST(1 AS BIGINT) << k))) AS BIGINT)
+    END AS phash_lo
+  FROM bits
+)
+SELECT doc_id, phash_hi, phash_lo,
+  CASE WHEN corrupt THEN 'failed' ELSE 'ok' END AS phash_status,
+  CASE WHEN corrupt THEN CAST(0 AS BIGINT) ELSE
+    count(*) OVER (PARTITION BY corrupt, phash_hi, phash_lo)
+  END AS n_same
+FROM ph
+"""
+
 
 # ---------------------------------------------------- analytic windows
 

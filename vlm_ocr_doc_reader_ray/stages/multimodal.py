@@ -326,3 +326,150 @@ def resize_media(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImagePHasher:
+    """Perceptual difference-hash (dHash) over PNG payloads — the
+    standard image near-dup fingerprint (Krawetz's dHash: downsample
+    to a 9×8 luminance grid, emit one bit per horizontal neighbor
+    pair "right pixel brighter than left"). Brightness-offset
+    invariant by construction (a constant shift cancels in the
+    comparison), which is exactly why training-data pipelines prefer
+    it over byte hashes for scraped-image dedup.
+
+    Integer-exact contract so the DuckDB oracle can replay it from
+    the symbolic corpus image: the downsample is NEAREST-NEIGHBOR at
+    floor-divided grid positions ``x_j = (j·w)//9``, ``y_i =
+    (i·h)//8`` (NOT area averaging — averaging would be float), and
+    the 64 bits are split into two int64 columns ``phash_hi`` (bits
+    32..63) / ``phash_lo`` (bits 0..31) so no value ever touches the
+    int64 sign bit on either side of the compare.
+
+    Undecodable payloads yield ``phash_status='failed'`` with
+    sentinel hashes -1 — failure is data, per the stage contract.
+    Reference analog: none — beyond-reference multimodal op; the
+    image-side counterpart of the text minhash/simhash family.
+    """
+
+    def __init__(self, media_col: str = "media") -> None:
+        # a real deployment loads its codec here, once per actor
+        import numpy as np
+
+        from vlm_ocr_doc_reader_ray.extract import pngcodec
+
+        self.codec = pngcodec
+        self.media_col = media_col
+        self._w32 = (1 << np.arange(32, dtype=np.int64))
+
+    def _dhash(self, arr) -> tuple[int, int]:
+        import numpy as np
+
+        if arr.ndim == 3:  # channel floor-mean → luminance
+            arr = arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+        h, w = arr.shape
+        xs = (np.arange(9, dtype=np.int64) * w) // 9
+        ys = (np.arange(8, dtype=np.int64) * h) // 8
+        grid = arr[np.ix_(ys, xs)].astype(np.int64)
+        bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)  # k = i*8+j
+        lo = int(bits[:32].astype(np.int64) @ self._w32)
+        hi = int(bits[32:].astype(np.int64) @ self._w32)
+        return hi, lo
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        his, los, status = [], [], []
+        for payload in batch.column(self.media_col).to_pylist():
+            try:
+                hi, lo = self._dhash(self.codec.decode_png(payload))
+                his.append(hi)
+                los.append(lo)
+                status.append("ok")
+            except Exception:  # zlib.error / ValueError / truncation
+                his.append(-1)
+                los.append(-1)
+                status.append("failed")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "phash_hi": pa.array(his, type=pa.int64()),
+                "phash_lo": pa.array(los, type=pa.int64()),
+                "phash_status": pa.array(status, type=pa.string()),
+            }
+        )
+
+
+def phash_media(
+    ds: rd.Dataset,
+    media_col: str = "media",
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """dHash fingerprint stage over PNG media → (doc_id, phash_hi,
+    phash_lo, phash_status). Stateless tasks by default; pass
+    ``concurrency`` for an actor pool sized below the cluster CPU
+    count (pool-takes-all starves the read stage)."""
+    if concurrency is None:
+        return ds.map_batches(
+            ImagePHasher(media_col), batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    return ds.map_batches(
+        ImagePHasher,
+        fn_constructor_kwargs={"media_col": media_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def phash_dedup(
+    ds: rd.Dataset,
+    media_col: str = "media",
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Perceptual image dedup: dHash every payload, then count docs
+    sharing each 64-bit hash → (doc_id, phash_hi, phash_lo,
+    phash_status, n_same); failed decodes keep sentinel hashes and
+    n_same = 0.
+
+    Scale shape: after the decode stage only (doc_id, hash) pairs
+    (~24 B/doc) remain — ONE hash-partitioned shuffle of those
+    co-locates equal hashes, and the per-partition group count is a
+    vectorized pandas transform (the exact-dedup discipline; never a
+    corpus-payload shuffle, never a self-join). Failed decodes all
+    share the (-1, -1) sentinel — a 1-in-97 hot key at corpus scale —
+    so they are SALTED into singleton groups by doc_id before the
+    shuffle (their n_same is 0 by contract, group size irrelevant).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    hashed = phash_media(ds, media_col=media_col, batch_size=batch_size)
+
+    def salt_failed(b: pd.DataFrame) -> pd.DataFrame:
+        # shuffle key: the hash for ok rows, (doc_id, -1) for failed
+        # ones — real phash_lo is never negative, so no collision
+        ok = (b["phash_status"] == "ok").to_numpy()
+        b = b.copy()
+        b["k_hi"] = np.where(
+            ok, b["phash_hi"].to_numpy(np.int64), b["doc_id"].to_numpy(np.int64)
+        )
+        b["k_lo"] = np.where(ok, b["phash_lo"].to_numpy(np.int64), -1)
+        return b
+
+    def count_same(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["n_same"] = (
+            g.groupby(["k_hi", "k_lo"])["doc_id"]
+            .transform("size")
+            .astype("int64")
+        )
+        g.loc[g["phash_status"] != "ok", "n_same"] = np.int64(0)
+        return g.drop(columns=["k_hi", "k_lo"])
+
+    return partitioned_apply(
+        hashed.map_batches(salt_failed, batch_format="pandas"),
+        ["k_hi", "k_lo"],
+        count_same,
+    )
