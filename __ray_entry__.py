@@ -803,6 +803,17 @@ def _q_image_phash_dedup(sf_dir: str):
     return phash_dedup(attach_png(_docs(sf_dir)))
 
 
+def _q_audio_features(sf_dir: str):
+    """REAL audio path: pure-stdlib WAV encode → RIFF/PCM decode →
+    integer-exact signal features (duration, peak, Σ|amplitude|,
+    zero crossings). The oracle replays every feature from the
+    symbolic signal formula, so a green hash proves sample-perfect
+    decode; truncated WAVs surface as audio_status='failed'."""
+    from vlm_ocr_doc_reader_ray.stages.multimodal import attach_wav, audio_features
+
+    return audio_features(attach_wav(_docs(sf_dir)))
+
+
 def _q_media_resize(sf_dir: str):
     """REAL image path: pure-stdlib PNG encode → decode → bilinear
     resize (no external codec). The oracle recomputes input dims +
@@ -3084,6 +3095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract_text": _q_pdf_extract_text,
         "host_pagerank_converged": _q_host_pagerank_converged,
         "image_phash_dedup": _q_image_phash_dedup,
+        "audio_features": _q_audio_features,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3249,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": sm.HOST_PAGERANK_SQL,
         "host_pagerank_converged": sm.HOST_PAGERANK_CONVERGED_SQL,
         "image_phash_dedup": sm.IMAGE_PHASH_SQL,
+        "audio_features": sm.AUDIO_FEATURES_SQL,
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

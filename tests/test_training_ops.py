@@ -173,6 +173,57 @@ def test_media_resize_real_decode_and_failure_is_data():
     assert d["in_sum"][1] == 0 and d["resized"][1] == b""
 
 
+def test_wavcodec_roundtrip_and_scope_errors():
+    import numpy as np
+    import pytest
+
+    from vlm_ocr_doc_reader_ray.extract.wavcodec import decode_wav, encode_wav
+
+    s = np.array([-2000, 0, 1, -1, 1999], dtype=np.int16)
+    data = encode_wav(s, 8000)
+    back, rate = decode_wav(data)
+    assert rate == 8000
+    assert np.array_equal(back, s)
+    # truncated payload raises (never a silently short signal)
+    with pytest.raises(ValueError):
+        decode_wav(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+    # stereo / non-PCM is out of scope and must fail loudly
+    import struct
+
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = (b"RIFF" + (4 + 8 + 16).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little") + stereo_fmt)
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+
+
+def test_audio_featurizer_known_values_and_failure_is_data():
+    import numpy as np
+    import pyarrow as pa
+
+    from vlm_ocr_doc_reader_ray.extract.wavcodec import encode_wav
+    from vlm_ocr_doc_reader_ray.stages.multimodal import AudioFeaturizer
+
+    # hand-checkable signal: 4 samples at 1000 Hz
+    s = np.array([-3, 5, 0, -2], dtype=np.int16)
+    out = AudioFeaturizer()(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "media": pa.array([encode_wav(s, 1000), b"junk"],
+                                    type=pa.large_binary())})
+    ).to_pydict()
+    assert out["audio_status"] == ["ok", "failed"]
+    assert out["sample_rate"][0] == 1000
+    assert out["n_samples"][0] == 4
+    assert out["duration_ms"][0] == 4  # 4 * 1000 // 1000
+    assert out["peak_abs"][0] == 5
+    assert out["sum_abs"][0] == 10
+    # sign pairs: (-,+) (+,+0) (0,-): crossings at 0->1 and 2->3
+    assert out["n_zero_cross"][0] == 2
+    assert out["sample_rate"][1] == 0 and out["sum_abs"][1] == 0
+
+
 def test_image_phash_known_value_and_invariance():
     import numpy as np
     import pyarrow as pa

@@ -1350,6 +1350,44 @@ FROM dims
 # hash pins decode + downsample + bit packing end-to-end. The 64 bits
 # split into two int64 halves (bits 0..31 -> phash_lo, 32..63 ->
 # phash_hi) exactly as the engine packs them — no sign-bit hazard.
+# Audio features. Engine twin: multimodal.audio_features — the engine
+# decodes REAL RIFF/PCM WAV bytes (extract/wavcodec.py); this mirror
+# replays every feature symbolically from the signal formula
+# s[k] = ((31·doc_id + 17k) mod 4001) - 2000, all integer arithmetic
+# (duration is floor-division ms; energy is Σ|s| — RMS would be
+# float), so a green hash pins decode + every feature end-to-end.
+AUDIO_FEATURES_SQL = r"""
+WITH dims AS (
+  SELECT doc_id,
+         800 + (doc_id % 7) * 160 AS n,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         doc_id % 97 = 13 AS corrupt
+  FROM documents
+), sig AS (
+  SELECT doc_id, corrupt, n, rate,
+    list_transform(range(0, n),
+      k -> (31 * doc_id + 17 * k) % 4001 - 2000) AS v
+  FROM dims
+)
+SELECT doc_id,
+  CAST(CASE WHEN corrupt THEN 0 ELSE rate END AS BIGINT) AS sample_rate,
+  CAST(CASE WHEN corrupt THEN 0 ELSE n END AS BIGINT) AS n_samples,
+  CAST(CASE WHEN corrupt THEN 0
+       ELSE (n * 1000) // rate END AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN corrupt THEN 0
+       ELSE list_max(list_transform(v, x -> abs(x))) END AS BIGINT)
+    AS peak_abs,
+  CAST(CASE WHEN corrupt THEN 0
+       ELSE list_sum(list_transform(v, x -> abs(x))) END AS BIGINT)
+    AS sum_abs,
+  CAST(CASE WHEN corrupt THEN 0
+       ELSE list_sum(list_transform(range(1, n), k ->
+            CASE WHEN (v[k] < 0) != (v[k + 1] < 0) THEN 1 ELSE 0 END))
+       END AS BIGINT) AS n_zero_cross,
+  CASE WHEN corrupt THEN 'failed' ELSE 'ok' END AS audio_status
+FROM sig
+"""
+
 IMAGE_PHASH_SQL = r"""
 WITH dims AS (
   SELECT doc_id,

@@ -473,3 +473,126 @@ def phash_dedup(
         ["k_hi", "k_lo"],
         count_same,
     )
+
+
+def wav_samples(doc_id: int) -> tuple["np.ndarray", int]:  # noqa: F821
+    """Deterministic int16 test signal for ``doc_id``:
+    ``s[k] = ((31·doc_id + 17k) mod 4001) - 2000`` over
+    ``800 + (doc_id % 7)·160`` samples at ``8000 + (doc_id % 3)·4000``
+    Hz — integer-exact so the DuckDB oracle recomputes every audio
+    feature symbolically (the audio twin of :func:`png_pixels`)."""
+    import numpy as np
+
+    n = 800 + (doc_id % 7) * 160
+    k = np.arange(n, dtype=np.int64)
+    v = (31 * doc_id + 17 * k) % 4001 - 2000
+    return v.astype(np.int16), 8000 + (doc_id % 3) * 4000
+
+
+def attach_wav(docs: rd.Dataset, corrupt_every: int = 97,
+               corrupt_residue: int = 13) -> rd.Dataset:
+    """documents rows → + ``media: large_binary`` of REAL WAV bytes
+    (pure-stdlib RIFF/PCM encoder). Docs on the engine-wide corrupt
+    residue get a truncated payload — failure is data downstream."""
+    from vlm_ocr_doc_reader_ray.extract.wavcodec import encode_wav
+
+    def add(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d in batch.column("doc_id").to_pylist():
+            wav = encode_wav(*wav_samples(int(d)))
+            if int(d) % corrupt_every == corrupt_residue:
+                wav = wav[: len(wav) // 2]  # truncated mid-chunk
+            payloads.append(wav)
+        return batch.append_column(
+            "media", pa.array(payloads, type=pa.large_binary())
+        )
+
+    return docs.map_batches(add, batch_format="pyarrow")
+
+
+class AudioFeaturizer:
+    """Real WAV decode → integer-exact signal features, run as a
+    small-batch stage (the audio counterpart of :class:`ImageResizer`;
+    a real deployment swaps in its audio codec / feature model in
+    ``__init__`` without touching the stage shape).
+
+    Features are all integer arithmetic so the DuckDB oracle can
+    replay them from the symbolic signal: sample count, sample rate,
+    floor-division duration in ms, peak |amplitude|, Σ|amplitude|
+    (the exact-energy proxy — RMS would be float), and the
+    zero-crossing count (consecutive pairs whose signs differ,
+    negative vs non-negative). Undecodable payloads yield
+    ``audio_status='failed'`` with zeroed features.
+    """
+
+    def __init__(self, media_col: str = "media") -> None:
+        # a real deployment loads its codec here, once per actor
+        from vlm_ocr_doc_reader_ray.extract import wavcodec
+
+        self.codec = wavcodec
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rates, counts, durs, peaks, sums, crossings, status = (
+            [], [], [], [], [], [], [],
+        )
+        for payload in batch.column(self.media_col).to_pylist():
+            try:
+                s, rate = self.codec.decode_wav(payload)
+                v = s.astype(np.int64)
+                a = np.abs(v)
+                rates.append(rate)
+                counts.append(len(v))
+                durs.append((len(v) * 1000) // rate)
+                peaks.append(int(a.max()) if len(v) else 0)
+                sums.append(int(a.sum()))
+                crossings.append(
+                    int(np.count_nonzero((v[:-1] < 0) != (v[1:] < 0)))
+                )
+                status.append("ok")
+            except Exception:  # ValueError / struct truncation
+                rates.append(0)
+                counts.append(0)
+                durs.append(0)
+                peaks.append(0)
+                sums.append(0)
+                crossings.append(0)
+                status.append("failed")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sample_rate": pa.array(rates, type=pa.int64()),
+                "n_samples": pa.array(counts, type=pa.int64()),
+                "duration_ms": pa.array(durs, type=pa.int64()),
+                "peak_abs": pa.array(peaks, type=pa.int64()),
+                "sum_abs": pa.array(sums, type=pa.int64()),
+                "n_zero_cross": pa.array(crossings, type=pa.int64()),
+                "audio_status": pa.array(status, type=pa.string()),
+            }
+        )
+
+
+def audio_features(
+    ds: rd.Dataset,
+    media_col: str = "media",
+    concurrency: int | None = None,
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """WAV decode + feature stage → (doc_id, sample_rate, n_samples,
+    duration_ms, peak_abs, sum_abs, n_zero_cross, audio_status).
+    Stateless tasks by default; pass ``concurrency`` for an actor pool
+    sized below the cluster CPU count."""
+    if concurrency is None:
+        return ds.map_batches(
+            AudioFeaturizer(media_col), batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    return ds.map_batches(
+        AudioFeaturizer,
+        fn_constructor_kwargs={"media_col": media_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
