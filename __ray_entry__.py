@@ -814,6 +814,17 @@ def _q_audio_features(sf_dir: str):
     return audio_features(attach_wav(_docs(sf_dir)))
 
 
+def _q_audio_chunks(sf_dir: str):
+    """Fixed-window audio segmentation: decode real WAV bytes and
+    explode one row per 256-sample window with integer-exact window
+    features (vectorized reduceat, no per-sample loop); corrupt
+    payloads contribute no rows. The oracle replays every window
+    symbolically."""
+    from vlm_ocr_doc_reader_ray.stages.multimodal import attach_wav, audio_chunks
+
+    return audio_chunks(attach_wav(_docs(sf_dir)))
+
+
 def _q_media_resize(sf_dir: str):
     """REAL image path: pure-stdlib PNG encode → decode → bilinear
     resize (no external codec). The oracle recomputes input dims +
@@ -3096,6 +3107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_converged": _q_host_pagerank_converged,
         "image_phash_dedup": _q_image_phash_dedup,
         "audio_features": _q_audio_features,
+        "audio_chunks": _q_audio_chunks,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3262,6 +3274,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank_converged": sm.HOST_PAGERANK_CONVERGED_SQL,
         "image_phash_dedup": sm.IMAGE_PHASH_SQL,
         "audio_features": sm.AUDIO_FEATURES_SQL,
+        "audio_chunks": sm.AUDIO_CHUNKS_SQL,
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

@@ -224,6 +224,32 @@ def test_audio_featurizer_known_values_and_failure_is_data():
     assert out["sample_rate"][1] == 0 and out["sum_abs"][1] == 0
 
 
+def test_audio_chunks_windows_and_tail(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.extract.wavcodec import encode_wav
+    from vlm_ocr_doc_reader_ray.stages.multimodal import audio_chunks
+
+    # 600 samples, chunk 256 → windows of 256, 256, 88
+    s = (np.arange(600) % 7 - 3).astype(np.int16)
+    tbl = pa.table(
+        {"doc_id": pa.array([9, 10], type=pa.int64()),
+         "media": pa.array([encode_wav(s, 8000), b"bad"],
+                           type=pa.large_binary())}
+    )
+    out = audio_chunks(rd.from_arrow(tbl)).to_pandas()
+    out = out.sort_values("chunk_idx", ignore_index=True)
+    assert list(out["doc_id"]) == [9, 9, 9]  # corrupt doc drops
+    assert list(out["n_samples"]) == [256, 256, 88]
+    assert list(out["start"]) == [0, 256, 512]
+    a = np.abs(s.astype(np.int64))
+    for i, (lo, hi) in enumerate([(0, 256), (256, 512), (512, 600)]):
+        assert out.loc[i, "sum_abs"] == int(a[lo:hi].sum())
+        assert out.loc[i, "peak_abs"] == int(a[lo:hi].max())
+
+
 def test_image_phash_known_value_and_invariance():
     import numpy as np
     import pyarrow as pa

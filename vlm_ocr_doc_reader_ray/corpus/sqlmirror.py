@@ -1388,6 +1388,35 @@ SELECT doc_id,
 FROM sig
 """
 
+# Fixed-window audio segmentation. Engine twin: multimodal.audio_chunks
+# (np.add/maximum.reduceat over the decoded signal); corrupt docs
+# contribute no rows. Window features replayed symbolically per chunk.
+AUDIO_CHUNKS_SQL = r"""
+WITH dims AS (
+  SELECT doc_id,
+         800 + (doc_id % 7) * 160 AS n,
+         doc_id % 97 = 13 AS corrupt
+  FROM documents
+), sig AS (
+  SELECT doc_id, n,
+    list_transform(range(0, n),
+      k -> (31 * doc_id + 17 * k) % 4001 - 2000) AS v
+  FROM dims WHERE NOT corrupt
+), ch AS (
+  SELECT doc_id, n, v, unnest(range(0, n, 256)) AS s
+  FROM sig
+)
+SELECT doc_id,
+  CAST(s // 256 AS BIGINT) AS chunk_idx,
+  CAST(s AS BIGINT) AS start,
+  CAST(least(s + 256, n) - s AS BIGINT) AS n_samples,
+  CAST(list_sum(list_transform(range(s, least(s + 256, n)),
+       k -> abs(v[k + 1]))) AS BIGINT) AS sum_abs,
+  CAST(list_max(list_transform(range(s, least(s + 256, n)),
+       k -> abs(v[k + 1]))) AS BIGINT) AS peak_abs
+FROM ch
+"""
+
 IMAGE_PHASH_SQL = r"""
 WITH dims AS (
   SELECT doc_id,

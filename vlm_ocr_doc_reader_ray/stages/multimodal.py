@@ -596,3 +596,65 @@ def audio_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def audio_chunks(
+    ds: rd.Dataset,
+    chunk: int = 256,
+    media_col: str = "media",
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Fixed-window audio segmentation — the flat-map shape a speech
+    training pipeline uses to cut long recordings into model-sized
+    segments: one output row per non-overlapping ``chunk``-sample
+    window (the tail window may be short), with integer-exact
+    per-window features so the DuckDB oracle replays them from the
+    symbolic signal.
+
+    Output: (doc_id, chunk_idx, start, n_samples, sum_abs, peak_abs).
+    Undecodable payloads contribute no rows (failure is data at the
+    feature stage — :func:`audio_features` — not here; same contract
+    as :func:`sample_frames`).
+
+    Per-batch work is vectorized: windows reduce via
+    ``np.add.reduceat`` / ``np.maximum.reduceat`` over the decoded
+    signal — no per-sample Python loop."""
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
+    from vlm_ocr_doc_reader_ray.extract.wavcodec import decode_wav
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, idxs, starts, ns, sums, peaks = [], [], [], [], [], []
+        for doc_id, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column(media_col).to_pylist(),
+        ):
+            try:
+                s, _rate = decode_wav(payload)
+            except Exception:
+                continue  # undecodable rows drop here
+            if not len(s):
+                continue
+            a = np.abs(s.astype(np.int64))
+            st = np.arange(0, len(s), chunk, dtype=np.int64)
+            ids.extend([int(doc_id)] * len(st))
+            idxs.extend(range(len(st)))
+            starts.extend(st.tolist())
+            ends = np.minimum(st + chunk, len(s))
+            ns.extend((ends - st).tolist())
+            sums.extend(np.add.reduceat(a, st).tolist())
+            peaks.extend(np.maximum.reduceat(a, st).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "chunk_idx": pa.array(idxs, type=pa.int64()),
+                "start": pa.array(starts, type=pa.int64()),
+                "n_samples": pa.array(ns, type=pa.int64()),
+                "sum_abs": pa.array(sums, type=pa.int64()),
+                "peak_abs": pa.array(peaks, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=batch_size)
