@@ -2694,6 +2694,22 @@ def _q_host_pagerank_converged(sf_dir: str):
     return host_pagerank_converged(links_table(read_corpus(sf_dir)))
 
 
+def _q_quality_classifier(sf_dir: str):
+    """Naive-Bayes quality classifier (the fasttext-style
+    looks-like-the-reference-corpus filter of the GPT-3/LLaMA data
+    recipes): seed-positive docs (lang='en') define the target
+    distribution in ONE streaming pass over bounded hashed-unigram
+    residues; every doc is scored by the integer-quantized
+    log-likelihood-ratio sum, bit-reproducible at any parallelism."""
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import nb_classifier_scores
+
+    return nb_classifier_scores(
+        _docs(sf_dir),
+        positive_filter=lambda b: (b["lang"] == "en").to_numpy(),
+        filter_cols=["lang"],
+    )
+
+
 def _q_unigram_nll(sf_dir: str):
     """CCNet-style LM quality score: per-doc negative log-likelihood
     under a hashed-unigram model fitted on the corpus in one bounded
@@ -3108,6 +3124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_dedup": _q_image_phash_dedup,
         "audio_features": _q_audio_features,
         "audio_chunks": _q_audio_chunks,
+        "quality_classifier": _q_quality_classifier,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3275,6 +3292,7 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_dedup": sm.IMAGE_PHASH_SQL,
         "audio_features": sm.AUDIO_FEATURES_SQL,
         "audio_chunks": sm.AUDIO_CHUNKS_SQL,
+        "quality_classifier": sm.QUALITY_CLASSIFIER_SQL,
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

@@ -272,6 +272,75 @@ class TestHostPagerankConverged:
         assert out.count() == 0
 
 
+class TestNbClassifier:
+    def _corpus(self):
+        import ray.data as rd
+
+        rows = []
+        for i in range(8):
+            rows.append({"doc_id": i, "text": "alpha beta gamma delta",
+                         "label": "pos"})
+        for i in range(8, 16):
+            rows.append({"doc_id": i, "text": "omega sigma theta kappa",
+                         "label": "neg"})
+        # mixed doc: half positive vocabulary
+        rows.append({"doc_id": 16, "text": "alpha beta theta kappa",
+                     "label": "neg"})
+        return rd.from_items(rows)
+
+    def test_separates_classes_and_orders_mixed_doc(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            nb_classifier_scores,
+        )
+
+        out = nb_classifier_scores(
+            self._corpus(),
+            positive_filter=lambda b: (b["label"] == "pos").to_numpy(),
+            filter_cols=["label"],
+        ).to_pandas().set_index("doc_id")
+        assert out.loc[0, "mean_llr"] > 0      # pure positive vocab
+        assert out.loc[8, "mean_llr"] < 0      # pure negative vocab
+        # mixed doc sits strictly between the two pure classes
+        assert out.loc[8, "mean_llr"] < out.loc[16, "mean_llr"] < out.loc[0, "mean_llr"]
+        assert (out["n_words"] == 4).all()
+
+    def test_identity_under_partitioning(self, ray_session):
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            nb_classifier_scores,
+        )
+
+        kw = dict(
+            positive_filter=lambda b: (b["label"] == "pos").to_numpy(),
+            filter_cols=["label"],
+        )
+        a = nb_classifier_scores(self._corpus(), **kw).to_pandas()
+        b = nb_classifier_scores(
+            self._corpus().repartition(5), **kw
+        ).to_pandas()
+        key = lambda d: d.sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(key(a), key(b))
+
+    def test_string_id_dtype_preserved(self, ray_session):
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            nb_classifier_scores,
+        )
+
+        ds = rd.from_items(
+            [{"url": "https://a.ex/1", "text": "alpha beta", "label": "pos"},
+             {"url": "https://b.ex/1", "text": "omega sigma", "label": "neg"}]
+        )
+        out = nb_classifier_scores(
+            ds,
+            positive_filter=lambda b: (b["label"] == "pos").to_numpy(),
+            id_col="url",
+            filter_cols=["label"],
+        ).to_pandas()
+        assert set(out["url"]) == {"https://a.ex/1", "https://b.ex/1"}
+        assert out["url"].dtype == object
+
+
 class TestUnigramNll:
     def test_rare_word_scores_higher(self, ray_session):
         import ray.data as rd

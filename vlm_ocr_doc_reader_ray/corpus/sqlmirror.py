@@ -2954,6 +2954,48 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Naive-Bayes quality classifier (the fasttext-style "looks like the
+# reference corpus" filter). Engine twin:
+# text_analysis.nb_classifier_scores with positive seed lang = 'en' —
+# per-bucket log-likelihood RATIO quantized to integer millionths
+# (two libm ln calls then one subtraction, floor once), per-doc score
+# = BIGINT sum. Same md5_u64 % 65536 hash contract as UNIGRAM_NLL_SQL.
+# ---------------------------------------------------------------------------
+
+QUALITY_CLASSIFIER_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+), hh AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 65536 AS BIGINT) AS h
+  FROM w
+), c AS (
+  SELECT h,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nc
+  FROM hh GROUP BY h
+), tot AS (
+  SELECT CAST(sum(pc) AS BIGINT) AS tp, CAST(sum(nc) AS BIGINT) AS tn FROM c
+), q AS (
+  SELECT h,
+         CAST(floor((ln((CAST(pc AS DOUBLE) + 1.0)
+                         / (CAST(t.tp AS DOUBLE) + 65536.0))
+                     - ln((CAST(nc AS DOUBLE) + 1.0)
+                         / (CAST(t.tn AS DOUBLE) + 65536.0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS llr_u
+  FROM c CROSS JOIN tot t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(llr_u) AS BIGINT) AS llr_micro,
+       CAST(CAST(sum(llr_u) AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_llr
+FROM hh JOIN q USING (h)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # directional n-gram containment (quote/syndication detection).
 # Engine twin: dedup.containment_pairs — asymmetric prefix filter with
 # exact recall, rational gate 5*shared >= 4*n_inner (no float decides

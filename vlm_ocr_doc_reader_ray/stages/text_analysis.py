@@ -1901,3 +1901,134 @@ def char_entropy_scores(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas"
     )
+
+
+def nb_classifier_scores(
+    ds: rd.Dataset,
+    positive_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 65536,
+    keep_cols: "list[str] | None" = None,
+    filter_cols: "list[str] | None" = None,
+) -> rd.Dataset:
+    """Distributed Naive-Bayes quality classifier — the fasttext-style
+    "looks like the reference corpus" filter of the GPT-3/LLaMA data
+    recipes (seed-positive docs define the target distribution;
+    every doc is scored by how much more likely its words are under
+    the positive class than the negative). High ``mean_llr`` = keep.
+
+    ``positive_filter(batch: pd.DataFrame) -> bool mask`` marks the
+    seed-positive rows (same device as
+    :func:`importance_count_tables`'s target_filter); columns it
+    reads beyond id/text go in ``filter_cols`` — they ride the FIT
+    pass's projection only and never widen the scored output.
+
+    → (id, n_words, llr_micro, mean_llr).
+
+    EXACTNESS CONTRACT (the :func:`unigram_nll_scores` device): the
+    per-bucket log-likelihood ratio is quantized ONCE —
+    ``llr_u[h] = floor((ln((cp[h]+1)/(Tp+B)) - ln((cn[h]+1)/(Tn+B)))
+    · 1e6 + 0.5)`` with ``math.log`` (libm, lockstep with DuckDB's
+    ``ln``) — and the per-doc score is the BIGINT sum of those
+    integers, associativity-proof at any parallelism.
+
+    Reference analog: none — beyond-reference training-data op.
+
+    Scale shape: ONE streaming pass collapses each batch to
+    ≤ n_buckets (hash, pos_count, neg_count) residue rows (both class
+    tables together — the corpus is read once); the fit is one
+    bounded shuffle; the quantized 0.5 MB table broadcasts via
+    ``ray.put``; the scoring pass is vectorized bincount, and the id
+    dtype is preserved (string url ids work).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+
+    extra = list(keep_cols or [])
+    narrow = ds.select_columns([id_col, text_col] + extra)
+    fit_cols = [text_col] + [c for c in (filter_cols or []) if c != text_col]
+    fit_narrow = ds.select_columns(fit_cols)
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype="int64"),
+                 "pc": pd.Series([], dtype="int64"),
+                 "nc": pd.Series([], dtype="int64")}
+            )
+        mask = np.asarray(positive_filter(batch), dtype=bool)
+        buckets, lens = _hashed_word_buckets(batch[text_col].tolist(), n_buckets)
+        occ_pos = np.repeat(mask, lens)
+        pc = np.bincount(buckets[occ_pos], minlength=n_buckets)
+        nc = np.bincount(buckets[~occ_pos], minlength=n_buckets)
+        h = np.nonzero(pc + nc)[0]
+        return pd.DataFrame(
+            {"h": h.astype(np.int64),
+             "pc": pc[h].astype(np.int64),
+             "nc": nc[h].astype(np.int64)}
+        )
+
+    totals = grouped_sums(
+        fit_narrow.map_batches(count_partial, batch_format="pandas"),
+        ["h"], ["pc", "nc"],
+    ).to_pandas()  # bounded residue: <= n_buckets rows
+    pc = np.zeros(n_buckets, dtype=np.int64)
+    nc = np.zeros(n_buckets, dtype=np.int64)
+    if len(totals):
+        pc[totals["h"].to_numpy()] = totals["pc"].to_numpy()
+        nc[totals["h"].to_numpy()] = totals["nc"].to_numpy()
+    tp = float(pc.sum()) + float(n_buckets)
+    tn = float(nc.sum()) + float(n_buckets)
+    import math as _math
+
+    llr_u = np.fromiter(
+        (
+            int(_math.floor(
+                (_math.log((p + 1.0) / tp) - _math.log((n + 1.0) / tn))
+                * 1000000.0 + 0.5
+            ))
+            for p, n in zip(pc.tolist(), nc.tolist())
+        ),
+        dtype=np.int64,
+        count=n_buckets,
+    )
+    ref = ray.put(llr_u)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            out = pd.DataFrame(
+                {id_col: batch[id_col].reset_index(drop=True),
+                 "n_words": pd.Series([], dtype="int64"),
+                 "llr_micro": pd.Series([], dtype="int64"),
+                 "mean_llr": pd.Series([], dtype="float64")}
+            )
+            for c in extra:
+                out[c] = batch[c].reset_index(drop=True)
+            return out
+        import numpy as np
+
+        table = ray.get(ref)
+        buckets, lens = _hashed_word_buckets(batch[text_col].tolist(), n_buckets)
+        row_of = np.repeat(np.arange(len(batch)), lens)
+        # per-doc sums of |llr|<=~2e7 over ~2e3 words stay far under
+        # 2^53, where float64 addition of integers is exact
+        llr = np.bincount(
+            row_of, weights=table[buckets].astype(np.float64),
+            minlength=len(batch),
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "n_words": lens,
+                "llr_micro": llr,
+                "mean_llr": llr.astype(np.float64) / lens.astype(np.float64),
+            }
+        )
+        for c in extra:
+            out[c] = batch[c].to_numpy()
+        return out
+
+    return narrow.map_batches(score, batch_format="pandas")
