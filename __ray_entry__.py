@@ -825,6 +825,30 @@ def _q_audio_chunks(sf_dir: str):
     return audio_chunks(attach_wav(_docs(sf_dir)))
 
 
+def _q_image_dedup_resize(sf_dir: str):
+    """Composed multimodal pipeline: PNG decode → dHash → keep the
+    min-doc_id winner per perceptual-duplicate class (one key-only
+    shuffle; payloads never shuffle) → RE-FETCH the winners' payloads
+    by key (the prune-then-refetch pattern a real pipeline uses
+    against storage; here the deterministic encoder is the store) →
+    decode + bilinear-resize the survivors. The oracle replays hash,
+    winner selection, and the input-pixel sums symbolically."""
+    from vlm_ocr_doc_reader_ray.stages.multimodal import (
+        attach_png,
+        phash_keep_canonical,
+        resize_media,
+    )
+
+    winners = phash_keep_canonical(attach_png(_docs(sf_dir)))
+    refetched = attach_png(winners)  # payloads re-synthesized by key
+    return resize_media(
+        refetched, keep_cols=["phash_hi", "phash_lo", "n_same"]
+    ).select_columns(
+        ["doc_id", "phash_hi", "phash_lo", "n_same",
+         "in_w", "in_h", "in_sum", "out_w", "out_h"]
+    )
+
+
 def _q_media_resize(sf_dir: str):
     """REAL image path: pure-stdlib PNG encode → decode → bilinear
     resize (no external codec). The oracle recomputes input dims +
@@ -3125,6 +3149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "audio_chunks": _q_audio_chunks,
         "quality_classifier": _q_quality_classifier,
+        "image_dedup_resize": _q_image_dedup_resize,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3293,6 +3318,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": sm.AUDIO_FEATURES_SQL,
         "audio_chunks": sm.AUDIO_CHUNKS_SQL,
         "quality_classifier": sm.QUALITY_CLASSIFIER_SQL,
+        "image_dedup_resize": sm.IMAGE_DEDUP_RESIZE_SQL,
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

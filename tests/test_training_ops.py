@@ -324,6 +324,49 @@ def test_phash_dedup_counts_and_partitioning_identity(ray_session):
     pd.testing.assert_frame_equal(key(out), key(b))
 
 
+def test_phash_keep_canonical_and_keepcols_passthrough(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.extract.pngcodec import encode_png
+    from vlm_ocr_doc_reader_ray.stages.multimodal import (
+        phash_keep_canonical,
+        resize_media,
+    )
+
+    ramp = np.tile(np.arange(9, dtype=np.uint8), (8, 1))
+    rows = [
+        (5, encode_png(ramp)),               # class A (brightness twin of 1)
+        (1, encode_png(ramp + 50)),          # class A winner (min doc_id)
+        (2, encode_png(ramp[:, ::-1].copy())),  # class B, singleton
+        (3, b"truncated"),                   # failed: no perceptual identity
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+         "media": pa.array([r[1] for r in rows], type=pa.large_binary())}
+    )
+    out = phash_keep_canonical(rd.from_arrow(tbl)).to_pandas()
+    got = out.set_index("doc_id").sort_index()
+    # one winner per perceptual class; corrupt doc 3 excluded entirely
+    assert list(got.index) == [1, 2]
+    assert got.loc[1, "n_same"] == 2 and got.loc[2, "n_same"] == 1
+    # partitioning identity
+    b = phash_keep_canonical(rd.from_arrow(tbl).repartition(3)).to_pandas()
+    key = lambda d: d.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(key(out), key(b))
+    # keep_cols ride through the resize stage unchanged
+    res = resize_media(
+        rd.from_arrow(
+            tbl.append_column("tag", pa.array(["a", "b", "c", "d"]))
+        ),
+        keep_cols=["tag"],
+    ).to_pandas().set_index("doc_id")
+    assert list(res.loc[[5, 1, 2], "tag"]) == ["a", "b", "c"]
+    assert res.loc[3, "resize_status"] == "failed" and res.loc[3, "tag"] == "d"
+
+
 def test_pngcodec_roundtrip_and_filters():
     import struct
     import zlib

@@ -1417,6 +1417,50 @@ SELECT doc_id,
 FROM ch
 """
 
+# Composed multimodal pipeline (hash → keep-one → refetch → resize).
+# Engine twin: __ray_entry__._q_image_dedup_resize. Reuses the
+# IMAGE_PHASH_SQL hash expressions and MEDIA_RESIZE_SQL's symbolic
+# pixel sum; winner = min doc_id per (phash_hi, phash_lo) among
+# non-corrupt docs; n_same = perceptual class size.
+IMAGE_DEDUP_RESIZE_SQL = r"""
+WITH dims AS (
+  SELECT doc_id,
+         16 + (doc_id % 5) * 8 AS w,
+         16 + (doc_id % 7) * 4 AS h,
+         doc_id % 97 = 13 AS corrupt
+  FROM documents
+), bits AS (
+  SELECT doc_id, corrupt,
+    flatten(list_transform(range(0, 8), i ->
+      list_transform(range(0, 8), j ->
+        CASE WHEN (3 * (((j + 1) * w) // 9) + 7 * ((i * h) // 8) + doc_id) % 256
+                > (3 * ((j * w) // 9) + 7 * ((i * h) // 8) + doc_id) % 256
+             THEN 1 ELSE 0 END))) AS b
+  FROM dims WHERE NOT corrupt
+), ph AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 32),
+         k -> b[k + 33] * (CAST(1 AS BIGINT) << k))) AS BIGINT) AS phash_hi,
+    CAST(list_sum(list_transform(range(0, 32),
+         k -> b[k + 1] * (CAST(1 AS BIGINT) << k))) AS BIGINT) AS phash_lo
+  FROM bits
+), win AS (
+  SELECT phash_hi, phash_lo,
+         CAST(min(doc_id) AS BIGINT) AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_same
+  FROM ph GROUP BY phash_hi, phash_lo
+)
+SELECT wn.doc_id, wn.phash_hi, wn.phash_lo, wn.n_same,
+  CAST(d.w AS BIGINT) AS in_w,
+  CAST(d.h AS BIGINT) AS in_h,
+  CAST(list_sum(flatten(list_transform(range(0, d.h),
+       y -> list_transform(range(0, d.w),
+            x -> (3 * x + 7 * y + d.doc_id) % 256)))) AS BIGINT) AS in_sum,
+  CAST(32 AS BIGINT) AS out_w,
+  CAST(32 AS BIGINT) AS out_h
+FROM win wn JOIN dims d ON d.doc_id = wn.doc_id
+"""
+
 IMAGE_PHASH_SQL = r"""
 WITH dims AS (
   SELECT doc_id,

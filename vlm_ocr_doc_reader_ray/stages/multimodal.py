@@ -251,16 +251,20 @@ class ImageResizer:
 
     Emits input dims + pixel sum (oracle-checkable), output dims +
     pixel sum, and the resized PNG; undecodable payloads yield
-    ``resize_status='failed'`` with zeroed metrics."""
+    ``resize_status='failed'`` with zeroed metrics. ``keep_cols``
+    pass through from the input batch unchanged (for composed
+    pipelines that carry keys/metadata alongside the media)."""
 
     def __init__(self, target: tuple[int, int] = (32, 32),
-                 media_col: str = "media") -> None:
+                 media_col: str = "media",
+                 keep_cols: "list[str] | None" = None) -> None:
         # a real deployment loads its codec here, once per actor
         from vlm_ocr_doc_reader_ray.extract import pngcodec
 
         self.codec = pngcodec
         self.target = target
         self.media_col = media_col
+        self.keep_cols = list(keep_cols or [])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -285,7 +289,7 @@ class ImageResizer:
                 out_sum.append(0)
                 resized.append(b"")
                 status.append("failed")
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "in_w": pa.array(in_w, type=pa.int64()),
@@ -304,6 +308,9 @@ class ImageResizer:
                 "resize_status": pa.array(status, type=pa.string()),
             }
         )
+        for c in self.keep_cols:
+            out = out.append_column(c, batch.column(c))
+        return out
 
 
 def resize_media(
@@ -311,17 +318,19 @@ def resize_media(
     target: tuple[int, int] = (32, 32),
     concurrency: int | None = None,
     batch_size: int = 64,
+    keep_cols: "list[str] | None" = None,
 ) -> rd.Dataset:
     """Decode+resize stage over PNG media. Stateless tasks by default;
     pass ``concurrency`` for an actor pool sized BELOW the cluster CPU
     count (pool-takes-all starves the read stage)."""
     if concurrency is None:
         return ds.map_batches(
-            ImageResizer(target), batch_format="pyarrow", batch_size=batch_size
+            ImageResizer(target, keep_cols=keep_cols),
+            batch_format="pyarrow", batch_size=batch_size
         )
     return ds.map_batches(
         ImageResizer,
-        fn_constructor_kwargs={"target": target},
+        fn_constructor_kwargs={"target": target, "keep_cols": keep_cols},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -658,3 +667,50 @@ def audio_chunks(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow", batch_size=batch_size)
+
+
+def phash_keep_canonical(
+    ds: rd.Dataset,
+    media_col: str = "media",
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Perceptual keep-one: dHash every payload and keep the MIN
+    doc_id per 64-bit hash → (doc_id, phash_hi, phash_lo, n_same)
+    with ``n_same`` the size of the perceptual-duplicate class the
+    winner represents. Failed decodes are excluded (they have no
+    perceptual identity; :func:`audio_features`-style failure
+    accounting lives in :func:`phash_dedup`).
+
+    Scale shape: one decode pass collapses to (doc_id, hash) pairs;
+    one hash-partitioned shuffle co-locates equal hashes; winner
+    selection + class count is one vectorized groupby-idxmin per
+    partition. The output is ONLY winner keys — the intended
+    composition re-fetches surviving payloads by key (payloads are
+    never shuffled)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import partitioned_apply
+
+    hashed = phash_media(ds, media_col=media_col, batch_size=batch_size)
+
+    def only_ok(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(b.column("phash_status"), "ok")
+        ).drop_columns(["phash_status"])
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["phash_hi", "phash_lo"], sort=False)
+            .agg(doc_id=("doc_id", "min"), n_same=("doc_id", "size"))
+            .reset_index()
+        )
+        return agg[["doc_id", "phash_hi", "phash_lo", "n_same"]].astype(
+            {"n_same": "int64"}
+        )
+
+    return partitioned_apply(
+        hashed.map_batches(only_ok, batch_format="pyarrow"),
+        ["phash_hi", "phash_lo"],
+        keep_min,
+    )
