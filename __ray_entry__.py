@@ -1101,6 +1101,26 @@ def _q_bpe_token_lengths(sf_dir: str):
     return bpe_encode(docs, fixed_merges())
 
 
+def _q_bpe_fertility(sf_dir: str):
+    """Tokenizer-fertility report per source (docs, words, BPE tokens,
+    half-up tokens-per-word ppm) with the fixed tokenizer artifact —
+    the 'does the vocab fit each corpus slice' diagnostic. The encode
+    stage passes `source` through (no doc_id join); per-batch
+    combiners collapse to ≤|sources| residue rows before one tiny
+    groupby."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.bpe import (
+        bpe_fertility_by_group,
+        fixed_merges,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return bpe_fertility_by_group(docs, fixed_merges())
+
+
 def _q_warc_curate_shards(sf_dir: str):
     """The composed 100-TB path under ONE gate: WARC source → golden
     extraction → canonical normalization → curate (quality gate →
@@ -1377,6 +1397,21 @@ def _q_repetition_stats(sf_dir: str):
     from vlm_ocr_doc_reader_ray.stages.scrub import repetition_stats
 
     return repetition_stats(_docs(sf_dir), max_dup_fraction=0.01)
+
+
+def _q_gopher_signals(sf_dir: str):
+    """Full Gopher §A1.1 repetition-signal vector per doc (dup-line,
+    dup-line-char, top-2-gram-char, dup-5-gram-char coverage, half-up
+    integer ppm) + the published-threshold pass flag. Zero shuffles —
+    one per-document projection over a 2-column read."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import gopher_signals
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return gopher_signals(docs)
 
 
 def _q_ngram_counts(sf_dir: str):
@@ -3150,6 +3185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_chunks": _q_audio_chunks,
         "quality_classifier": _q_quality_classifier,
         "image_dedup_resize": _q_image_dedup_resize,
+        "gopher_signals": _q_gopher_signals,
+        "bpe_fertility": _q_bpe_fertility,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3319,6 +3356,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_chunks": sm.AUDIO_CHUNKS_SQL,
         "quality_classifier": sm.QUALITY_CLASSIFIER_SQL,
         "image_dedup_resize": sm.IMAGE_DEDUP_RESIZE_SQL,
+        "gopher_signals": sm.GOPHER_SIGNALS_SQL,
+        "bpe_fertility": sm.BPE_FERTILITY_SQL,
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

@@ -135,6 +135,66 @@ def test_line_dedup_partition_invariance(ray_session, sf_small):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_gopher_signals_hand_computed(ray_session):
+    from vlm_ocr_doc_reader_ray.stages.scrub import gopher_signals
+
+    # doc 0: 16 identical words -> two identical 8-word lines.
+    t0 = " ".join(["w"] * 16)
+    # doc 1: all-distinct words — long enough that the top 2-gram's
+    # natural coverage (3/23 chars) sits under the 20% threshold.
+    t1 = "a b c d e f g h i j k l"
+    # doc 2: single word — no 2-grams, no 5-grams, one line, no dups.
+    t2 = "solo"
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": [t0, t1, t2]})
+    out = (
+        gopher_signals(_ds(df, nblocks=2))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out.n_lines) == [2, 2, 1]
+    # doc 0: 1 of 2 lines is a repeat -> 500000 ppm; repeat chars =
+    # len('w w w w w w w w')=15 over line_chars 30 -> 500000 ppm.
+    assert out.dup_line_ppm[0] == 500000
+    assert out.dup_line_char_ppm[0] == 500000
+    # top 2-gram 'w w' (len 3) occurs 15 times -> 45 chars over
+    # len(t0)=31 -> half-up ppm of 45/31.
+    assert out.top_2gram_char_ppm[0] == (45 * 2_000_000 + 31) // 62
+    # 5-gram 'w w w w w' (len 9) occurs 12 times, duplicated ->
+    # 108 chars over 31 (overlap makes this exceed 1e6 — documented).
+    assert out.dup_5gram_char_ppm[0] == (108 * 2_000_000 + 31) // 62
+    assert not out.gopher_pass[0]
+    # doc 1: no repeats anywhere; top 2-gram is the lexicographically
+    # smallest ('a b', len 3, count 1) -> 3 chars over 23.
+    assert out.dup_line_ppm[1] == 0
+    assert out.dup_line_char_ppm[1] == 0
+    assert out.top_2gram_char_ppm[1] == (3 * 2_000_000 + 23) // 46
+    assert out.dup_5gram_char_ppm[1] == 0
+    assert out.gopher_pass[1]
+    # doc 2: degenerate — everything zero, passes.
+    assert (
+        out.loc[2, ["dup_line_ppm", "dup_line_char_ppm",
+                    "top_2gram_char_ppm", "dup_5gram_char_ppm"]] == 0
+    ).all()
+    assert out.gopher_pass[2]
+
+
+def test_gopher_signals_partition_invariance(ray_session, sf_small):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.scrub import gopher_signals
+
+    docs = rd.read_parquet(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = gopher_signals(docs).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    b = gopher_signals(docs.repartition(7)).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_repetition_dup_ppm_rounds_half_up(ray_session):
     # 3 grams, 1 dup → 333333.33 → 333333; 3 grams 2 dup → 666666.67 → 666667
     df = pd.DataFrame({"doc_id": [0], "text": ["p q r p q r p"]})

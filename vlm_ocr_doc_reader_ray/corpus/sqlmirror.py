@@ -1178,6 +1178,84 @@ SELECT doc_id,
 FROM g
 """
 
+# Full Gopher §A1.1 repetition-signal vector — LOCKSTEP with
+# stages.scrub.gopher_signals: 8-word deterministic lines (the
+# line_dedup definition), dup-instance char accounting ((c-1)·len per
+# distinct line), most-frequent-2-gram coverage (ties → smallest
+# gram), duplicated-5-gram per-occurrence coverage, half-up integer
+# ppm throughout. Thresholds are the published Gopher defaults
+# 0.30 / 0.20 / 0.20 / 0.15.
+GOPHER_SIGNALS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw, length(text) AS nc
+  FROM documents
+), ln AS (
+  SELECT doc_id, unnest(list_transform(range(0, (nw + 7) // 8),
+         i -> array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' '))) AS line
+  FROM t
+), lc AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS l
+  FROM ln GROUP BY doc_id, line
+), lagg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(sum(c) - count(*) AS BIGINT) AS n_dup_lines,
+         CAST(sum(c * l) AS BIGINT) AS line_chars,
+         CAST(sum(CASE WHEN c >= 2 THEN (c - 1) * l ELSE 0 END) AS BIGINT)
+             AS dup_line_chars
+  FROM lc GROUP BY doc_id
+), g2 AS (
+  SELECT doc_id, unnest(list_transform(range(0, nw - 1),
+         i -> array_to_string(list_slice(ws, i + 1, i + 2), ' '))) AS g
+  FROM t WHERE nw >= 2
+), g2c AS (
+  SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+), g2top AS (
+  SELECT doc_id, CAST(c * length(g) AS BIGINT) AS top2_chars
+  FROM g2c
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1
+), g5 AS (
+  SELECT doc_id, unnest(list_transform(range(0, nw - 4),
+         i -> array_to_string(list_slice(ws, i + 1, i + 5), ' '))) AS g
+  FROM t WHERE nw >= 5
+), g5c AS (
+  SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g
+), g5agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT)
+             AS dup5_chars
+  FROM g5c GROUP BY doc_id
+), s AS (
+  SELECT t.doc_id,
+         l.n_lines,
+         (l.n_dup_lines * 2000000 + l.n_lines) // (2 * l.n_lines)
+             AS dup_line_ppm,
+         CASE WHEN l.line_chars = 0 THEN 0
+              ELSE (l.dup_line_chars * 2000000 + l.line_chars)
+                   // (2 * l.line_chars) END AS dup_line_char_ppm,
+         CASE WHEN t.nc = 0 THEN 0
+              ELSE (coalesce(g2top.top2_chars, 0) * 2000000 + t.nc)
+                   // (2 * t.nc) END AS top_2gram_char_ppm,
+         CASE WHEN t.nc = 0 THEN 0
+              ELSE (coalesce(g5agg.dup5_chars, 0) * 2000000 + t.nc)
+                   // (2 * t.nc) END AS dup_5gram_char_ppm
+  FROM t
+  JOIN lagg l USING (doc_id)
+  LEFT JOIN g2top USING (doc_id)
+  LEFT JOIN g5agg USING (doc_id)
+)
+SELECT doc_id, n_lines,
+       CAST(dup_line_ppm AS BIGINT) AS dup_line_ppm,
+       CAST(dup_line_char_ppm AS BIGINT) AS dup_line_char_ppm,
+       CAST(top_2gram_char_ppm AS BIGINT) AS top_2gram_char_ppm,
+       CAST(dup_5gram_char_ppm AS BIGINT) AS dup_5gram_char_ppm,
+       (dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+        AND top_2gram_char_ppm <= 200000 AND dup_5gram_char_ppm <= 150000)
+           AS gopher_pass
+FROM s
+"""
+
 # Global top-20 bigram census; total order (n desc, ngram asc) makes
 # the boundary deterministic.
 NGRAM_COUNTS_SQL = r"""
@@ -1745,6 +1823,30 @@ GROUP BY d.doc_id
 
 
 BPE_TOKEN_LENGTHS_SQL = bpe_token_lengths_sql()
+
+# Tokenizer-fertility report per source — LOCKSTEP with
+# stages.bpe.bpe_fertility_by_group: per-doc BPE lengths (the exact
+# recursive-CTE encode mirror above, as a subquery) joined to the
+# source column, per-source sums, half-up integer ppm of
+# tokens-per-word (words = len(string_split(text, ' ')), the
+# engine-wide convention).
+BPE_FERTILITY_SQL = f"""
+WITH b AS (
+  SELECT * FROM ({BPE_TOKEN_LENGTHS_SQL}) t
+), s AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
+         CAST(sum(b.bpe_len) AS BIGINT) AS n_tokens
+  FROM documents d JOIN b ON b.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_docs, n_words, n_tokens,
+       CAST(CASE WHEN n_words = 0 THEN 0
+            ELSE (n_tokens * 2000000 + n_words) // (2 * n_words) END
+            AS BIGINT) AS fertility_ppm
+FROM s
+"""
 
 
 # Resume gate (ADR-001 contract): tamper 3 of 5 kinds to pending

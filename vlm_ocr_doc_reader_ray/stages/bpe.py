@@ -190,7 +190,8 @@ class BpeEncoder:
     eviction — Zipf means the head is what repeats)."""
 
     def __init__(self, merges, id_col: str = "doc_id",
-                 text_col: str = "text", emit_tokens: bool = False) -> None:
+                 text_col: str = "text", emit_tokens: bool = False,
+                 keep_cols: tuple = (), emit_n_words: bool = False) -> None:
         import ray
 
         if isinstance(merges, ray.ObjectRef):
@@ -198,6 +199,8 @@ class BpeEncoder:
         self.ranks = {tuple(m): i for i, m in enumerate(merges)}
         self.id_col, self.text_col = id_col, text_col
         self.emit_tokens = emit_tokens
+        self.keep_cols = tuple(keep_cols)
+        self.emit_n_words = emit_n_words
         self._memo: dict[str, list[str]] = {}
 
     def _seg(self, w: str) -> list[str]:
@@ -210,19 +213,26 @@ class BpeEncoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        counts, toks = [], []
+        counts, toks, nwords = [], [], []
         for t in texts:
             doc = []
-            for w in t.split(" "):
+            words = t.split(" ")
+            for w in words:
                 if w:
                     doc.extend(self._seg(w))
             counts.append(len(doc))
+            if self.emit_n_words:
+                nwords.append(len(words))
             if self.emit_tokens:
                 toks.append(doc)
         cols = {self.id_col: batch.column(self.id_col),
                 "bpe_len": pa.array(counts, type=pa.int64())}
+        if self.emit_n_words:
+            cols["n_words"] = pa.array(nwords, type=pa.int64())
         if self.emit_tokens:
             cols["bpe_tokens"] = pa.array(toks, type=pa.list_(pa.string()))
+        for c in self.keep_cols:
+            cols[c] = batch.column(c)
         return pa.table(cols)
 
 
@@ -232,8 +242,13 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     emit_tokens: bool = False,
+    keep_cols: tuple = (),
+    emit_n_words: bool = False,
 ) -> rd.Dataset:
-    """Corpus → per-doc BPE token counts (optionally the tokens)."""
+    """Corpus → per-doc BPE token counts (optionally the tokens, a
+    ``n_words`` column, and passed-through ``keep_cols`` — the
+    zero-shuffle alternative to a doc_id join when a downstream
+    aggregate needs e.g. the source column)."""
     import ray
 
     ref = ray.put(list(merges))
@@ -243,13 +258,74 @@ def bpe_encode(
     # stage always has headroom even when the pool is fully scaled.
     cpus = int(ray.cluster_resources().get("CPU", 8))
     max_actors = max(2, cpus - 2)
-    return ds.select_columns([id_col, text_col]).map_batches(
+    return ds.select_columns([id_col, text_col, *keep_cols]).map_batches(
         BpeEncoder,
         fn_constructor_kwargs=dict(
             merges=ref, id_col=id_col, text_col=text_col,
-            emit_tokens=emit_tokens,
+            emit_tokens=emit_tokens, keep_cols=tuple(keep_cols),
+            emit_n_words=emit_n_words,
         ),
         concurrency=(1, max_actors),
         batch_size=1024,
         batch_format="pyarrow",
     )
+
+
+def bpe_fertility_by_group(
+    ds: rd.Dataset,
+    merges: list[tuple[str, str]],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Tokenizer-fertility report per ``group_col``: documents, words
+    (``split(' ')`` convention), BPE tokens, and ``fertility_ppm`` =
+    half-up integer ppm of tokens-per-word — the standard "how well
+    does this tokenizer fit each corpus slice" diagnostic (fertility
+    ≫ 1e6 means the vocabulary fragments that slice's words).
+
+    Scale shape: the encode stage passes ``group_col`` through
+    (zero-copy column, no doc_id join), per-batch combiner collapses
+    to ≤|groups| residue rows, one small groupby sums them — the
+    corpus never shuffles.
+    """
+    import pyarrow.compute as pc
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+
+    enc = bpe_encode(
+        ds, merges, id_col=id_col, text_col=text_col,
+        keep_cols=(group_col,), emit_n_words=True,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        one = pa.array([1] * batch.num_rows, type=pa.int64())
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n_docs": one,
+                "n_words": batch.column("n_words"),
+                "n_tokens": batch.column("bpe_len"),
+            }
+        )
+
+    # checkpoint=True: the residues (≤|groups| rows per block) pin so
+    # the groupby's shuffle sampling can't re-run the encode lineage.
+    sums = grouped_sums(
+        enc.map_batches(partial, batch_format="pyarrow"),
+        [group_col], ["n_docs", "n_words", "n_tokens"],
+        checkpoint=True,
+    )
+
+    def fertility(batch: pa.Table) -> pa.Table:
+        toks = batch.column("n_tokens").to_pylist()
+        words = batch.column("n_words").to_pylist()
+        ppm = [
+            0 if w == 0 else (t * 2_000_000 + w) // (2 * w)
+            for t, w in zip(toks, words)
+        ]
+        return batch.append_column(
+            "fertility_ppm", pa.array(ppm, type=pa.int64())
+        )
+
+    return sums.map_batches(fertility, batch_format="pyarrow")

@@ -102,6 +102,130 @@ def repetition_stats(
     return ds.map_batches(stats, batch_format="pandas")
 
 
+def _ppm(num: int, den: int) -> int:
+    """Half-up integer parts-per-million — the engine-wide fixed-point
+    convention (`dup_ppm` in repetition_stats, `shared_ppm` in
+    cross_doc_ngram_share): ``floor(num/den * 1e6 + 0.5)`` in exact
+    integer arithmetic."""
+    if den == 0:
+        return 0
+    return (num * 2_000_000 + den) // (2 * den)
+
+
+def gopher_signals(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 8,
+    max_dup_line: float = 0.30,
+    max_dup_line_char: float = 0.20,
+    max_top2_char: float = 0.20,
+    max_dup5_char: float = 0.15,
+) -> rd.Dataset:
+    """The full Gopher §A1.1 within-document repetition-signal vector
+    (Rae et al. 2021) — the multi-signal sibling of the single-n
+    ``repetition_stats`` gate:
+
+    - ``dup_line_ppm``: fraction of "lines" (deterministic
+      ``line_words``-word chunks, the same line definition as
+      ``line_dedup``) that repeat an earlier line in the doc.
+    - ``dup_line_char_ppm``: characters in repeat-instance lines
+      (every instance beyond the first of each distinct line) over
+      total line characters.
+    - ``top_2gram_char_ppm``: characters covered by occurrences of
+      the single most frequent word 2-gram (ties → lexicographically
+      smallest gram) over ``len(text)``.
+    - ``dup_5gram_char_ppm``: characters covered by occurrences of
+      duplicated word 5-grams (count ≥ 2) over ``len(text)``.
+      Overlapping occurrences are counted per occurrence (the cheap
+      deterministic contract), so this can exceed 1e6 on highly
+      repetitive text — thresholds are parameters, not probabilities.
+    - ``gopher_pass``: all four signals inside their bands (defaults
+      are the published Gopher thresholds 0.30/0.20/0.20/0.15).
+
+    All ratios are half-up integer ppm so the SQL mirror
+    (``sqlmirror.GOPHER_SIGNALS_SQL``) compares bit-identically.
+
+    Reference analog: none — beyond-reference corpus-quality signal.
+
+    Scale shape: pure per-document projection over a 2-column read,
+    zero shuffles; one Counter pass per doc (row-wise by the same
+    measured A/B that keeps TextAnalyzer row-wise — the work is
+    dict-building either way).
+    """
+    from collections import Counter
+
+    thr_line = int(max_dup_line * 1_000_000)
+    thr_line_char = int(max_dup_line_char * 1_000_000)
+    thr_top2 = int(max_top2_char * 1_000_000)
+    thr_dup5 = int(max_dup5_char * 1_000_000)
+
+    def signals(batch: pd.DataFrame) -> pd.DataFrame:
+        n_lines_l, dup_line_l, dup_line_char_l, top2_l, dup5_l = (
+            [], [], [], [], [],
+        )
+        for t in batch[text_col].astype(str):
+            ws = t.split(" ")
+            nw = len(ws)
+            nc = len(t)
+            # --- deterministic 8-word lines (== line_dedup) ---
+            lines = [
+                " ".join(ws[i * line_words: (i + 1) * line_words])
+                for i in range((nw + line_words - 1) // line_words)
+            ]
+            lc = Counter(lines)
+            n_lines = len(lines)
+            dup_lines = n_lines - len(lc)
+            line_chars = sum(len(ln) for ln in lines)
+            dup_line_chars = sum(
+                (c - 1) * len(ln) for ln, c in lc.items() if c >= 2
+            )
+            # --- most frequent 2-gram char coverage ---
+            top2_chars = 0
+            if nw >= 2:
+                g2 = Counter(
+                    " ".join(ws[i: i + 2]) for i in range(nw - 1)
+                )
+                # max count, tie -> smallest gram
+                g, c = min(g2.items(), key=lambda kv: (-kv[1], kv[0]))
+                top2_chars = c * len(g)
+            # --- duplicated 5-gram char coverage ---
+            dup5_chars = 0
+            if nw >= 5:
+                g5 = Counter(
+                    " ".join(ws[i: i + 5]) for i in range(nw - 4)
+                )
+                dup5_chars = sum(
+                    c * len(g) for g, c in g5.items() if c >= 2
+                )
+            n_lines_l.append(n_lines)
+            dup_line_l.append(_ppm(dup_lines, n_lines))
+            dup_line_char_l.append(_ppm(dup_line_chars, line_chars))
+            top2_l.append(_ppm(top2_chars, nc))
+            dup5_l.append(_ppm(dup5_chars, nc))
+        out = pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "n_lines": pd.Series(n_lines_l, index=batch.index, dtype="int64"),
+                "dup_line_ppm": pd.Series(dup_line_l, index=batch.index, dtype="int64"),
+                "dup_line_char_ppm": pd.Series(
+                    dup_line_char_l, index=batch.index, dtype="int64"
+                ),
+                "top_2gram_char_ppm": pd.Series(top2_l, index=batch.index, dtype="int64"),
+                "dup_5gram_char_ppm": pd.Series(dup5_l, index=batch.index, dtype="int64"),
+            }
+        )
+        out["gopher_pass"] = (
+            (out["dup_line_ppm"] <= thr_line)
+            & (out["dup_line_char_ppm"] <= thr_line_char)
+            & (out["top_2gram_char_ppm"] <= thr_top2)
+            & (out["dup_5gram_char_ppm"] <= thr_dup5)
+        )
+        return out
+
+    return ds.map_batches(signals, batch_format="pandas")
+
+
 _SIZE_WARN_SILENCED = False
 
 
