@@ -1121,6 +1121,22 @@ def _q_bpe_fertility(sf_dir: str):
     return bpe_fertility_by_group(docs, fixed_merges())
 
 
+def _q_doc_tiers(sf_dir: str):
+    """Tier extraction — the triage composition: quality bands +
+    Gopher repetition vector + entropy gate chain as per-batch appends
+    over ONE read (zero joins on the gate side), the CCNet tertile
+    attaches via one co-partitioned hash join, reason = first failing
+    gate. SQL-gated by the four verified mirrors composed as CTEs."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.pipelines.curation import doc_tiers
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return doc_tiers(docs)
+
+
 def _q_warc_curate_shards(sf_dir: str):
     """The composed 100-TB path under ONE gate: WARC source → golden
     extraction → canonical normalization → curate (quality gate →
@@ -3187,6 +3203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_resize": _q_image_dedup_resize,
         "gopher_signals": _q_gopher_signals,
         "bpe_fertility": _q_bpe_fertility,
+        "doc_tiers": _q_doc_tiers,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3358,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup_resize": sm.IMAGE_DEDUP_RESIZE_SQL,
         "gopher_signals": sm.GOPHER_SIGNALS_SQL,
         "bpe_fertility": sm.BPE_FERTILITY_SQL,
+        "doc_tiers": sm.DOC_TIERS_SQL,
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

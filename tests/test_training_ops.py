@@ -1811,3 +1811,76 @@ def test_grouped_token_cap_matches_naive(ray_session):
             .to_pandas()["doc_id"]
         )
         assert got == want, (nblocks, len(got), len(want))
+
+
+def test_bpe_fertility_by_group_matches_manual(ray_session):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.bpe import (
+        BpeEncoder,
+        bpe_fertility_by_group,
+        fixed_merges,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["the fast data", "spark row", "the the the", "a b"],
+            "source": ["web", "web", "news", "news"],
+        }
+    )
+    out = (
+        bpe_fertility_by_group(rd.from_pandas(df).repartition(3), fixed_merges())
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    # manual recount with the same encoder
+    enc = BpeEncoder(fixed_merges())
+    lens = {
+        i: sum(len(enc._seg(w)) for w in t.split(" ") if w)
+        for i, t in zip(df.doc_id, df.text)
+    }
+    words = {i: len(t.split(" ")) for i, t in zip(df.doc_id, df.text)}
+    for _, row in out.iterrows():
+        ids = df.doc_id[df.source == row.source]
+        t = sum(lens[i] for i in ids)
+        w = sum(words[i] for i in ids)
+        assert row.n_docs == len(ids)
+        assert row.n_words == w
+        assert row.n_tokens == t
+        assert row.fertility_ppm == (t * 2_000_000 + w) // (2 * w)
+
+
+def test_doc_tiers_reason_precedence_and_partition_invariance(
+    ray_session, sf_small
+):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.pipelines.curation import doc_tiers
+
+    docs = rd.read_parquet(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = doc_tiers(docs).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = (
+        doc_tiers(docs.repartition(9))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == docs.count()
+    # reason precedence: quality dominates, then repetition, then
+    # entropy; 'ok' rows carry a non-drop tier, failures carry 'drop'
+    assert set(a.loc[~a.quality_pass, "reason"]) <= {"quality"}
+    assert set(
+        a.loc[a.quality_pass & ~a.gopher_pass, "reason"]
+    ) <= {"repetition"}
+    assert set(
+        a.loc[a.quality_pass & a.gopher_pass & ~a.entropy_pass, "reason"]
+    ) <= {"entropy"}
+    ok = a.reason == "ok"
+    assert set(a.loc[ok, "tier"]) <= {"high", "mid", "low"}
+    assert (a.loc[~ok, "tier"] == "drop").all()
+    # tier follows the bucket for surviving docs
+    m = {"head": "high", "middle": "mid", "tail": "low"}
+    assert (a.loc[ok, "bucket"].map(m) == a.loc[ok, "tier"]).all()

@@ -3524,3 +3524,37 @@ JOIN ca ON id_a = ca.doc_id
 JOIN cb ON id_b = cb.doc_id
 WHERE CAST(i AS DOUBLE) / (ca.ns + cb.ns - i) >= 0.8
 """
+
+
+# Tier extraction — LOCKSTEP with pipelines.curation.doc_tiers: the
+# four verified signal mirrors composed as subqueries (quality bands,
+# Gopher repetition vector, char-entropy gate at 4.0 bits, CCNet
+# tertile), reason = first failing gate, tier = drop / high / mid /
+# low. Entropy compares the SAME float expression both sides compute
+# from exact integers (the char_entropy hash gate pins that), so the
+# >= 4.0 comparison cannot diverge.
+DOC_TIERS_SQL = f"""
+WITH qf AS (SELECT doc_id, quality_pass FROM ({QUALITY_FILTER_SQL}) x),
+gs AS (SELECT doc_id, gopher_pass FROM ({GOPHER_SIGNALS_SQL}) x),
+ce AS (SELECT doc_id, entropy FROM ({CHAR_ENTROPY_SQL}) x),
+pb AS (SELECT doc_id, bucket FROM ({PERPLEXITY_BUCKETS_SQL}) x),
+j AS (
+  SELECT qf.doc_id, qf.quality_pass, gs.gopher_pass,
+         ce.entropy >= 4.0 AS entropy_pass, pb.bucket,
+         CASE WHEN NOT qf.quality_pass THEN 'quality'
+              WHEN NOT gs.gopher_pass THEN 'repetition'
+              WHEN NOT (ce.entropy >= 4.0) THEN 'entropy'
+              ELSE 'ok' END AS reason
+  FROM qf
+  JOIN gs USING (doc_id)
+  JOIN ce USING (doc_id)
+  JOIN pb USING (doc_id)
+)
+SELECT doc_id, quality_pass, gopher_pass, entropy_pass, bucket,
+       CASE WHEN reason <> 'ok' THEN 'drop'
+            WHEN bucket = 'head' THEN 'high'
+            WHEN bucket = 'middle' THEN 'mid'
+            ELSE 'low' END AS tier,
+       reason
+FROM j
+"""

@@ -99,3 +99,95 @@ def curate(
 
     keyed = replicated.map_batches(key_and_count, batch_format="pyarrow")
     return pack_sequences(keyed, "key", "nw", seq_len=seq_len, seed=pack_seed)
+
+
+def doc_tiers(
+    docs: rd.Dataset,
+    entropy_min: float = 4.0,
+    persist: str = "auto",
+    spill_dir: str | None = None,
+) -> rd.Dataset:
+    """Tier extraction: classify every document into a training tier.
+
+    The realistic final stage of a curation pipeline — each doc gets a
+    ``tier`` label and a ``reason`` code from the engine's verified
+    quality signals, composed the way a pre-training data team
+    actually triages a crawl:
+
+    1. ``quality_pass``  — Gopher word/length/symbol/stopword bands
+       (:func:`stages.text_analysis.quality_filter`, defaults).
+    2. ``gopher_pass``   — the full §A1.1 repetition-signal vector
+       (:func:`stages.scrub.gopher_signals`, published thresholds).
+    3. ``entropy_pass``  — char-entropy gibberish gate
+       (:func:`stages.text_analysis.char_entropy_scores`,
+       ``entropy >= entropy_min`` bits).
+    4. ``bucket``        — CCNet head/middle/tail LM-quality tertile
+       (:func:`stages.text_analysis.perplexity_buckets`).
+
+    ``reason`` is the FIRST failing gate ('quality', 'repetition',
+    'entropy') or 'ok'; ``tier`` is 'drop' on any failure, else the
+    tertile mapped head→'high', middle→'mid', tail→'low'.
+
+    Scale shape: gates 1–3 chain as per-batch appends over ONE corpus
+    read (each stage passes the previous flags through — zero joins,
+    zero shuffles); the tertile side collapses to a bounded LM residue
+    + a narrow (doc_id, mean_nll) score table (pinned via the shared
+    spill-capable ``pin()``), and ONE co-partitioned hash join on
+    doc_id attaches the bucket. Reference analog: none — the
+    beyond-reference triage layer over SURVEY §2's quality gates.
+    """
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+    from vlm_ocr_doc_reader_ray.stages.scrub import gopher_signals
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        char_entropy_scores,
+        perplexity_buckets,
+        quality_filter,
+        unigram_nll_scores,
+    )
+    from vlm_ocr_doc_reader_ray.state.pin import pin
+
+    # one read, three chained per-batch signal stages (flags ride along)
+    q = quality_filter(docs).select_columns(["doc_id", "text", "quality_pass"])
+    g = gopher_signals(q, keep_cols=("text", "quality_pass")).select_columns(
+        ["doc_id", "text", "quality_pass", "gopher_pass"]
+    )
+    e = char_entropy_scores(
+        g, keep_cols=("quality_pass", "gopher_pass")
+    ).select_columns(["doc_id", "quality_pass", "gopher_pass", "entropy"])
+
+    # LM tertile side: bounded unigram residues, narrow score table
+    scored = pin(
+        unigram_nll_scores(docs).select_columns(["doc_id", "mean_nll"]),
+        persist=persist,
+        spill_dir=spill_dir,
+        default="memory",
+        label="doc_tiers_nll",
+    )
+    buckets = perplexity_buckets(scored).select_columns(["doc_id", "bucket"])
+
+    joined = partitioned_hash_join(e, buckets, "doc_id", "doc_id")
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        reason = pd.Series("ok", index=batch.index, dtype="object")
+        reason[~batch["entropy"].ge(entropy_min)] = "entropy"
+        reason[~batch["gopher_pass"]] = "repetition"
+        reason[~batch["quality_pass"]] = "quality"
+        tier = batch["bucket"].map(
+            {"head": "high", "middle": "mid", "tail": "low"}
+        ).astype("object")
+        tier[reason != "ok"] = "drop"
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "quality_pass": batch["quality_pass"],
+                "gopher_pass": batch["gopher_pass"],
+                "entropy_pass": batch["entropy"].ge(entropy_min),
+                "bucket": batch["bucket"],
+                "tier": tier,
+                "reason": reason,
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pandas")

@@ -121,6 +121,7 @@ def gopher_signals(
     max_dup_line_char: float = 0.20,
     max_top2_char: float = 0.20,
     max_dup5_char: float = 0.15,
+    keep_cols: tuple = (),
 ) -> rd.Dataset:
     """The full Gopher §A1.1 within-document repetition-signal vector
     (Rae et al. 2021) — the multi-signal sibling of the single-n
@@ -221,6 +222,8 @@ def gopher_signals(
             & (out["top_2gram_char_ppm"] <= thr_top2)
             & (out["dup_5gram_char_ppm"] <= thr_dup5)
         )
+        for c in keep_cols:
+            out[c] = batch[c]
         return out
 
     return ds.map_batches(signals, batch_format="pandas")

@@ -1838,6 +1838,7 @@ def char_entropy_scores(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple = (),
 ) -> rd.Dataset:
     """Character-level Shannon entropy per document — the cheap
     gibberish / binary-junk / repeated-filler detector (near-zero
@@ -1889,7 +1890,7 @@ def char_entropy_scores(
             ],
             dtype=np.float64,
         )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: batch[id_col],
                 "n_chars": n_chars,
@@ -1897,10 +1898,16 @@ def char_entropy_scores(
                 "entropy": ent,
             }
         )
+        for c in keep_cols:
+            # positional, not index-aligned — out inherits batch's index
+            # from the id Series only when pandas chooses to; .values
+            # sidesteps the ambiguity
+            out[c] = batch[c].values
+        return out
 
-    return ds.select_columns([id_col, text_col]).map_batches(
-        score, batch_format="pandas"
-    )
+    return ds.select_columns(
+        [id_col, text_col, *keep_cols]
+    ).map_batches(score, batch_format="pandas")
 
 
 def nb_classifier_scores(
