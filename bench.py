@@ -293,6 +293,23 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     unigram_nll_scores(_corpus(["url", "text"]), id_col="url").count()
     queries["unigram_nll"] = round(time.time() - t0, 3)
 
+    # q14: full Gopher repetition-signal vector (pure per-doc
+    # projection, zero shuffles)
+    from vlm_ocr_doc_reader_ray.stages.scrub import gopher_signals
+
+    t0 = time.time()
+    gopher_signals(_corpus(["url", "text"]), id_col="url").count()
+    queries["gopher_signals"] = round(time.time() - t0, 3)
+
+    # q15: tier extraction — the triage composition (three chained
+    # row-local gates over one read + the CCNet tertile attached via
+    # one co-partitioned hash join)
+    from vlm_ocr_doc_reader_ray.pipelines.curation import doc_tiers
+
+    t0 = time.time()
+    doc_tiers(_corpus(["url", "text"]), id_col="url").count()
+    queries["doc_tiers"] = round(time.time() - t0, 3)
+
     n_docs = rd.read_parquet(corpus_path).count()
     headline = queries["extract_full_write"]
     result = {

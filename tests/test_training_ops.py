@@ -1884,3 +1884,24 @@ def test_doc_tiers_reason_precedence_and_partition_invariance(
     # tier follows the bucket for surviving docs
     m = {"head": "high", "middle": "mid", "tail": "low"}
     assert (a.loc[ok, "bucket"].map(m) == a.loc[ok, "tier"]).all()
+
+
+def test_quality_filter_lean_equals_full(ray_session, sf_small):
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import quality_filter
+
+    docs = rd.read_parquet(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cols = ["doc_id", "n_words", "mean_word_len", "symbol_ratio",
+            "stopword_ratio", "quality_pass"]
+    full = (
+        quality_filter(docs).select_columns(cols)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    lean = (
+        quality_filter(docs, lean=True).select_columns(cols)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(full, lean)

@@ -104,6 +104,7 @@ def curate(
 def doc_tiers(
     docs: rd.Dataset,
     entropy_min: float = 4.0,
+    id_col: str = "doc_id",
     persist: str = "auto",
     spill_dir: str | None = None,
 ) -> rd.Dataset:
@@ -128,17 +129,21 @@ def doc_tiers(
     'entropy') or 'ok'; ``tier`` is 'drop' on any failure, else the
     tertile mapped head→'high', middle→'mid', tail→'low'.
 
-    Scale shape: gates 1–3 chain as per-batch appends over ONE corpus
-    read (each stage passes the previous flags through — zero joins,
-    zero shuffles); the tertile side collapses to a bounded LM residue
-    + a narrow (doc_id, mean_nll) score table (pinned via the shared
-    spill-capable ``pin()``), and ONE co-partitioned hash join on
-    doc_id attaches the bucket. Reference analog: none — the
-    beyond-reference triage layer over SURVEY §2's quality gates.
+    Scale shape: ZERO joins, zero row shuffles, exactly two corpus
+    reads (the theoretical minimum — the LM fit is inherently a
+    separate pass). Read 1 fits the hashed-unigram LM (bounded
+    residues). Read 2 chains ALL per-doc work: lean quality gate →
+    repetition vector → entropy → NLL scoring (broadcast LM), each
+    stage passing the accumulated flags through, collapsing to a
+    narrow (id, flags, entropy, mean_nll) table pinned via the shared
+    spill-capable ``pin()``. The tertile thresholds are two bounded
+    residue passes over that pinned table, and the bucket + tier
+    labels are a final vectorized projection on it. Reference analog:
+    none — the beyond-reference triage layer over SURVEY §2's
+    quality gates.
     """
     import pandas as pd
 
-    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
     from vlm_ocr_doc_reader_ray.stages.scrub import gopher_signals
     from vlm_ocr_doc_reader_ray.stages.text_analysis import (
         char_entropy_scores,
@@ -148,26 +153,39 @@ def doc_tiers(
     )
     from vlm_ocr_doc_reader_ray.state.pin import pin
 
-    # one read, three chained per-batch signal stages (flags ride along)
-    q = quality_filter(docs).select_columns(["doc_id", "text", "quality_pass"])
-    g = gopher_signals(q, keep_cols=("text", "quality_pass")).select_columns(
-        ["doc_id", "text", "quality_pass", "gopher_pass"]
+    # read 2: one chain carrying every per-doc signal (flags ride along)
+    q = quality_filter(docs, lean=True).select_columns(
+        [id_col, "text", "quality_pass"]
     )
+    g = gopher_signals(
+        q, id_col=id_col, keep_cols=("text", "quality_pass")
+    ).select_columns([id_col, "text", "quality_pass", "gopher_pass"])
     e = char_entropy_scores(
-        g, keep_cols=("quality_pass", "gopher_pass")
-    ).select_columns(["doc_id", "quality_pass", "gopher_pass", "entropy"])
-
-    # LM tertile side: bounded unigram residues, narrow score table
+        g, id_col=id_col, keep_cols=("text", "quality_pass", "gopher_pass")
+    ).select_columns(
+        [id_col, "text", "quality_pass", "gopher_pass", "entropy"]
+    )
+    # NLL scoring chains onto the gate output; the LM FIT pass reads
+    # the raw docs (fit_ds) so the gate lineage never executes twice
     scored = pin(
-        unigram_nll_scores(docs).select_columns(["doc_id", "mean_nll"]),
+        unigram_nll_scores(
+            e,
+            id_col=id_col,
+            keep_cols=["quality_pass", "gopher_pass", "entropy"],
+            fit_ds=docs,
+        ).select_columns(
+            [id_col, "quality_pass", "gopher_pass", "entropy", "mean_nll"]
+        ),
         persist=persist,
         spill_dir=spill_dir,
         default="memory",
-        label="doc_tiers_nll",
+        label="doc_tiers_scored",
     )
-    buckets = perplexity_buckets(scored).select_columns(["doc_id", "bucket"])
-
-    joined = partitioned_hash_join(e, buckets, "doc_id", "doc_id")
+    buckets = perplexity_buckets(
+        scored,
+        id_col=id_col,
+        keep_cols=("quality_pass", "gopher_pass", "entropy"),
+    )
 
     def classify(batch: pd.DataFrame) -> pd.DataFrame:
         reason = pd.Series("ok", index=batch.index, dtype="object")
@@ -180,7 +198,7 @@ def doc_tiers(
         tier[reason != "ok"] = "drop"
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"],
+                id_col: batch[id_col],
                 "quality_pass": batch["quality_pass"],
                 "gopher_pass": batch["gopher_pass"],
                 "entropy_pass": batch["entropy"].ge(entropy_min),
@@ -190,4 +208,4 @@ def doc_tiers(
             }
         )
 
-    return joined.map_batches(classify, batch_format="pandas")
+    return buckets.map_batches(classify, batch_format="pandas")

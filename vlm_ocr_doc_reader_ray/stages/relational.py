@@ -106,18 +106,17 @@ def partitioned_hash_join(
             return (
                 pc.cast(key, pa.int64()).to_numpy(zero_copy_only=False) % num_buckets
             )
-        import hashlib
+        # pd.util.hash_pandas_object: vectorized AND process-stable
+        # (the same device as bloom_filter_join below) — any
+        # deterministic hash bucketing is correct as long as both
+        # sides use the same one; the per-row blake2b loop this
+        # replaces was the hot spot of string-keyed joins.
+        import pandas as pd
 
-        return np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big"
-                )
-                % num_buckets
-                for v in key.to_pylist()
-            ],
-            dtype=np.int64,
-        )
+        h = pd.util.hash_pandas_object(
+            pd.Series(key.to_pandas()), index=False
+        ).to_numpy()
+        return (h % np.uint64(num_buckets)).astype(np.int64)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         key = batch.column(left_on)

@@ -115,6 +115,7 @@ def quality_filter(
     max_mean_word_len: float = 10.0,
     max_symbol_ratio: float = 0.1,
     min_stopword_ratio: float = 0.01,
+    lean: bool = False,
 ) -> rd.Dataset:
     """Gopher-style heuristic quality gate for a training corpus:
     keep a document iff word count, mean word length, symbol ratio
@@ -125,8 +126,41 @@ def quality_filter(
     Adds the measured features AND a ``quality_pass`` flag rather
     than silently dropping rows — a corpus pipeline wants the reject
     stream (flag false) as much as the keep stream; filter on the
-    flag downstream. Pure per-batch projection: no shuffle."""
-    analyzed = analyze(ds, text_col=text_col)
+    flag downstream. Pure per-batch projection: no shuffle.
+
+    ``lean=True`` computes ONLY the four gate inputs (word count,
+    chars, punct count, stopword ratio) instead of the full
+    TextAnalyzer pass — same formulas verbatim (differential test
+    pins flag equality), ~3× cheaper when the caller (``doc_tiers``)
+    never reads lang_pred/fingerprint/bpe_tokens."""
+    if lean:
+
+        def lean_features(batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            nw, nc, punct, stopr = [], [], [], []
+            for t in texts:
+                words = t.split(" ")
+                n = len(words)
+                nw.append(n)
+                nc.append(len(t))
+                punct.append(len(_PUNCT_RX.findall(t)))
+                stopr.append(
+                    (sum(1 for w in words if w in _STOPWORDS) / n)
+                    if n else 0.0
+                )
+            return pa.table(
+                {
+                    **{name: batch.column(name) for name in batch.column_names},
+                    "n_words": pa.array(nw, type=pa.int64()),
+                    "n_chars_measured": pa.array(nc, type=pa.int64()),
+                    "stopword_ratio": pa.array(stopr, type=pa.float64()),
+                    "n_punct": pa.array(punct, type=pa.int64()),
+                }
+            )
+
+        analyzed = ds.map_batches(lean_features, batch_format="pyarrow")
+    else:
+        analyzed = analyze(ds, text_col=text_col)
 
     def flag(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1422,6 +1456,7 @@ def unigram_nll_scores(
     text_col: str = "text",
     n_buckets: int = 65536,
     keep_cols: "list[str] | None" = None,
+    fit_ds: "rd.Dataset | None" = None,
 ) -> rd.Dataset:
     """CCNet-style language-model quality scoring: per-document
     negative log-likelihood under a hashed-unigram LM fitted on the
@@ -1457,6 +1492,13 @@ def unigram_nll_scores(
 
     extra = list(keep_cols or [])
     narrow = ds.select_columns([id_col, text_col] + extra)
+    # the LM-fit pass only needs text; ``fit_ds`` lets a caller whose
+    # ``ds`` carries an expensive upstream lineage (doc_tiers' gate
+    # chain) fit over the cheap raw read instead — the fitted model is
+    # identical because both see the same text column
+    fit_narrow = (
+        fit_ds.select_columns([text_col]) if fit_ds is not None else narrow
+    )
 
     def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty:
@@ -1472,7 +1514,8 @@ def unigram_nll_scores(
         )
 
     totals = grouped_sums(
-        narrow.map_batches(count_partial, batch_format="pandas"), ["h"], ["c"]
+        fit_narrow.map_batches(count_partial, batch_format="pandas"),
+        ["h"], ["c"],
     ).to_pandas()  # bounded residue: <= n_buckets rows
     counts = np.zeros(n_buckets, dtype=np.int64)
     if len(totals):
@@ -1660,6 +1703,7 @@ def perplexity_buckets(
     score_col: str = "mean_nll",
     id_col: str = "doc_id",
     bins: int = 1024,
+    keep_cols: tuple = (),
 ) -> rd.Dataset:
     """CCNet-style head/middle/tail triage: split documents into
     thirds by LM score (:func:`unigram_nll_scores`' ``mean_nll``) —
@@ -1705,13 +1749,16 @@ def perplexity_buckets(
     if hi <= lo:
         # degenerate: every doc identical → everything is head
         def all_head(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     id_col: batch[id_col],
                     score_col: batch[score_col],
                     "bucket": "head",
                 }
             )
+            for c in keep_cols:
+                out[c] = batch[c].values
+            return out
 
         return scored.map_batches(all_head, batch_format="pandas")
 
@@ -1755,13 +1802,16 @@ def perplexity_buckets(
         bucket = np.where(
             idx <= b1, "head", np.where(idx <= b2, "middle", "tail")
         )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: batch[id_col],
                 score_col: batch[score_col],
                 "bucket": bucket,
             }
         )
+        for c in keep_cols:
+            out[c] = batch[c].values
+        return out
 
     return scored.map_batches(assign, batch_format="pandas")
 
@@ -1905,9 +1955,10 @@ def char_entropy_scores(
             out[c] = batch[c].values
         return out
 
-    return ds.select_columns(
-        [id_col, text_col, *keep_cols]
-    ).map_batches(score, batch_format="pandas")
+    sel = [id_col, text_col] + [
+        c for c in keep_cols if c not in (id_col, text_col)
+    ]
+    return ds.select_columns(sel).map_batches(score, batch_format="pandas")
 
 
 def nb_classifier_scores(
