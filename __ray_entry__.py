@@ -1137,6 +1137,20 @@ def _q_doc_tiers(sf_dir: str):
     return doc_tiers(docs)
 
 
+def _q_tier_report(sf_dir: str):
+    """Per-tier mixture summary over the tier extraction (docs, word
+    mass, half-up ppm share) — doc_tiers' two corpus reads plus a
+    ≤4-row residue groupby."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.pipelines.curation import tier_report
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tier_report(docs)
+
+
 def _q_warc_curate_shards(sf_dir: str):
     """The composed 100-TB path under ONE gate: WARC source → golden
     extraction → canonical normalization → curate (quality gate →
@@ -3204,6 +3218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_signals": _q_gopher_signals,
         "bpe_fertility": _q_bpe_fertility,
         "doc_tiers": _q_doc_tiers,
+        "tier_report": _q_tier_report,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3376,6 +3391,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_signals": sm.GOPHER_SIGNALS_SQL,
         "bpe_fertility": sm.BPE_FERTILITY_SQL,
         "doc_tiers": sm.DOC_TIERS_SQL,
+        "tier_report": sm.TIER_REPORT_SQL,
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

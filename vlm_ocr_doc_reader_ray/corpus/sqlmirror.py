@@ -3534,12 +3534,12 @@ WHERE CAST(i AS DOUBLE) / (ca.ns + cb.ns - i) >= 0.8
 # from exact integers (the char_entropy hash gate pins that), so the
 # >= 4.0 comparison cannot diverge.
 DOC_TIERS_SQL = f"""
-WITH qf AS (SELECT doc_id, quality_pass FROM ({QUALITY_FILTER_SQL}) x),
+WITH qf AS (SELECT doc_id, n_words, quality_pass FROM ({QUALITY_FILTER_SQL}) x),
 gs AS (SELECT doc_id, gopher_pass FROM ({GOPHER_SIGNALS_SQL}) x),
 ce AS (SELECT doc_id, entropy FROM ({CHAR_ENTROPY_SQL}) x),
 pb AS (SELECT doc_id, bucket FROM ({PERPLEXITY_BUCKETS_SQL}) x),
 j AS (
-  SELECT qf.doc_id, qf.quality_pass, gs.gopher_pass,
+  SELECT qf.doc_id, qf.n_words, qf.quality_pass, gs.gopher_pass,
          ce.entropy >= 4.0 AS entropy_pass, pb.bucket,
          CASE WHEN NOT qf.quality_pass THEN 'quality'
               WHEN NOT gs.gopher_pass THEN 'repetition'
@@ -3550,11 +3550,28 @@ j AS (
   JOIN ce USING (doc_id)
   JOIN pb USING (doc_id)
 )
-SELECT doc_id, quality_pass, gopher_pass, entropy_pass, bucket,
+SELECT doc_id, n_words, quality_pass, gopher_pass, entropy_pass, bucket,
        CASE WHEN reason <> 'ok' THEN 'drop'
             WHEN bucket = 'head' THEN 'high'
             WHEN bucket = 'middle' THEN 'mid'
             ELSE 'low' END AS tier,
        reason
 FROM j
+"""
+
+# Per-tier mixture summary over the tier extraction: documents, word
+# mass and half-up ppm share of total words per tier — the report a
+# tiered training mixture is provisioned from. LOCKSTEP with
+# pipelines.curation.tier_report.
+TIER_REPORT_SQL = f"""
+WITH dt AS (SELECT * FROM ({DOC_TIERS_SQL}) x),
+s AS (
+  SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS n_words
+  FROM dt GROUP BY tier
+), t AS (SELECT CAST(sum(n_words) AS BIGINT) AS tot FROM s)
+SELECT tier, n_docs, n_words,
+       CAST((n_words * 2000000 + t.tot) // (2 * t.tot) AS BIGINT)
+           AS word_share_ppm
+FROM s, t
 """

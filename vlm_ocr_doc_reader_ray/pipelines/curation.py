@@ -174,7 +174,8 @@ def doc_tiers(
             keep_cols=["quality_pass", "gopher_pass", "entropy"],
             fit_ds=docs,
         ).select_columns(
-            [id_col, "quality_pass", "gopher_pass", "entropy", "mean_nll"]
+            [id_col, "n_words", "quality_pass", "gopher_pass", "entropy",
+             "mean_nll"]
         ),
         persist=persist,
         spill_dir=spill_dir,
@@ -184,7 +185,7 @@ def doc_tiers(
     buckets = perplexity_buckets(
         scored,
         id_col=id_col,
-        keep_cols=("quality_pass", "gopher_pass", "entropy"),
+        keep_cols=("n_words", "quality_pass", "gopher_pass", "entropy"),
     )
 
     def classify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -199,6 +200,7 @@ def doc_tiers(
         return pd.DataFrame(
             {
                 id_col: batch[id_col],
+                "n_words": batch["n_words"],
                 "quality_pass": batch["quality_pass"],
                 "gopher_pass": batch["gopher_pass"],
                 "entropy_pass": batch["entropy"].ge(entropy_min),
@@ -209,3 +211,59 @@ def doc_tiers(
         )
 
     return buckets.map_batches(classify, batch_format="pandas")
+
+
+def tier_report(
+    docs: rd.Dataset,
+    entropy_min: float = 4.0,
+    id_col: str = "doc_id",
+    persist: str = "auto",
+    spill_dir: str | None = None,
+) -> rd.Dataset:
+    """Per-tier mixture summary over :func:`doc_tiers`: documents,
+    word mass and half-up ppm share of total words per tier — the
+    numbers a tiered training mixture is provisioned from.
+
+    Scale shape: doc_tiers' two corpus reads, then per-batch
+    combiners collapse the labeled stream to ≤4 residue rows per
+    block before one tiny groupby; the ppm share is a driver-side
+    projection over the ≤4-row result (bounded, annotated)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+
+    labeled = doc_tiers(
+        docs, entropy_min=entropy_min, id_col=id_col,
+        persist=persist, spill_dir=spill_dir,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tier": batch.column("tier"),
+                "n_docs": pa.array([1] * batch.num_rows, type=pa.int64()),
+                "n_words": batch.column("n_words"),
+            }
+        )
+
+    sums = grouped_sums(
+        labeled.map_batches(partial, batch_format="pyarrow"),
+        ["tier"], ["n_docs", "n_words"],
+    ).to_pandas()  # bounded: <= 4 tiers
+    tot = int(sums["n_words"].sum())
+    sums["word_share_ppm"] = [
+        (int(w) * 2_000_000 + tot) // (2 * tot) for w in sums["n_words"]
+    ]
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "tier": sums["tier"],
+                "n_docs": sums["n_docs"].astype("int64"),
+                "n_words": sums["n_words"].astype("int64"),
+                "word_share_ppm": pd.Series(
+                    sums["word_share_ppm"], dtype="int64"
+                ),
+            }
+        )
+    )
