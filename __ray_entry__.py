@@ -1137,6 +1137,31 @@ def _q_doc_tiers(sf_dir: str):
     return doc_tiers(docs)
 
 
+_TFIDF_QUERIES = {
+    1: ["sort", "merge", "join"],
+    2: ["customer", "order"],
+    3: ["stream", "window", "stream"],  # repeated term: qtf=2 path
+}
+
+
+def _q_tfidf_search(sf_dir: str):
+    """Hashed TF-IDF cosine retrieval top-10 per query — the
+    text→vector bridge: milli-quantized idf makes every tf·idf
+    component an exact BIGINT, dots/norms are exact integer sums, and
+    the only float is the shared dot/(sqrt·sqrt) cosine (IEEE sqrt is
+    correctly rounded → bit-identical across engines). Two streaming
+    passes: bounded df residues + broadcast idf/query vectors with
+    local top-k."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import tfidf_search
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_search(docs, _TFIDF_QUERIES, k=10)
+
+
 def _q_tier_report(sf_dir: str):
     """Per-tier mixture summary over the tier extraction (docs, word
     mass, half-up ppm share) — doc_tiers' two corpus reads plus a
@@ -3219,6 +3244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_fertility": _q_bpe_fertility,
         "doc_tiers": _q_doc_tiers,
         "tier_report": _q_tier_report,
+        "tfidf_search": _q_tfidf_search,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3392,6 +3418,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": sm.BPE_FERTILITY_SQL,
         "doc_tiers": sm.DOC_TIERS_SQL,
         "tier_report": sm.TIER_REPORT_SQL,
+        "tfidf_search": sm.tfidf_search_sql(_TFIDF_QUERIES, k=10),
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

@@ -998,3 +998,70 @@ def test_char_entropy_empty_doc_matches_sql(ray_session, tmp_path):
     empty_row = eng[eng["doc_id"] == 2].iloc[0]
     assert (empty_row["n_chars"], empty_row["ent_sum_micro"]) == (0, 0)
     assert empty_row["entropy"] == 0.0
+
+
+class TestTfidfSearch:
+    def test_exact_bag_match_ranks_first(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import tfidf_search
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "apple banana",          # exact bag of query 1
+                    "apple cherry cherry",   # partial overlap
+                    "banana banana durian",  # partial overlap
+                    "elderberry fig",        # no overlap -> excluded
+                ],
+            }
+        )
+        out = (
+            tfidf_search(rd.from_pandas(df).repartition(2),
+                         {1: ["apple", "banana"]}, k=10)
+            .to_pandas()
+        )
+        assert list(out.query_id.unique()) == [1]
+        # doc 3 shares no bucket: zero dot, excluded
+        assert 3 not in set(out.doc_id)
+        # the doc whose bag IS the query ranks 1 with cosine ~1.0
+        # (sqrt(x)*sqrt(x) != x in IEEE doubles, so not exactly 1.0 —
+        # the SQL mirror lands on the identical 0.999... double)
+        top = out[out["rank"] == 1].iloc[0]
+        assert top.doc_id == 0
+        assert abs(top.cosine - 1.0) < 1e-12
+        assert len(out) == 3
+
+    def test_partition_invariance_and_string_ids(self, ray_session, sf_small):
+        import pandas as pd
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import tfidf_search
+
+        docs = rd.read_parquet(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+        )
+        qs = {1: ["sort", "merge"], 2: ["customer"]}
+        a = tfidf_search(docs, qs, k=5).to_pandas().sort_values(
+            ["query_id", "rank"], ignore_index=True
+        )
+        b = tfidf_search(docs.repartition(7), qs, k=5).to_pandas().sort_values(
+            ["query_id", "rank"], ignore_index=True
+        )
+        pd.testing.assert_frame_equal(a, b)
+        # string ids flow through unchanged (dtype-preserving contract)
+        import pyarrow.compute as pc
+
+        def as_str(batch):
+            return batch.set_column(
+                batch.schema.get_field_index("doc_id"), "doc_id",
+                pc.cast(batch.column("doc_id"), "string"),
+            )
+
+        c = tfidf_search(
+            docs.map_batches(as_str, batch_format="pyarrow"), qs, k=5
+        ).to_pandas()
+        assert c.doc_id.map(type).eq(str).all()
+        assert sorted(c.doc_id.astype(int)) == sorted(a.doc_id)

@@ -3575,3 +3575,94 @@ SELECT tier, n_docs, n_words,
            AS word_share_ppm
 FROM s, t
 """
+
+
+def tfidf_search_sql(
+    queries: "dict[int, list[str]]", k: int = 10, n_buckets: int = 4096
+) -> str:
+    """Exact mirror of ``text_analysis.tfidf_search``: md5_u64 bucket
+    hashing, milli-quantized idf (``floor(ln((N+1)/(df+1))·1e3+0.5)``,
+    df=0 buckets included via LEFT JOIN for query terms absent from
+    the corpus), exact BIGINT tf·idf weights / dots / squared norms,
+    and the ONE shared float expression
+    ``dot / (sqrt(ssd) · sqrt(ssq))`` — IEEE sqrt is correctly
+    rounded, so numpy and DuckDB produce the identical double.
+    Zero-dot pairs excluded on both sides; ties → doc_id."""
+    B = int(n_buckets)
+    qvals = ", ".join(
+        f"({int(qid)}, {_sql_quote(w)})"
+        for qid, terms in queries.items()
+        for w in terms
+    )
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % {B} AS BIGINT) AS h
+  FROM w0
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+dfc AS (
+  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM hh GROUP BY h
+),
+tf AS (
+  SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf FROM hh GROUP BY doc_id, h
+),
+idf AS (
+  SELECT dfc.h,
+         CAST(floor(ln((CAST(nd.n_docs AS DOUBLE) + 1.0)
+                       / (CAST(dfc.df AS DOUBLE) + 1.0)) * 1000.0 + 0.5)
+              AS BIGINT) AS idf_m
+  FROM dfc CROSS JOIN nd
+),
+dw AS (
+  SELECT tf.doc_id, tf.h, tf.tf * idf.idf_m AS w
+  FROM tf JOIN idf USING (h)
+),
+ssd AS (
+  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS ssd FROM dw GROUP BY doc_id
+),
+q(query_id, w) AS (VALUES {qvals}),
+qh AS (
+  SELECT query_id,
+         CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % {B} AS BIGINT) AS h
+  FROM q
+),
+qtf AS (
+  SELECT query_id, h, CAST(count(*) AS BIGINT) AS tf
+  FROM qh GROUP BY query_id, h
+),
+qw AS (
+  SELECT qtf.query_id, qtf.h,
+         qtf.tf * CAST(floor(ln((CAST(nd.n_docs AS DOUBLE) + 1.0)
+                                / (CAST(coalesce(dfc.df, 0) AS DOUBLE) + 1.0))
+                            * 1000.0 + 0.5) AS BIGINT) AS w
+  FROM qtf
+  LEFT JOIN dfc USING (h)
+  CROSS JOIN nd
+),
+ssq AS (
+  SELECT query_id, CAST(sum(w * w) AS BIGINT) AS ssq
+  FROM qw GROUP BY query_id
+),
+dots AS (
+  SELECT qw.query_id, dw.doc_id, CAST(sum(dw.w * qw.w) AS BIGINT) AS dot
+  FROM dw JOIN qw USING (h) GROUP BY qw.query_id, dw.doc_id
+),
+scored AS (
+  SELECT d.query_id, d.doc_id, d.dot,
+         CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(s.ssd AS DOUBLE)) * sqrt(CAST(ss.ssq AS DOUBLE)))
+             AS cosine
+  FROM dots d
+  JOIN ssd s USING (doc_id)
+  JOIN ssq ss USING (query_id)
+  WHERE d.dot > 0
+)
+SELECT query_id, doc_id, dot, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {int(k)}
+"""

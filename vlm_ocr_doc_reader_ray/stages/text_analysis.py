@@ -2090,3 +2090,174 @@ def nb_classifier_scores(
         return out
 
     return narrow.map_batches(score, batch_format="pandas")
+
+
+def tfidf_search(
+    ds: rd.Dataset,
+    queries: "dict[int, list[str]]",
+    k: int = 10,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Hashed TF-IDF cosine retrieval — the text→vector bridge: each
+    document becomes a ``n_buckets``-dimensional hashed tf·idf vector
+    (the feature-hashing trick) and each query (a bag of words) is
+    ranked against it by cosine, top-``k`` per query, ties →
+    ``doc_id``. → ``(query_id, doc_id, dot, cosine, rank)``.
+
+    EXACTNESS CONTRACT (the :func:`bm25_search` /
+    :func:`unigram_nll_scores` device, extended to cosine): idf is
+    quantized ONCE per bucket to integer millis —
+    ``idf_m[h] = floor(ln((N+1)/(df[h]+1)) · 1e3 + 0.5)`` (libm log,
+    lockstep with DuckDB ``ln``) — so every vector component
+    ``w = tf · idf_m`` is an exact BIGINT, and dot products and
+    squared norms are exact BIGINT sums (bounded: tf ≤ doc words,
+    idf_m ≤ ~14k → all sums ≪ 2^53). The ONLY float is the final
+    shared expression ``dot / (sqrt(ssd) · sqrt(ssq))`` — IEEE sqrt
+    is correctly rounded, so numpy and DuckDB agree bit-for-bit.
+    Zero-dot (no shared bucket) pairs are excluded on both sides.
+
+    Reference analog: none — beyond-reference retrieval op; the
+    scale path for embedding-free semantic-ish search (pair with
+    :mod:`similarity`'s ANN ops when real embeddings exist).
+
+    Scale shape: two streaming passes. Pass 1 collapses each batch to
+    ≤ n_buckets distinct-(doc,bucket) df residues (+ one doc-count
+    carrier row) — bounded shuffle. The quantized idf table (32 KB)
+    and the query vectors broadcast once; pass 2 scores each batch
+    with one dense int64 matmul and keeps its local top-k per query,
+    so at most k × blocks rows per query ever move; one residue
+    hash-partition merges the partials."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        grouped_sums,
+        partitioned_apply,
+    )
+
+    B = n_buckets
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype="int64"),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        buckets, lens = _hashed_word_buckets(batch[text_col].tolist(), B)
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        pair_h = np.unique(row_of.astype(np.int64) * B + buckets) % B
+        c = np.bincount(pair_h, minlength=B)
+        h = np.nonzero(c)[0]
+        out = pd.DataFrame(
+            {"h": h.astype(np.int64), "c": c[h].astype(np.int64)}
+        )
+        # carrier row h=-1: document count (rides the same residue)
+        return pd.concat(
+            [out, pd.DataFrame({"h": [-1], "c": [len(lens)]})],
+            ignore_index=True,
+        )
+
+    totals = grouped_sums(
+        ds.select_columns([text_col]).map_batches(
+            df_partial, batch_format="pandas"
+        ),
+        ["h"], ["c"],
+    ).to_pandas()  # bounded residue: <= n_buckets + 1 rows
+    n_docs = int(totals.loc[totals["h"] == -1, "c"].sum())
+    df_counts = np.zeros(B, dtype=np.int64)
+    real = totals[totals["h"] >= 0]
+    if len(real):
+        df_counts[real["h"].to_numpy()] = real["c"].to_numpy()
+    # fixed float expression — lockstep with sqlmirror.tfidf_search_sql
+    idf_m = np.fromiter(
+        (
+            int(math.floor(
+                math.log((n_docs + 1.0) / (d + 1.0)) * 1000.0 + 0.5
+            ))
+            for d in df_counts.tolist()
+        ),
+        dtype=np.int64,
+        count=B,
+    )
+
+    # query vectors (tiny, closure-broadcast): sparse (h -> wq), ssq
+    qvecs: dict = {}
+    for qid, terms in queries.items():
+        tf: dict = {}
+        for w in terms:
+            h = _md5_u64(w) % B
+            tf[h] = tf.get(h, 0) + 1
+        hq = np.fromiter(tf.keys(), dtype=np.int64, count=len(tf))
+        wq = np.fromiter(
+            (tf[h] * int(idf_m[h]) for h in tf), dtype=np.int64,
+            count=len(tf),
+        )
+        ssq = int((wq * wq).sum())
+        qvecs[qid] = (hq, wq, ssq)
+
+    _empty = {
+        "query_id": pd.Series([], dtype="int64"),
+        id_col: pd.Series([], dtype="int64"),
+        "dot": pd.Series([], dtype="int64"),
+        "cosine": pd.Series([], dtype="float64"),
+    }
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(_empty)
+        buckets, lens = _hashed_word_buckets(batch[text_col].tolist(), B)
+        n = len(lens)
+        row_of = np.repeat(np.arange(n), lens)
+        w_mat = np.zeros((n, B), dtype=np.int64)
+        np.add.at(w_mat, (row_of, buckets), idf_m[buckets])
+        ssd = np.einsum("ij,ij->i", w_mat, w_mat)  # exact int64
+        ids = batch[id_col].to_numpy()
+        sqrt_ssd = np.sqrt(ssd.astype(np.float64))
+        parts = []
+        for qid, (hq, wq, ssq) in qvecs.items():
+            if ssq == 0:
+                continue
+            dot = w_mat[:, hq] @ wq  # exact int64
+            nz = np.nonzero(dot > 0)[0]
+            if len(nz) == 0:
+                continue
+            cosine = dot[nz].astype(np.float64) / (
+                sqrt_ssd[nz] * math.sqrt(float(ssq))
+            )
+            part = pd.DataFrame(
+                {
+                    "query_id": np.full(len(nz), qid, dtype=np.int64),
+                    id_col: ids[nz],
+                    "dot": dot[nz].astype(np.int64),
+                    "cosine": cosine,
+                }
+            )
+            parts.append(
+                part.sort_values(
+                    ["cosine", id_col], ascending=[False, True]
+                ).head(k)
+            )
+        if not parts:
+            return pd.DataFrame(_empty)
+        return pd.concat(parts, ignore_index=True)
+
+    local_ds = ds.select_columns([id_col, text_col]).map_batches(
+        local, batch_format="pandas"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["query_id", "cosine", id_col], ascending=[True, False, True]
+        )
+        g = g.groupby("query_id", sort=False, group_keys=False).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = (
+            g.groupby("query_id", sort=False).cumcount() + 1
+        ).astype("int64")
+        return g
+
+    return partitioned_apply(local_ds, ["query_id"], merge)
