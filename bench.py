@@ -310,6 +310,20 @@ def run_bench(num_cpus: int, sf_dir: str, reps: int) -> dict:
     doc_tiers(_corpus(["url", "text"]), id_col="url").count()
     queries["doc_tiers"] = round(time.time() - t0, 3)
 
+    # q16: hashed TF-IDF cosine retrieval (bounded df residues +
+    # broadcast idf/query vectors, one dense int64 matmul per batch,
+    # local top-k — zero corpus shuffles)
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import tfidf_search
+
+    t0 = time.time()
+    tfidf_search(
+        _corpus(["url", "text"]),
+        {1: ["sort", "stream"], 2: ["customer", "window"]},
+        k=10,
+        id_col="url",
+    ).to_pandas()
+    queries["tfidf_search"] = round(time.time() - t0, 3)
+
     n_docs = rd.read_parquet(corpus_path).count()
     headline = queries["extract_full_write"]
     result = {
