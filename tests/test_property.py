@@ -148,3 +148,49 @@ def test_word_shingles_matches_sql_split_semantics(text):
         params=[text],
     ).fetchone()[0]
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=60),
+       st.integers(min_value=0, max_value=3))
+def test_gopher_signals_one_matches_bruteforce(words, dup_factor):
+    """Pin the per-doc Gopher kernel against an independently-written
+    brute force (list.count everywhere, max() with explicit tie scan
+    instead of Counter/min) on adversarial word lists — repetition
+    injected by multiplying the list."""
+    from vlm_ocr_doc_reader_ray.stages.scrub import gopher_signals_one
+
+    words = words * (dup_factor + 1)
+    t = " ".join(words)
+    got = gopher_signals_one(t, 8)
+
+    # brute force twin
+    ws = t.split(" ")
+    nw, nc = len(ws), len(t)
+    lines = [" ".join(ws[i:i + 8]) for i in range(0, nw, 8)]
+    n_lines = len(lines)
+    dup_lines = sum(1 for i, ln in enumerate(lines) if ln in lines[:i])
+    line_chars = sum(len(ln) for ln in lines)
+    dup_line_chars = sum(
+        len(ln) for i, ln in enumerate(lines) if ln in lines[:i]
+    )
+    g2 = [" ".join(ws[i:i + 2]) for i in range(nw - 1)]
+    top2 = 0
+    if g2:
+        best = sorted(set(g2), key=lambda g: (-g2.count(g), g))[0]
+        top2 = g2.count(best) * len(best)
+    g5 = [" ".join(ws[i:i + 5]) for i in range(nw - 4)] if nw >= 5 else []
+    dup5 = sum(
+        g5.count(g) * len(g) for g in set(g5) if g5.count(g) >= 2
+    )
+
+    def ppm(a, b):
+        return 0 if b == 0 else (a * 2_000_000 + b) // (2 * b)
+
+    assert got == (
+        n_lines,
+        ppm(dup_lines, n_lines),
+        ppm(dup_line_chars, line_chars),
+        ppm(top2, nc),
+        ppm(dup5, nc),
+    )

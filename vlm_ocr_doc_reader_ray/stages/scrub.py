@@ -112,6 +112,50 @@ def _ppm(num: int, den: int) -> int:
     return (num * 2_000_000 + den) // (2 * den)
 
 
+def gopher_signals_one(t: str, line_words: int = 8) -> tuple:
+    """Pure per-document Gopher §A1.1 signal kernel → ``(n_lines,
+    dup_line_ppm, dup_line_char_ppm, top_2gram_char_ppm,
+    dup_5gram_char_ppm)`` — module-level so the hypothesis
+    differential test can pin it against an independent brute-force
+    twin without a Ray session."""
+    from collections import Counter
+
+    ws = t.split(" ")
+    nw = len(ws)
+    nc = len(t)
+    # --- deterministic 8-word lines (== line_dedup) ---
+    lines = [
+        " ".join(ws[i * line_words: (i + 1) * line_words])
+        for i in range((nw + line_words - 1) // line_words)
+    ]
+    lc = Counter(lines)
+    n_lines = len(lines)
+    dup_lines = n_lines - len(lc)
+    line_chars = sum(len(ln) for ln in lines)
+    dup_line_chars = sum(
+        (c - 1) * len(ln) for ln, c in lc.items() if c >= 2
+    )
+    # --- most frequent 2-gram char coverage ---
+    top2_chars = 0
+    if nw >= 2:
+        g2 = Counter(" ".join(ws[i: i + 2]) for i in range(nw - 1))
+        # max count, tie -> smallest gram
+        g, c = min(g2.items(), key=lambda kv: (-kv[1], kv[0]))
+        top2_chars = c * len(g)
+    # --- duplicated 5-gram char coverage ---
+    dup5_chars = 0
+    if nw >= 5:
+        g5 = Counter(" ".join(ws[i: i + 5]) for i in range(nw - 4))
+        dup5_chars = sum(c * len(g) for g, c in g5.items() if c >= 2)
+    return (
+        n_lines,
+        _ppm(dup_lines, n_lines),
+        _ppm(dup_line_chars, line_chars),
+        _ppm(top2_chars, nc),
+        _ppm(dup5_chars, nc),
+    )
+
+
 def gopher_signals(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -154,8 +198,6 @@ def gopher_signals(
     measured A/B that keeps TextAnalyzer row-wise — the work is
     dict-building either way).
     """
-    from collections import Counter
-
     thr_line = int(max_dup_line * 1_000_000)
     thr_line_char = int(max_dup_line_char * 1_000_000)
     thr_top2 = int(max_top2_char * 1_000_000)
@@ -166,44 +208,12 @@ def gopher_signals(
             [], [], [], [], [],
         )
         for t in batch[text_col].astype(str):
-            ws = t.split(" ")
-            nw = len(ws)
-            nc = len(t)
-            # --- deterministic 8-word lines (== line_dedup) ---
-            lines = [
-                " ".join(ws[i * line_words: (i + 1) * line_words])
-                for i in range((nw + line_words - 1) // line_words)
-            ]
-            lc = Counter(lines)
-            n_lines = len(lines)
-            dup_lines = n_lines - len(lc)
-            line_chars = sum(len(ln) for ln in lines)
-            dup_line_chars = sum(
-                (c - 1) * len(ln) for ln, c in lc.items() if c >= 2
-            )
-            # --- most frequent 2-gram char coverage ---
-            top2_chars = 0
-            if nw >= 2:
-                g2 = Counter(
-                    " ".join(ws[i: i + 2]) for i in range(nw - 1)
-                )
-                # max count, tie -> smallest gram
-                g, c = min(g2.items(), key=lambda kv: (-kv[1], kv[0]))
-                top2_chars = c * len(g)
-            # --- duplicated 5-gram char coverage ---
-            dup5_chars = 0
-            if nw >= 5:
-                g5 = Counter(
-                    " ".join(ws[i: i + 5]) for i in range(nw - 4)
-                )
-                dup5_chars = sum(
-                    c * len(g) for g, c in g5.items() if c >= 2
-                )
+            n_lines, dl, dlc, t2, d5 = gopher_signals_one(t, line_words)
             n_lines_l.append(n_lines)
-            dup_line_l.append(_ppm(dup_lines, n_lines))
-            dup_line_char_l.append(_ppm(dup_line_chars, line_chars))
-            top2_l.append(_ppm(top2_chars, nc))
-            dup5_l.append(_ppm(dup5_chars, nc))
+            dup_line_l.append(dl)
+            dup_line_char_l.append(dlc)
+            top2_l.append(t2)
+            dup5_l.append(d5)
         out = pd.DataFrame(
             {
                 id_col: batch[id_col],
