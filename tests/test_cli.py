@@ -295,3 +295,33 @@ def test_cli_index_search_subprocess(ray_session, sf_small):
     out3 = run("search", corpus, "-q", "window", "-k", "2")
     lines = [l for l in out3.splitlines() if l.startswith("q1\t")]
     assert len(lines) == 2 and "https://" in lines[0]
+
+
+def test_cli_tiers_subprocess(ray_session, sf_small):
+    """`tiers` labels every corpus doc with a training tier and the
+    first-failing-gate reason (own Ray session → subprocess)."""
+    import shutil
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.pipelines.extraction import corpus_parquet
+
+    corpus = corpus_parquet(sf_small, reps=1)
+    out = "/tmp/cli_tiers_test"
+    shutil.rmtree(out, ignore_errors=True)
+    r = subprocess.run(
+        [sys.executable, "-m", "vlm_ocr_doc_reader_ray.cli", "--num-cpus", "2",
+         "tiers", corpus, "-o", out],
+        cwd="/root/repo", capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    df = pd.read_parquet(out)
+    assert len(df) == 500
+    assert set(df.tier) <= {"high", "mid", "low", "drop"}
+    assert set(df.loc[df.tier == "drop", "reason"]) <= {
+        "quality", "repetition", "entropy"
+    }
+    assert (df.loc[df.tier != "drop", "reason"] == "ok").all()
+    assert "(" in r.stdout and "=" in r.stdout  # mixture summary printed

@@ -155,6 +155,17 @@ def main(argv: List[str] | None = None) -> int:
     p_cu.add_argument("-o", "--output", required=True)
     p_cu.add_argument("--seq-len", type=int, default=2048)
 
+    p_ti = sub.add_parser(
+        "tiers",
+        help="corpus → per-doc training-tier labels (quality bands + "
+        "Gopher repetition vector + entropy gate + CCNet tertile; "
+        "tier/reason per doc, mixture summary on stdout)",
+    )
+    p_ti.add_argument("corpus")
+    p_ti.add_argument("-o", "--output", required=True)
+    p_ti.add_argument("--id-col", default="url")
+    p_ti.add_argument("--entropy-min", type=float, default=4.0)
+
     p_sd = sub.add_parser(
         "dedup-spans",
         help="corpus → span-deduplicated corpus (drop every word "
@@ -338,6 +349,25 @@ def main(argv: List[str] | None = None) -> int:
                 args.output, mode="overwrite"
             )
             print(f"wrote curated sequences to {args.output}")
+        elif args.cmd == "tiers":
+            from vlm_ocr_doc_reader_ray.pipelines.curation import doc_tiers
+
+            ds = rd.read_parquet(args.corpus, columns=[args.id_col, "text"])
+            labeled = doc_tiers(
+                ds, entropy_min=args.entropy_min, id_col=args.id_col
+            )
+            labeled.write_parquet(args.output, mode="overwrite")
+            mix = (
+                rd.read_parquet(args.output)
+                .groupby("tier")
+                .count()
+                .to_pandas()
+                .sort_values("tier", ignore_index=True)
+            )
+            summary = ", ".join(
+                f"{r.tier}={r['count()']}" for _, r in mix.iterrows()
+            )
+            print(f"wrote doc tiers to {args.output} ({summary})")
         elif args.cmd == "dedup-spans":
             from vlm_ocr_doc_reader_ray.stages.scrub import span_dedup
 
