@@ -1144,6 +1144,24 @@ _TFIDF_QUERIES = {
 }
 
 
+def _q_tiered_token_budget(sf_dir: str):
+    """Tier-budgeted provisioning: doc_tiers labels, drop discarded,
+    each surviving tier keeps whole docs in md5 order under its OWN
+    token budget (high 6000 / mid 3000 / low 1000 words) — the
+    per-group-budget extension of the RefinedWeb domain cap, exact
+    integers end to end."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.pipelines.curation import tiered_token_budget
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tiered_token_budget(
+        docs, {"high": 6000, "mid": 3000, "low": 1000}
+    )
+
+
 def _q_tfidf_search(sf_dir: str):
     """Hashed TF-IDF cosine retrieval top-10 per query — the
     text→vector bridge: milli-quantized idf makes every tf·idf
@@ -3245,6 +3263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tiers": _q_doc_tiers,
         "tier_report": _q_tier_report,
         "tfidf_search": _q_tfidf_search,
+        "tiered_token_budget": _q_tiered_token_budget,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3419,6 +3438,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tiers": sm.DOC_TIERS_SQL,
         "tier_report": sm.TIER_REPORT_SQL,
         "tfidf_search": sm.tfidf_search_sql(_TFIDF_QUERIES, k=10),
+        "tiered_token_budget": sm.TIERED_TOKEN_BUDGET_SQL,
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

@@ -1905,3 +1905,42 @@ def test_quality_filter_lean_equals_full(ray_session, sf_small):
         .to_pandas().sort_values("doc_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(full, lean)
+
+
+def test_tiered_token_budget_caps_bite_and_invariance(ray_session, sf_small):
+    import hashlib
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.pipelines.curation import (
+        doc_tiers,
+        tiered_token_budget,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    )
+    budgets = {"high": 6000, "mid": 3000, "low": 1000}
+    a = (
+        tiered_token_budget(docs, budgets)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        tiered_token_budget(docs.repartition(6), budgets)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    sums = a.groupby("tier")["n_words"].sum()
+    for t, bud in budgets.items():
+        assert sums.get(t, 0) <= bud
+    # each tier is the exact md5-order prefix of the labeled eligible set
+    labeled = doc_tiers(docs).to_pandas()
+    for t, bud in budgets.items():
+        grp = labeled[labeled.tier == t].copy()
+        grp["rk"] = [
+            hashlib.md5(f"tiercap:{v}".encode()).hexdigest()
+            for v in grp.doc_id
+        ]
+        grp = grp.sort_values(["rk", "doc_id"])
+        keep = grp[grp.n_words.cumsum() <= bud]
+        assert sorted(keep.doc_id) == sorted(a.loc[a.tier == t, "doc_id"])

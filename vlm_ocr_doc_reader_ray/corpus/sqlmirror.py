@@ -3666,3 +3666,26 @@ SELECT query_id, doc_id, dot, cosine,
 FROM scored
 QUALIFY rank <= {int(k)}
 """
+
+
+# Tier-budgeted provisioning — LOCKSTEP with
+# pipelines.curation.tiered_token_budget(budgets={'high':6000,
+# 'mid':3000,'low':1000}, seed='tiercap'): doc_tiers labels,
+# 'drop' discarded, each tier keeps whole docs in md5 order while
+# its inclusive running word total stays <= its OWN budget.
+TIERED_TOKEN_BUDGET_SQL = f"""
+WITH dt AS (SELECT * FROM ({DOC_TIERS_SQL}) x),
+e AS (
+  SELECT doc_id, n_words, tier,
+         md5('tiercap:' || CAST(doc_id AS VARCHAR)) AS rk,
+         CASE tier WHEN 'high' THEN 6000 WHEN 'mid' THEN 3000
+                   WHEN 'low' THEN 1000 END AS b
+  FROM dt WHERE tier IN ('high', 'mid', 'low')
+), c AS (
+  SELECT doc_id, n_words, tier, b,
+         sum(n_words) OVER (PARTITION BY tier ORDER BY rk, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM e
+)
+SELECT doc_id, n_words, tier FROM c WHERE cum <= b
+"""

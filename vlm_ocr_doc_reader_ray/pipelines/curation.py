@@ -267,3 +267,50 @@ def tier_report(
             }
         )
     )
+
+
+def tiered_token_budget(
+    docs: rd.Dataset,
+    budgets: dict,
+    entropy_min: float = 4.0,
+    id_col: str = "doc_id",
+    seed: str = "tiercap",
+    persist: str = "auto",
+    spill_dir: str | None = None,
+) -> rd.Dataset:
+    """Tier-budgeted corpus provisioning: :func:`doc_tiers` labels
+    every document, 'drop' (and any tier absent from ``budgets``)
+    is discarded, and each surviving tier keeps whole documents in
+    deterministic md5 order under its OWN token budget
+    (:func:`stages.text_analysis.grouped_token_cap` with per-group
+    budgets) — "take 600k high-tier tokens, 300k mid, 100k low", the
+    exact shape a tiered pre-training mixture is provisioned with.
+
+    → (id, n_words, tier) kept rows; exact integers end to end, so
+    the SQL mirror (windowed running sum with a CASE budget) is
+    bit-identical at any parallelism.
+
+    Scale shape: doc_tiers' two corpus reads; the cap then moves only
+    O(budget/avg_len) rows per tier per block (exclusive-prefix local
+    combiner), never the corpus."""
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import grouped_token_cap
+
+    labeled = doc_tiers(
+        docs, entropy_min=entropy_min, id_col=id_col,
+        persist=persist, spill_dir=spill_dir,
+    )
+    allowed = [t for t in budgets if t != "drop"]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            batch.column("tier"), value_set=pa.array(allowed, type=pa.string())
+        )
+        return batch.filter(mask).select([id_col, "n_words", "tier"])
+
+    eligible = labeled.map_batches(keep, batch_format="pyarrow")
+    return grouped_token_cap(
+        eligible, "tier", id_col, "n_words", budget=0,
+        seed=seed, budgets=budgets,
+    )

@@ -415,6 +415,7 @@ def grouped_token_cap(
     len_col: str,
     budget: int,
     seed: str = "hostcap",
+    budgets: "dict | None" = None,
 ) -> rd.Dataset:
     """Per-group token budget — the RefinedWeb/Gopher-style domain
     cap ("no group contributes more than B tokens").
@@ -440,6 +441,11 @@ def grouped_token_cap(
     shuffle moves O(budget/avg_len + 1) rows per group per block,
     never the corpus.
 
+    ``budgets`` optionally overrides the budget PER GROUP (group
+    value → budget; groups absent from the dict fall back to
+    ``budget``) — the tier-mixture provisioning path
+    (:func:`pipelines.curation.tiered_token_budget`).
+
     → input rows kept, original columns.
     """
     import hashlib
@@ -451,6 +457,16 @@ def grouped_token_cap(
 
     if budget < 0:
         raise ValueError("budget must be non-negative")
+    if budgets and any(b < 0 for b in budgets.values()):
+        raise ValueError("budgets must be non-negative")
+
+    def _budget_of(groups) -> "np.ndarray":
+        if not budgets:
+            return np.full(len(groups), budget, dtype=np.int64)
+        return np.fromiter(
+            (budgets.get(g, budget) for g in groups),
+            dtype=np.int64, count=len(groups),
+        )
 
     def prefix(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -461,14 +477,15 @@ def grouped_token_cap(
         batch = batch.sort_values(["__rk", key_col])
         cum = batch.groupby(group_col, sort=False)[len_col].cumsum()
         excl = np.asarray(cum) - np.asarray(batch[len_col])
-        return batch[excl <= budget]
+        return batch[excl <= _budget_of(batch[group_col].tolist())]
 
     local = ds.map_batches(prefix, batch_format="pandas")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["__rk", key_col])
         cum = g.groupby(group_col, sort=False)[len_col].cumsum()
-        return g[np.asarray(cum) <= budget].drop(columns="__rk")
+        keep = np.asarray(cum) <= _budget_of(g[group_col].tolist())
+        return g[keep].drop(columns="__rk")
 
     return partitioned_apply(local, [group_col], final)
 
