@@ -1144,6 +1144,41 @@ _TFIDF_QUERIES = {
 }
 
 
+def _q_tfidf_search_indexed(sf_dir: str):
+    """tfidf_search through the PERSISTED vector index: weight
+    postings partitioned by bucket-hash (the search opens only the
+    query buckets' hive partitions), stored norms attached by one
+    co-partitioned join, query vectors rebuilt from the stored idf
+    table. Gated by the SAME oracle as the scan path — a green hash
+    proves index build + pruned read == full scan."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+        build_tfidf_index,
+        tfidf_search_indexed,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|tfidf4096"
+    tag = hashlib.md5(fp.encode()).hexdigest()[:10]
+    from vlm_ocr_doc_reader_ray.state.cache import cache_dir
+
+    index_dir = cache_dir("vlm_ocr_ray_tfidf_index", tag)
+
+    def _build(tmp_dir: str) -> None:
+        docs = rd.read_parquet(src, columns=["doc_id", "text"])
+        build_tfidf_index(docs, tmp_dir, n_buckets=4096, part_buckets=64)
+
+    _publish_cached_index(index_dir, _build)
+    return tfidf_search_indexed(
+        index_dir, _TFIDF_QUERIES, k=10, part_buckets=64
+    )
+
+
 def _q_tiered_token_budget(sf_dir: str):
     """Tier-budgeted provisioning: doc_tiers labels, drop discarded,
     each surviving tier keeps whole docs in md5 order under its OWN
@@ -3264,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tier_report": _q_tier_report,
         "tfidf_search": _q_tfidf_search,
         "tiered_token_budget": _q_tiered_token_budget,
+        "tfidf_search_indexed": _q_tfidf_search_indexed,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3439,6 +3475,7 @@ def oracle_sql() -> dict[str, str]:
         "tier_report": sm.TIER_REPORT_SQL,
         "tfidf_search": sm.tfidf_search_sql(_TFIDF_QUERIES, k=10),
         "tiered_token_budget": sm.TIERED_TOKEN_BUDGET_SQL,
+        "tfidf_search_indexed": sm.tfidf_search_sql(_TFIDF_QUERIES, k=10),
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

@@ -1065,3 +1065,28 @@ class TestTfidfSearch:
         ).to_pandas()
         assert c.doc_id.map(type).eq(str).all()
         assert sorted(c.doc_id.astype(int)) == sorted(a.doc_id)
+
+    def test_indexed_equals_scan(self, ray_session, sf_small, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from vlm_ocr_doc_reader_ray.stages.text_analysis import (
+            build_tfidf_index,
+            tfidf_search,
+            tfidf_search_indexed,
+        )
+
+        docs = rd.read_parquet(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+        )
+        qs = {1: ["sort", "merge", "join"], 2: ["customer", "order"]}
+        scan = tfidf_search(docs, qs, k=7).to_pandas().sort_values(
+            ["query_id", "rank"], ignore_index=True
+        )
+        idx = str(tmp_path / "tfidf_idx")
+        build_tfidf_index(docs, idx, n_buckets=4096, part_buckets=16)
+        indexed = (
+            tfidf_search_indexed(idx, qs, k=7, part_buckets=16)
+            .to_pandas().sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(scan, indexed)

@@ -2278,3 +2278,266 @@ def tfidf_search(
         return g
 
     return partitioned_apply(local_ds, ["query_id"], merge)
+
+
+def build_tfidf_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    n_buckets: int = 4096,
+    part_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the hashed TF-IDF vector index :func:`tfidf_search`
+    computes on the fly — the cosine-retrieval twin of
+    :func:`build_term_index`:
+
+    - ``postings/`` — ``(h, doc_id, w)`` integer weight postings,
+      parquet PARTITIONED BY ``part = h % part_buckets`` (hive) so a
+      search opens only its query buckets' directories;
+    - ``norms/``    — the narrow ``(doc_id, ssd)`` squared-norm table;
+    - ``idf/``      — the full quantized idf table (``n_buckets``
+      rows incl. df=0 buckets, + the doc count) so the query side
+      reproduces the scan path's vectors exactly.
+
+    Same exactness contract as the scan op (milli-quantized idf,
+    BIGINT weights/norms), so :func:`tfidf_search_indexed` is gated
+    by the SAME oracle — a green hash proves build + pruned read ==
+    full scan.
+
+    Scale shape: one df-residue pass, then one streaming pass that
+    emits each doc's sparse weights and its norm; the partitioned
+    write is the only data movement."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+
+    B = n_buckets
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype="int64"),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        buckets, lens = _hashed_word_buckets(batch[text_col].tolist(), B)
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        pair_h = np.unique(row_of.astype(np.int64) * B + buckets) % B
+        c = np.bincount(pair_h, minlength=B)
+        h = np.nonzero(c)[0]
+        out = pd.DataFrame(
+            {"h": h.astype(np.int64), "c": c[h].astype(np.int64)}
+        )
+        return pd.concat(
+            [out, pd.DataFrame({"h": [-1], "c": [len(lens)]})],
+            ignore_index=True,
+        )
+
+    totals = grouped_sums(
+        ds.select_columns([text_col]).map_batches(
+            df_partial, batch_format="pandas"
+        ),
+        ["h"], ["c"],
+    ).to_pandas()
+    n_docs = int(totals.loc[totals["h"] == -1, "c"].sum())
+    df_counts = np.zeros(B, dtype=np.int64)
+    real = totals[totals["h"] >= 0]
+    if len(real):
+        df_counts[real["h"].to_numpy()] = real["c"].to_numpy()
+    idf_m = np.fromiter(
+        (
+            int(math.floor(
+                math.log((n_docs + 1.0) / (d + 1.0)) * 1000.0 + 0.5
+            ))
+            for d in df_counts.tolist()
+        ),
+        dtype=np.int64,
+        count=B,
+    )
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "h": pd.Series([], dtype="int64"),
+                 "w": pd.Series([], dtype="int64"),
+                 "part": pd.Series([], dtype="int64")}
+            )
+        buckets, lens = _hashed_word_buckets(batch[text_col].tolist(), B)
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        key = row_of.astype(np.int64) * B + buckets
+        uniq, counts = np.unique(key, return_counts=True)
+        rows, hs = uniq // B, uniq % B
+        w = counts.astype(np.int64) * idf_m[hs]
+        ids = batch[id_col].to_numpy()
+        out = pd.DataFrame(
+            {id_col: ids[rows], "h": hs.astype(np.int64),
+             "w": w, "part": (hs % part_buckets).astype(np.int64)}
+        )
+        return out[out["w"] > 0]
+
+    ds.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pandas"
+    ).write_parquet(f"{index_dir}/postings", partition_cols=["part"])
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "ssd": pd.Series([], dtype="int64")}
+            )
+        buckets, lens = _hashed_word_buckets(batch[text_col].tolist(), B)
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        n = len(lens)
+        w_mat = np.zeros((n, B), dtype=np.int64)
+        np.add.at(w_mat, (row_of, buckets), idf_m[buckets])
+        ssd = np.einsum("ij,ij->i", w_mat, w_mat)
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(), "ssd": ssd}
+        )
+
+    ds.select_columns([id_col, text_col]).map_batches(
+        norm, batch_format="pandas"
+    ).write_parquet(f"{index_dir}/norms")
+
+    pd.DataFrame(
+        {"h": np.arange(B, dtype=np.int64), "idf_m": idf_m,
+         "n_docs": np.full(B, n_docs, dtype=np.int64)}
+    ).to_parquet(f"{index_dir}/idf.parquet")
+
+
+def tfidf_search_indexed(
+    index_dir: str,
+    queries: "dict[int, list[str]]",
+    k: int = 10,
+    part_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """:func:`tfidf_search` through the PERSISTED index: query
+    vectors rebuild from the stored idf table, the postings read
+    opens ONLY the query buckets' hive partitions, matched postings
+    collapse to (query_id, doc, dot) residues, one co-partitioned
+    join attaches the stored norms, and the same top-k merge ranks by
+    the identical shared cosine expression. Gated by the SAME oracle
+    as the scan path."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import (
+        grouped_sums,
+        partitioned_apply,
+    )
+    from vlm_ocr_doc_reader_ray.stages.relational import partitioned_hash_join
+
+    idf_df = pd.read_parquet(f"{index_dir}/idf.parquet")
+    B = len(idf_df)
+    idf_of = dict(zip(idf_df["h"].astype(int), idf_df["idf_m"].astype(int)))
+
+    qvecs: dict = {}
+    probed: set = set()
+    for qid, terms in queries.items():
+        tf: dict = {}
+        for w in terms:
+            h = _md5_u64(w) % B
+            tf[h] = tf.get(h, 0) + 1
+        wq = {h: c * idf_of[h] for h, c in tf.items()}
+        ssq = sum(v * v for v in wq.values())
+        qvecs[qid] = (wq, ssq)
+        probed |= {str(h % part_buckets) for h in wq}
+
+    pf = PathPartitionFilter.of(
+        lambda kv: kv.get("part") in probed, style="hive"
+    )
+    postings = rd.read_parquet(f"{index_dir}/postings", partition_filter=pf)
+
+    def match(batch: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for qid, (wq, ssq) in qvecs.items():
+            if ssq == 0:
+                continue
+            hit = batch[batch["h"].isin(wq)]
+            if hit.empty:
+                continue
+            contrib = hit["w"].to_numpy() * np.fromiter(
+                (wq[h] for h in hit["h"]), dtype=np.int64, count=len(hit)
+            )
+            g = pd.DataFrame({id_col: hit[id_col].to_numpy(),
+                              "dot": contrib})
+            g = g.groupby(id_col, as_index=False)["dot"].sum()
+            g.insert(0, "query_id", np.int64(qid))
+            parts.append(g)
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    id_col: pd.Series(
+                        [], dtype=batch[id_col].dtype
+                        if len(batch.columns) else "int64"
+                    ),
+                    "dot": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    dots = grouped_sums(
+        postings.map_batches(match, batch_format="pandas"),
+        ["query_id", id_col], ["dot"],
+    )
+    norms = rd.read_parquet(f"{index_dir}/norms")
+    joined = partitioned_hash_join(dots, norms, id_col, id_col)
+
+    ssq_of = {qid: ssq for qid, (_, ssq) in qvecs.items()}
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["dot"] > 0].copy()
+        if batch.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    id_col: batch[id_col] if id_col in batch else
+                    pd.Series([], dtype="int64"),
+                    "dot": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        ssq = np.fromiter(
+            (ssq_of[q] for q in batch["query_id"]), dtype=np.int64,
+            count=len(batch),
+        )
+        cosine = batch["dot"].to_numpy().astype(np.float64) / (
+            np.sqrt(batch["ssd"].to_numpy().astype(np.float64))
+            * np.sqrt(ssq.astype(np.float64))
+        )
+        out = pd.DataFrame(
+            {
+                "query_id": batch["query_id"].to_numpy(),
+                id_col: batch[id_col].to_numpy(),
+                "dot": batch["dot"].to_numpy(),
+                "cosine": cosine,
+            }
+        )
+        return out.sort_values(
+            ["query_id", "cosine", id_col], ascending=[True, False, True]
+        ).groupby("query_id", sort=False, group_keys=False).head(k)
+
+    local = joined.map_batches(score, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["query_id", "cosine", id_col], ascending=[True, False, True]
+        )
+        g = g.groupby("query_id", sort=False, group_keys=False).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = (
+            g.groupby("query_id", sort=False).cumcount() + 1
+        ).astype("int64")
+        return g
+
+    return partitioned_apply(local, ["query_id"], merge)
