@@ -172,3 +172,31 @@ def test_new_analytics_empty_input_no_crash(ray_session):
     ]
     for o in outs:
         assert len(o.to_pandas()) == 0
+
+
+def test_round5_ops_empty_input_no_crash(ray_session):
+    """Round-5 operators degrade to empty/zero results on an empty
+    corpus — never a KeyError/ZeroDivision (the empty-groupby schema
+    trap)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.bpe import (
+        bpe_fertility_by_group,
+        fixed_merges,
+    )
+    from vlm_ocr_doc_reader_ray.stages.scrub import gopher_signals
+    from vlm_ocr_doc_reader_ray.stages.text_analysis import tfidf_search
+
+    empty = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "text": pd.Series([], dtype="object"),
+                      "source": pd.Series([], dtype="object")})
+    )
+
+    def rows(out):
+        return len(out.to_pandas() if hasattr(out, "to_pandas") else out)
+
+    assert rows(gopher_signals(empty)) == 0
+    assert rows(bpe_fertility_by_group(empty, fixed_merges())) == 0
+    assert rows(tfidf_search(empty, {1: ["sort"]}, k=5)) == 0

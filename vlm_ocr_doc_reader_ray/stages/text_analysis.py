@@ -2184,6 +2184,9 @@ def tfidf_search(
         ),
         ["h"], ["c"],
     ).to_pandas()  # bounded residue: <= n_buckets + 1 rows
+    if "h" not in totals.columns:  # empty corpus: groupby loses schema
+        totals = pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                               "c": pd.Series([], dtype="int64")})
     n_docs = int(totals.loc[totals["h"] == -1, "c"].sum())
     df_counts = np.zeros(B, dtype=np.int64)
     real = totals[totals["h"] >= 0]
@@ -2342,6 +2345,9 @@ def build_tfidf_index(
         ),
         ["h"], ["c"],
     ).to_pandas()
+    if "h" not in totals.columns:  # empty corpus: groupby loses schema
+        totals = pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                               "c": pd.Series([], dtype="int64")})
     n_docs = int(totals.loc[totals["h"] == -1, "c"].sum())
     df_counts = np.zeros(B, dtype=np.int64)
     real = totals[totals["h"] >= 0]
