@@ -378,6 +378,30 @@ def _q_similarity_ivf(sf_dir: str):
     return ann_ivf(emb, mat, ids, centroids=fixed_codebook(mat.shape[1], 16), k=5, nprobe=4)
 
 
+def _q_similarity_recall(sf_dir: str):
+    """Recall@5 of the IVF approximate path vs exact brute force —
+    the ANN measurement harness: both searches stream with local
+    top-k; the comparison joins two bounded 50-row results
+    (driver-side pandas, annotated). Oracle composes the two existing
+    similarity mirrors."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.stages.similarity import (
+        ann_recall_report,
+        fixed_codebook,
+        load_queries,
+    )
+
+    mat, ids = load_queries(sf_dir, n_queries=10)
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann_recall_report(
+        emb, mat, ids, centroids=fixed_codebook(mat.shape[1], 16),
+        k=5, nprobe=4,
+    )
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label mean embedding (class centroids) — integer-quantized
     component sums so the distributed float mean is exact and
@@ -3300,6 +3324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_search": _q_tfidf_search,
         "tiered_token_budget": _q_tiered_token_budget,
         "tfidf_search_indexed": _q_tfidf_search_indexed,
+        "similarity_recall": _q_similarity_recall,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3476,6 +3501,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_search": sm.tfidf_search_sql(_TFIDF_QUERIES, k=10),
         "tiered_token_budget": sm.TIERED_TOKEN_BUDGET_SQL,
         "tfidf_search_indexed": sm.tfidf_search_sql(_TFIDF_QUERIES, k=10),
+        "similarity_recall": sm.similarity_recall_sql(k=5),
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

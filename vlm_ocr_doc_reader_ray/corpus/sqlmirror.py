@@ -3689,3 +3689,23 @@ e AS (
 )
 SELECT doc_id, n_words, tier FROM c WHERE cum <= b
 """
+
+
+def similarity_recall_sql(k: int = 5) -> str:
+    """Recall@k of the IVF path vs brute force — the two existing
+    oracles composed: per query, the count of IVF results that are in
+    the exact top-k, half-up integer ppm over k."""
+    return f"""
+WITH b AS ({SIMILARITY_TOPK_SQL}),
+a AS ({similarity_ivf_sql()}),
+h AS (
+  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM b JOIN a ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+  GROUP BY b.query_id
+), qs AS (SELECT DISTINCT query_id FROM b)
+SELECT qs.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((coalesce(h.n_hits, 0) * 2000000 + {int(k)}) // (2 * {int(k)})
+            AS BIGINT) AS recall_ppm
+FROM qs LEFT JOIN h USING (query_id)
+"""

@@ -829,3 +829,50 @@ def semantic_dedup_pairs(
         )
 
     return partitioned_group_apply(tagged, ["cluster"], pairs)
+
+
+def ann_recall_report(
+    ds,
+    query_mat,
+    query_ids,
+    centroids,
+    k: int = 5,
+    nprobe: int = 4,
+):
+    """Recall@k evaluation of the IVF approximate path against the
+    brute-force exact path — the measurement harness every ANN
+    deployment needs before trading exactness for probe count:
+    per query, how many of the true top-``k`` the IVF search with
+    ``nprobe`` probes recovered. → (query_id, n_hits, recall_ppm),
+    half-up integer ppm.
+
+    Scale shape: both searches stream the corpus with local top-k
+    (k × blocks candidate rows, never all-pairs); the comparison
+    joins two k·|queries|-row results — bounded, so the final merge
+    is a driver-side pandas join (annotated: ≤ k·|queries| rows per
+    side)."""
+    import pandas as pd
+
+    brute = ann_brute_force(ds, query_mat, query_ids, k=k).select_columns(
+        ["query_id", "vec_id"]
+    ).to_pandas()
+    approx = ann_ivf(
+        ds, query_mat, query_ids, centroids=centroids, k=k, nprobe=nprobe
+    ).select_columns(["query_id", "vec_id"]).to_pandas()
+    hit = brute.merge(approx, on=["query_id", "vec_id"])
+    n_hits = (
+        hit.groupby("query_id").size()
+        .reindex(sorted(set(query_ids)), fill_value=0)
+    )
+    out = pd.DataFrame(
+        {
+            "query_id": n_hits.index.astype("int64"),
+            "n_hits": n_hits.to_numpy().astype("int64"),
+        }
+    )
+    out["recall_ppm"] = (
+        (out["n_hits"] * 2_000_000 + k) // (2 * k)
+    ).astype("int64")
+    import ray.data as rd
+
+    return rd.from_pandas(out)
