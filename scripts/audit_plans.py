@@ -104,6 +104,14 @@ def main() -> None:
             links_table(read_corpus("/root/testdata/sf0.001")), iters=2
         ).to_pandas()
         pagerank_pins = [p[:] for p in pins]
+        pins.clear()
+
+        # doc_tiers pins ONE narrow (id, n_words, flags, entropy,
+        # mean_nll) score table — the corpus text must never pin
+        from vlm_ocr_doc_reader_ray.pipelines.curation import doc_tiers
+
+        doc_tiers(docs.select_columns(["doc_id", "text"])).count()
+        tiers_pins = [p[:] for p in pins]
     finally:
         rd.Dataset.materialize = orig
 
@@ -117,11 +125,13 @@ def main() -> None:
         "span_dedup_pins": span_pins,
         "graph_pins": graph_pins,
         "pagerank_pins": pagerank_pins,
+        "doc_tiers_pins": tiers_pins,
         "payload_columns_pinned": offenders(shard_pins)
         + offenders(curate_pins)
         + offenders(span_pins)
         + offenders(graph_pins)
-        + offenders(pagerank_pins),
+        + offenders(pagerank_pins)
+        + offenders(tiers_pins),
     }
     print(json.dumps(result))
     assert not result["payload_columns_pinned"], result["payload_columns_pinned"]
