@@ -3325,6 +3325,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_token_budget": _q_tiered_token_budget,
         "tfidf_search_indexed": _q_tfidf_search_indexed,
         "similarity_recall": _q_similarity_recall,
+        # tier 2b: round-5 changed-code re-confirmations (spill-pin
+        # rework, shared cache root, composed path) — kept inside the
+        # driver's ~50-row window ahead of the r2-confirmed tier 3
+        "extract_text": _q_extract_text,
+        "curate": _q_curate,
+        "span_dedup": _q_span_dedup,
+        "link_graph": _q_link_graph,
+        "warc_curate_shards": _q_warc_curate_shards,
+        "registry_resume": _q_registry_resume,
         # tier 3: last driver-checked in r2
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -3340,17 +3349,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "customers_without_big_orders": _q_customers_without_orders,
         "event_type_counts": _q_event_type_counts,
-        # tier 4: high-value re-confirmations (incl. round-5 code changes)
-        "extract_text": _q_extract_text,
-        "curate": _q_curate,
-        "span_dedup": _q_span_dedup,
-        "link_graph": _q_link_graph,
+        # tier 4: high-value re-confirmations
         "bm25_search": _q_bm25_search,
         "containment_pairs": _q_containment_pairs,
         "incremental_near_dups": _q_incremental_near_dups,
         "dedup_exact": _q_dedup_exact,
-        "registry_resume": _q_registry_resume,
-        "warc_curate_shards": _q_warc_curate_shards,
         "embedding_kmeans": _q_embedding_kmeans,
         "unigram_nll": _q_unigram_nll,
         "host_pagerank": _q_host_pagerank,
