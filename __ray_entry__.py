@@ -1221,6 +1221,21 @@ def _q_tiered_token_budget(sf_dir: str):
     )
 
 
+def _q_source_tier_profile(sf_dir: str):
+    """Per-source tier mix — doc_tiers with the source column riding
+    its signal chain (keep_cols threading, zero extra reads/joins),
+    collapsed to ≤|sources| residue rows per block before one small
+    groupby: tier counts, kept word mass, survival ppm per source."""
+    import ray.data as rd
+
+    from vlm_ocr_doc_reader_ray.pipelines.curation import source_tier_profile
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return source_tier_profile(docs)
+
+
 def _q_tfidf_search(sf_dir: str):
     """Hashed TF-IDF cosine retrieval top-10 per query — the
     text→vector bridge: milli-quantized idf makes every tf·idf
@@ -3325,6 +3340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_token_budget": _q_tiered_token_budget,
         "tfidf_search_indexed": _q_tfidf_search_indexed,
         "similarity_recall": _q_similarity_recall,
+        "source_tier_profile": _q_source_tier_profile,
         # tier 2b: round-5 changed-code re-confirmations (spill-pin
         # rework, shared cache root, composed path) — kept inside the
         # driver's ~50-row window ahead of the r2-confirmed tier 3
@@ -3505,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
         "tiered_token_budget": sm.TIERED_TOKEN_BUDGET_SQL,
         "tfidf_search_indexed": sm.tfidf_search_sql(_TFIDF_QUERIES, k=10),
         "similarity_recall": sm.similarity_recall_sql(k=5),
+        "source_tier_profile": sm.SOURCE_TIER_PROFILE_SQL,
         "unigram_nll": sm.UNIGRAM_NLL_SQL,
         "containment_pairs": sm.CONTAINMENT_PAIRS_SQL,
         "reciprocal_hosts": sm.RECIPROCAL_HOSTS_SQL,

@@ -3709,3 +3709,34 @@ SELECT qs.query_id,
             AS BIGINT) AS recall_ppm
 FROM qs LEFT JOIN h USING (query_id)
 """
+
+
+# Per-source tier mix — LOCKSTEP with
+# pipelines.curation.source_tier_profile: doc_tiers labels joined to
+# the source column, per-source tier counts, kept word mass and the
+# half-up ppm survival share.
+SOURCE_TIER_PROFILE_SQL = f"""
+WITH dt AS (SELECT * FROM ({DOC_TIERS_SQL}) x),
+j AS (
+  SELECT d.source, dt.tier, dt.n_words
+  FROM dt JOIN documents d ON d.doc_id = dt.doc_id
+), s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN tier = 'high' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
+         CAST(sum(CASE WHEN tier = 'mid' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mid,
+         CAST(sum(CASE WHEN tier = 'low' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low,
+         CAST(sum(CASE WHEN tier = 'drop' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop,
+         CAST(sum(CASE WHEN tier <> 'drop' THEN n_words ELSE 0 END)
+              AS BIGINT) AS kept_words
+  FROM j GROUP BY source
+)
+SELECT source, n_docs, n_high, n_mid, n_low, n_drop, kept_words,
+       CAST(((n_docs - n_drop) * 2000000 + n_docs) // (2 * n_docs)
+            AS BIGINT) AS keep_ppm
+FROM s
+"""

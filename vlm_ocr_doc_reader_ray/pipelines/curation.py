@@ -107,6 +107,7 @@ def doc_tiers(
     id_col: str = "doc_id",
     persist: str = "auto",
     spill_dir: str | None = None,
+    keep_cols: tuple = (),
 ) -> rd.Dataset:
     """Tier extraction: classify every document into a training tier.
 
@@ -153,17 +154,20 @@ def doc_tiers(
     )
     from vlm_ocr_doc_reader_ray.state.pin import pin
 
-    # read 2: one chain carrying every per-doc signal (flags ride along)
+    extra = tuple(keep_cols)
+    # read 2: one chain carrying every per-doc signal (flags — and any
+    # caller keep_cols, e.g. source — ride along every stage)
     q = quality_filter(docs, lean=True).select_columns(
-        [id_col, "text", "quality_pass"]
+        [id_col, "text", "quality_pass", *extra]
     )
     g = gopher_signals(
-        q, id_col=id_col, keep_cols=("text", "quality_pass")
-    ).select_columns([id_col, "text", "quality_pass", "gopher_pass"])
+        q, id_col=id_col, keep_cols=("text", "quality_pass", *extra)
+    ).select_columns([id_col, "text", "quality_pass", "gopher_pass", *extra])
     e = char_entropy_scores(
-        g, id_col=id_col, keep_cols=("text", "quality_pass", "gopher_pass")
+        g, id_col=id_col,
+        keep_cols=("text", "quality_pass", "gopher_pass", *extra),
     ).select_columns(
-        [id_col, "text", "quality_pass", "gopher_pass", "entropy"]
+        [id_col, "text", "quality_pass", "gopher_pass", "entropy", *extra]
     )
     # NLL scoring chains onto the gate output; the LM FIT pass reads
     # the raw docs (fit_ds) so the gate lineage never executes twice
@@ -171,11 +175,11 @@ def doc_tiers(
         unigram_nll_scores(
             e,
             id_col=id_col,
-            keep_cols=["quality_pass", "gopher_pass", "entropy"],
+            keep_cols=["quality_pass", "gopher_pass", "entropy", *extra],
             fit_ds=docs,
         ).select_columns(
             [id_col, "n_words", "quality_pass", "gopher_pass", "entropy",
-             "mean_nll"]
+             "mean_nll", *extra]
         ),
         persist=persist,
         spill_dir=spill_dir,
@@ -185,7 +189,8 @@ def doc_tiers(
     buckets = perplexity_buckets(
         scored,
         id_col=id_col,
-        keep_cols=("n_words", "quality_pass", "gopher_pass", "entropy"),
+        keep_cols=("n_words", "quality_pass", "gopher_pass", "entropy",
+                   *extra),
     )
 
     def classify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -207,6 +212,7 @@ def doc_tiers(
                 "bucket": batch["bucket"],
                 "tier": tier,
                 "reason": reason,
+                **{c: batch[c] for c in extra},
             }
         )
 
@@ -314,3 +320,69 @@ def tiered_token_budget(
         eligible, "tier", id_col, "n_words", budget=0,
         seed=seed, budgets=budgets,
     )
+
+
+def source_tier_profile(
+    docs: rd.Dataset,
+    entropy_min: float = 4.0,
+    persist: str = "auto",
+    spill_dir: str | None = None,
+) -> rd.Dataset:
+    """Per-source tier mix — the "which crawls yield high-tier data"
+    report a curation team ranks sources by: for every source, doc
+    counts per tier (high/mid/low/drop), total word mass of the kept
+    tiers, and the half-up ppm share of docs that survived.
+
+    Scale shape: doc_tiers keeps the source column riding through its
+    signal chain (zero extra reads or joins — the chain is built on
+    keep_cols threading), then per-batch combiners collapse to
+    ≤ |sources| residue rows per block before one small groupby."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from vlm_ocr_doc_reader_ray.stages.aggregates import grouped_sums
+
+    labeled = doc_tiers(
+        docs, entropy_min=entropy_min, persist=persist,
+        spill_dir=spill_dir, keep_cols=("source",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tier = batch.column("tier")
+        one = pa.array([1] * batch.num_rows, type=pa.int64())
+        zero = pa.array([0] * batch.num_rows, type=pa.int64())
+        nw = batch.column("n_words")
+
+        def flag(name):
+            return pc.if_else(pc.equal(tier, name), one, zero)
+
+        kept = pc.invert(pc.equal(tier, "drop"))
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": one,
+                "n_high": flag("high"),
+                "n_mid": flag("mid"),
+                "n_low": flag("low"),
+                "n_drop": flag("drop"),
+                "kept_words": pc.if_else(kept, nw, zero),
+            }
+        )
+
+    sums = grouped_sums(
+        labeled.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        ["n_docs", "n_high", "n_mid", "n_low", "n_drop", "kept_words"],
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        kept = batch["n_docs"] - batch["n_drop"]
+        batch["keep_ppm"] = (
+            (kept * 2_000_000 + batch["n_docs"]) // (2 * batch["n_docs"])
+        ).astype("int64")
+        return batch
+
+    return sums.map_batches(finish, batch_format="pandas")
